@@ -1,0 +1,163 @@
+"""Deduplication operators for the LLM-data-pipeline surface (SURVEY.md
+§2.J): exact, MinHash+LSH near-dup, SimHash.
+
+100 TB design: nothing here ever cross-joins the corpus. Candidate
+generation is banding + groupBy(band hash) -- join fan-out is bounded by
+bucket sizes -- and only candidates pay the exact-Jaccard verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_expr, tokens_expr
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per distinct text (deterministic, unlike
+    dropDuplicates). One shuffle on the text hash."""
+    w = Window.partitionBy(text_col).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop(
+        "__rn"
+    )
+
+
+def doc_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) exploded distinct word n-gram shingles per document."""
+    return df.select(
+        F.col(id_col),
+        F.explode(shingles_expr(tokens_expr(), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_perm: int = 32, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document: sig_j = min over shingles of
+    xxhash64(shingle, seed=j). One pass, one shuffle on id (num_perm
+    aggregate expressions, map-side partial min)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"sig_{j}")
+        for j in range(num_perm)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding: hash each band of rows_per_band signature slots, then
+    self-join *within* (band_id, band_hash) buckets -> candidate (a, b)
+    pairs, a < b, distinct.
+
+    Scale shape: explode to bands (xN rows), groupBy-join on the band key --
+    fan-out bounded by bucket size; skewed buckets (boilerplate text) split
+    by AQE skew-join. Never a corpus cross-join.
+    """
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(
+                *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_hash"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame, shingled: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only: join each side's shingle set,
+    count intersections, divide by union size."""
+    counts = shingled.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        shared.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_duplicates_minhash(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
+    bucket-join -> exact-Jaccard verify -> threshold filter."""
+    shingled = doc_shingles(df, n=shingle_n)
+    sigs = minhash_signatures(shingled, num_perm=num_perm)
+    cands = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
+    return verify_jaccard(cands, shingled).where(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document over distinct tokens, emitted as two
+    32-bit halves (simhash_lo = bits 0..31, simhash_hi = bits 32..63) to
+    stay in non-negative long range.
+
+    Per token: h = xxhash64(token); bit i contributes +1 if set else -1;
+    signature bit i = (sum_i > 0). Single explode + one groupBy with 64
+    conditional-sum expressions (map-side partial aggregation).
+    """
+    tok = df.select(F.col(id_col), F.explode(F.array_distinct(tokens_expr())).alias("token"))
+    h = F.xxhash64(F.col("token"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*sums)
+    lo = None
+    hi = None
+    for i in range(32):
+        bit_lo = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(0)
+        bit_hi = F.when(F.col(f"s_{i + 32}") > 0, F.lit(1 << i)).otherwise(0)
+        lo = bit_lo if lo is None else lo + bit_lo
+        hi = bit_hi if hi is None else hi + bit_hi
+    return agg.select(
+        id_col, lo.cast("long").alias("simhash_lo"), hi.cast("long").alias("simhash_hi")
+    )

@@ -1,0 +1,21 @@
+"""Declared query inventory (SURVEY.md §2).
+
+Importing this package populates the registry: each submodule declares its
+query family with the ``@declare`` decorator (Spark DataFrame builder +
+matching DuckDB oracle SQL).
+"""
+
+from .registry import REGISTRY, all_queries, all_oracles, declare  # noqa: F401
+
+# Import order mirrors SURVEY.md §7's build plan; each import registers its
+# family's queries.
+from . import relational  # noqa: F401,E402  (§2.A/B scan/filter/project)
+from . import joins  # noqa: F401,E402  (§2.C)
+from . import aggregates  # noqa: F401,E402  (§2.D)
+from . import windows  # noqa: F401,E402  (§2.E)
+from . import sorts_sets  # noqa: F401,E402  (§2.F/G)
+from . import scalar_fns  # noqa: F401,E402  (§2.H)
+from . import events_stream  # noqa: F401,E402  (§2.I batch-equivalents)
+from . import text_pipeline  # noqa: F401,E402  (§2.J dedup + text analysis)
+from . import vector_pipeline  # noqa: F401,E402  (§2.J similarity search)
+from . import udfs  # noqa: F401,E402  (§2.K)

@@ -1,0 +1,242 @@
+"""§2.C -- joins: equi (shuffle + broadcast), outer, semi/anti, cross,
+theta/non-equi, range, as-of.
+
+Scale notes: dimension joins broadcast (nation/region always; customer under
+the auto threshold at small SF -- at 100 TB customer joins shuffle and rely
+on AQE skew handling). Non-equi joins are kept deliberately bounded; the
+range join carries an equi key so Spark plans SMJ + filter, never a nested
+loop over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, range_join
+from ..sources import load_table
+from .registry import declare
+
+
+@declare(
+    "join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join (planner picks SMJ/SHJ/broadcast by stats)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@declare(
+    "join_broadcast",
+    oracle="""
+    SELECT c_custkey, c_acctbal, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive map-join: explicit broadcast of the nation/region dims -- no
+    shuffle of the fact side at any scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_acctbal", "n_name", "r_name")
+    )
+
+
+@declare(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 50000) o
+      ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: customers kept with NULL order columns when no
+    qualifying order exists."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 50000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@declare(
+    "join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_custkey, o.n_orders
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 1000) c
+    FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                     FROM orders GROUP BY o_custkey) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with NULLs on both sides (customer subset vs order
+    aggregate)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") < 1000)
+        .select("c_custkey", "c_name")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        c.c_custkey, c.c_name, o.o_custkey, o.n_orders
+    )
+
+
+@declare(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (Hive LEFT SEMI JOIN / IN-subquery): customers with at
+    least one urgent order, no right columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@declare(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (NOT EXISTS): customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@declare(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (kept tiny: 5 x 25; at scale only ever dim x dim)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@declare(
+    "join_theta",
+    oracle="""
+    SELECT s_suppkey, c_custkey
+    FROM (SELECT * FROM supplier WHERE s_suppkey < 10) s
+    JOIN customer c ON s_acctbal > c_acctbal AND c_custkey % 7 = 0
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/non-equi join -> BroadcastNestedLoopJoin with the tiny side
+    broadcast; both inputs pre-filtered (the only sane nested-loop shape)."""
+    s = load_table(spark, sf_dir, "supplier").where(F.col("s_suppkey") < 10)
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    return s.join(c, s.s_acctbal > c.c_acctbal, "inner").select(
+        "s_suppkey", "c_custkey"
+    )
+
+
+@declare(
+    "join_range",
+    oracle="""
+    SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > CAST(a.ts AS TIMESTAMP)
+     AND b.ts <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: purchases within 5 minutes after a view by the
+    same user. Equi key (user_id) + range condition -> SMJ + filter, never a
+    nested loop."""
+    # Two independent scans: deriving both sides from one DataFrame makes the
+    # self-join columns ambiguous to the analyzer.
+    a = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .alias("a")
+    )
+    b = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .alias("b")
+    )
+    out = range_join(
+        a,
+        b,
+        on="user_id",
+        cond=(b["ts"] > a["ts"]) & (b["ts"] <= a["ts"] + F.expr("INTERVAL 5 MINUTES")),
+    )
+    return out.select(
+        a["event_id"].alias("a_id"), b["event_id"].alias("b_id"), a["user_id"]
+    )
+
+
+@declare(
+    "join_asof",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         pairs AS (
+           SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM p LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+    SELECT purchase_id, user_id, click_id FROM pairs WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it by the
+    same user (ties -> largest event_id). Library operator; oracle is the
+    identical window formulation (DuckDB ASOF JOIN has the same semantics but
+    an unspecified tie-break)."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .alias("p")
+    )
+    c = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .alias("c")
+    )
+    out = asof_join(
+        p, c, on="user_id", left_id="event_id", left_ts="ts", right_ts="ts",
+        tie_break="event_id", how="left",
+    )
+    return out.select(
+        p["event_id"].alias("purchase_id"), p["user_id"], c["event_id"].alias("click_id")
+    )

@@ -1,0 +1,307 @@
+"""§2.J -- text-analysis + deduplication pipeline over the documents table:
+exact dedup, n-gram-Jaccard near-dup (oracle-checked), MinHash-LSH and
+SimHash (rows-only; pytest self-verifies against brute force), term
+frequency, TF-IDF, language stats, language-ID heuristic, quality scoring,
+token counting, content fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+from ..operators.dedup import (
+    doc_shingles,
+    exact_dedup,
+    near_duplicates_minhash,
+    simhash_signatures,
+)
+from ..sources import load_table
+from .registry import declare
+
+
+@declare(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup keeping the lowest doc_id per distinct text (real
+    duplicates exist at sf0.1: 5000 rows / 4992 distinct)."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "lang", "source", "n_chars")
+
+
+@declare(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (SELECT doc_id, str_split(text, ' ') AS tokens FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(tokens[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(tokens) - 1, 1))]) AS shingle
+      FROM tok),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (>= 0.5). Candidate pairs
+    meet through the shared-shingle join (inverted index), never a cross
+    join -- the same shape LSH approximates at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    shingled = doc_shingles(d, n=3)
+    pairs = (
+        shingled.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(
+            shingled.select(F.col("doc_id").alias("id_b"), "shingle"),
+            on="shingle",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    counts = shingled.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@declare("dedup_near", oracle=None)  # rows-only: LSH not DuckDB-expressible
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (threshold 0.7): the 100 TB near-dup
+    path -- banding + bucket join bounds candidate generation. pytest
+    verifies recall against brute-force Jaccard on sf0.001."""
+    d = load_table(spark, sf_dir, "documents")
+    return near_duplicates_minhash(d, threshold=0.7)
+
+
+@declare("dedup_simhash", oracle=None)  # rows-only: verified by pytest
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures per document (two 32-bit halves).
+    Identical texts -> identical signatures; near-dups -> small Hamming
+    distance. pytest pins both properties."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(d)
+
+
+@declare(
+    "text_term_freq",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 100
+    """,
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies + document frequency, top-100 (deterministic
+    tie-break on token)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens_expr()).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(100)
+    )
+
+
+@declare(
+    "text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM tf) t
+           GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    WHERE tf.doc_id < 100
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF per (doc, token): tf * (ln((N+1)/(df+1)) + 1).
+    df and N computed over the full corpus; output bounded to doc_id < 100.
+    Composable shape: one explode, two aggregates, broadcast joins."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(tokens_expr()).alias("token"))
+    tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@declare(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS len_ok
+    FROM documents GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats + n_chars==length(text) invariant check."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum(
+            F.when(F.col("n_chars") == F.length("text"), 1).otherwise(0)
+        ).alias("len_ok"),
+    )
+
+
+@declare(
+    "text_langid",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+                WHEN regexp_matches(text, '[éèêàçœ]') THEN 'fr'
+                WHEN regexp_matches(text, '[ñ¿¡áíó]') THEN 'es'
+                ELSE 'en' END AS predicted
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class language-ID heuristic (script/diacritic n-gram
+    detector). A real model would be a broadcast n-gram table + the same
+    expression shape."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[äöüß]"), "de")
+        .when(F.col("text").rlike("[éèêàçœ]"), "fr")
+        .when(F.col("text").rlike("[ñ¿¡áíó]"), "es")
+        .otherwise("en")
+        .alias("predicted"),
+    )
+
+
+@declare(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS len,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS n_uniq,
+           ROUND(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                 / len(str_split(text, ' ')), 6) AS uniq_ratio,
+           CAST(list_max(list_transform(str_split(text, ' '), t -> length(t)))
+                AS BIGINT) AS max_token_len,
+           ROUND((length(text) - len(str_split(text, ' ')) + 1.0)
+                 / len(str_split(text, ' ')), 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals per document: length, token count, unique-
+    token ratio (repetition detector), max/mean token length."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_expr()
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_uniq.cast("long").alias("n_uniq"),
+        F.round(n_uniq.cast("double") / n_tokens, 6).alias("uniq_ratio"),
+        F.array_max(F.transform(toks, F.length)).cast("long").alias("max_token_len"),
+        F.round(
+            (F.length("text") - n_tokens + F.lit(1.0)) / n_tokens, 6
+        ).alias("mean_token_len"),
+    )
+
+
+@declare(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + the chars/4 BPE-token estimate
+    (the standard pre-tokenizer budget heuristic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_expr()).cast("long").alias("ws_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("bpe_est"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+        .cast("long")
+        .alias("n_spaces"),
+    )
+
+
+@declare(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' '))
+             AS bow_fp,
+           substr(md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')),
+                  1, 8) AS bow_fp8
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (catches shuffled-word duplicates that exact dedup misses)."""
+    d = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.sort_array(F.array_distinct(tokens_expr())))
+    return d.select(
+        "doc_id",
+        F.md5(canon).alias("bow_fp"),
+        F.substring(F.md5(canon), 1, 8).alias("bow_fp8"),
+    )

@@ -1,0 +1,137 @@
+"""§2.J -- similarity search over the embeddings table (multimodal columns:
+array<float> vectors carried through relational ops; binary blobs).
+
+Embeddings are L2-normalized (FIXTURES.md) => cosine == dot product. All
+cosines are computed in double and rounded to 6 decimals in-query so Spark
+and DuckDB (list_dot_product) orderings agree; LIMIT orderings tie-break on
+vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_expr, to_double_array
+from ..operators.similarity import ann_pairs_lsh, knn_join_exact
+from ..sources import load_table
+from .registry import declare
+
+
+@declare(
+    "sim_topk",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_dot_product(
+             CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+             AS cos
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 to a query vector (vec_id 0): broadcast the
+    query, JVM-side zip_with/aggregate dot product, TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        to_double_array("embedding").alias("qv")
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(to_double_array("embedding"), F.col("qv")), 6).alias(
+                "cos"
+            ),
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@declare(
+    "sim_knn_join",
+    oracle="""
+    SELECT a_id, b_id, cos, neighbor_rank FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                        b.vec_id) AS neighbor_rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 50)
+    WHERE neighbor_rank <= 3
+    """,
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN join: top-3 neighbors for each anchor (vec_id < 50).
+    Broadcast corpus + per-anchor window; the LSH tier (sim_ann_pairs)
+    replaces the quadratic candidate set at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 50)
+    return knn_join_exact(anchors, emb, k=3)
+
+
+@declare(
+    "emb_cosine_dup",
+    oracle="""
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+    """,
+)
+def emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.8), exact all-pairs
+    form (oracle-checkable). sim_ann_pairs is the bucketed scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a_id"), to_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), to_double_array("embedding").alias("vb"))
+    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cos.alias("cos"))
+        .where(F.col("cos") >= 0.8)
+    )
+
+
+@declare("sim_ann_pairs", oracle=None)  # rows-only: LSH bucketing is Spark-side
+def sim_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN near-neighbor pairs via random-hyperplane LSH bucketing + exact
+    in-bucket verification (cos >= 0.6). The 100 TB similarity path: pairs
+    only form inside buckets. pytest measures recall vs the exact query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_pairs_lsh(emb, threshold=0.6, n_planes=12)
+
+
+@declare(
+    "multimodal_blob",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS blob_len,
+           md5(text) AS blob_md5,
+           lang
+    FROM documents
+    """,
+)
+def multimodal_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: text -> BinaryType blob carried through
+    the plan with typed metadata (lang), byte length + content hash
+    computed on the binary. Image/audio decode stubs: operators/multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("blob_len"),
+        F.md5(blob).alias("blob_md5"),
+        "lang",
+    )

@@ -1,0 +1,64 @@
+"""Parquet table loaders with pinned schemas (SURVEY.md §1, FIXTURES.md).
+
+Scale notes:
+  * ``spark.read.schema(...).parquet(path)`` keeps the vectorized parquet
+    reader and lets Catalyst push projections + predicates into the scan --
+    `.explain` on any downstream query shows PushedFilters / ReadSchema.
+  * The events ns->µs conversion is a single projected expression on top of
+    the scan (no shuffle, fused into the first codegen stage).
+  * ``register_views`` exposes the Hive-style catalog surface ("Spark SQL
+    over Hive tables"): every table is addressable from ``spark.sql`` just
+    like an HMS-cataloged Hive table. ``saveAsTable``/``enableHiveSupport``
+    slot in here when a real metastore exists.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure
+from .schemas import SCHEMAS
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with its pinned schema."""
+    configure(spark)  # idempotent; guarantees nanosAsLong + UTC on any session
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        raw = spark.read.schema(SCHEMAS["events_raw"]).parquet(path)
+        # TIMESTAMP(NANOS) parquet read as long; µs payload => lossless.
+        # MUST be integer division: (ts / 1000).cast('long') routes through
+        # double and loses µs precision at ~1.7e18 ns (53-bit mantissa).
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all fixture tables as DataFrames keyed by table name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register each as a temp view (catalog surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,133 @@
+"""Self-oracle harness (SURVEY.md §5.2.1): replicate the driver's
+correctness gate locally -- run every declared query in Spark AND its oracle
+SQL in DuckDB on the same parquet, compare row count, column names, and
+values (order-insensitive).
+
+Usage:
+    python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize a result frame for cross-engine comparison."""
+    out = df.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = pd.to_datetime(s).astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        elif pd.api.types.is_bool_dtype(s):
+            out[c] = s.astype("bool")
+        else:
+            out[c] = s.astype("string")
+    out = out.sort_values(by=list(out.columns), ignore_index=True)
+    return out
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns: spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f":
+            eq = (
+                (av.isna() & bv.isna())
+                | (av == bv)
+                | ((av - bv).abs() <= 1e-9 * (1 + bv.abs()))
+            )
+        else:
+            eq = (av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object))
+        bad = (~eq).sum()
+        if bad:
+            i = (~eq).idxmax()
+            problems.append(
+                f"col {c}: {bad} mismatched values, first at row {i}: "
+                f"spark={av[i]!r} duck={bv[i]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from hive_person_service_spark.session import get_spark
+
+    spark = get_spark(app_name="selfcheck")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    failures: list[str] = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: SPARK ERROR\n{traceback.format_exc()}")
+            continue
+        if name not in oracles:
+            n_rows_only += 1
+            print(f"rows  {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: DUCKDB ERROR\n{traceback.format_exc()}")
+            continue
+        problems = compare(sdf, ddf)
+        if problems:
+            n_fail += 1
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            n_pass += 1
+            print(f"ok    {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)")
+
+    print(
+        f"\n{n_pass} oracle-pass, {n_rows_only} rows-only, {n_fail} FAIL"
+        + (f": {failures}" if failures else "")
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
