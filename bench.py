@@ -1,0 +1,79 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Query set mirrors BASELINE.md so the driver can compare directly; the
+cosine self-join uses the engine's blockwise mapInPandas operator (the
+BASELINE number is the naive 4M-pair expression join).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from hive_person_service_spark import plans
+    from hive_person_service_spark.operators.similarity import (
+        exact_topk_pairs_blockwise,
+    )
+    from hive_person_service_spark.session import get_spark
+    from hive_person_service_spark.sources import load_table
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + page cache (BASELINE.md methodology).
+    for t in ("lineitem", "orders", "events"):
+        load_table(spark, sf_dir, t).count()
+
+    qs = plans.all_queries()
+    headline = {
+        "q_pricing_summary": lambda: qs["agg_groupby"](spark, sf_dir),
+        "q_join3_revenue": lambda: qs["join3_revenue"](spark, sf_dir),
+        "q_window_topk": lambda: qs["win_topk_per_group"](spark, sf_dir),
+        "q_events_window": lambda: qs["stream_tumbling"](spark, sf_dir),
+        "q_distinct_users": lambda: qs["agg_count_distinct"](spark, sf_dir),
+        "q_sort_limit": lambda: qs["sort_limit_topk"](spark, sf_dir),
+        "q_cosine_selfjoin_top10": lambda: exact_topk_pairs_blockwise(
+            spark, load_table(spark, sf_dir, "embeddings"), k=10
+        ),
+        "q_dedup_near_lsh": lambda: qs["dedup_near"](spark, sf_dir),
+        "q_sim_topk": lambda: qs["sim_topk"](spark, sf_dir),
+    }
+
+    timings: dict[str, float] = {}
+    for name, build in headline.items():
+        t0 = time.time()
+        build().collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -206,6 +206,39 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "join3_revenue",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BASELINE q_join3_revenue: fact-fact SMJ (orders x lineitem) +
+    broadcast dims (customer at small SF, nation always) + hash agg.
+    At 100 TB orders/lineitem would be co-bucketed on the order key to
+    make this join shuffle-free."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@declare(
     "join_asof",
     oracle="""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
