@@ -1,0 +1,143 @@
+"""§2.I -- Structured Streaming forms of the event-time operators.
+
+The declared (oracle-checked) forms in plans/events_stream.py are the batch
+event-time equivalents; these are the same computations as streaming jobs:
+``readStream`` source -> watermarked stateful transformation -> sink. Batch
+== streaming equivalence is pinned by tests/test_streaming.py using
+``trigger(availableNow=True)`` over the same parquet.
+
+State/scale notes: watermarks bound the StateStore (late events beyond the
+horizon are dropped and their state evicted); state lives per-partition on
+executors and checkpoints to ``checkpointLocation``. At 100 TB/day ingest,
+the same code runs with a Kafka source, RocksDB state store, and a
+partitioned parquet sink -- only the ``format(...)`` lines change.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import configure
+from ..sources.schemas import SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events parquet (append-only table model),
+    with the same TIMESTAMP(NANOS) -> µs conversion as the batch loader."""
+    configure(spark)
+    # Glob, not the bare file path: FileStreamSource requires a directory
+    # basePath (a single-file path fails with "basePath must be a directory").
+    raw = (
+        spark.readStream.schema(SCHEMAS["events_raw"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.*")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums with a watermark bounding state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("window.start").alias("ws"),
+            F.col("window.end").alias("we"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def stream_sliding_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Sliding (1 hour / 15 min hop) windowed aggregate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "total")
+    )
+
+
+def stream_session_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Gap-based (30 min) session windows per user -- stateful merge in the
+    StateStore, sessions emitted once the watermark passes their end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stateful dedup on (user_id, event_type) keeping the first arrival
+    within the watermark horizon -- state is evictable, unlike plain
+    dropDuplicates whose state grows forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static join: enrich the stream with a (broadcast) dimension --
+    identical semantics to the batch broadcast join."""
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def stream_stream_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream join with watermarks + time-range condition (the
+    streaming form of join_range): purchases within 5 minutes after a view."""
+    v = views.withWatermark("ts", "10 minutes").alias("v")
+    p = purchases.withWatermark("ts", "10 minutes").alias("p")
+    return v.join(
+        p,
+        F.expr(
+            """
+            v.user_id = p.user_id AND
+            p.ts > v.ts AND p.ts <= v.ts + INTERVAL 5 MINUTES
+            """
+        ),
+    ).select(
+        F.col("v.event_id").alias("a_id"),
+        F.col("p.event_id").alias("b_id"),
+        F.col("v.user_id").alias("user_id"),
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with
+    trigger(availableNow=True) into a memory sink; return the result as a
+    batch DataFrame. Pass output_mode='complete' for streaming aggregations
+    (in append mode a window only emits after the watermark passes it, so a
+    bounded replay would drop the tail windows). Test/verification harness --
+    production sinks are parquet/Kafka with checkpointLocation on durable
+    storage."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -1,0 +1,178 @@
+"""Unit/property tests for the library operators the oracle can't fully
+check: as-of join, MinHash-LSH recall, SimHash invariants, blockwise kNN
+equivalence, ANN precision, approx-distinct error, per-partition sort,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from hive_person_service_spark.functions.vectors import cosine_expr, to_double_array
+from hive_person_service_spark.operators.dedup import (
+    doc_shingles,
+    near_duplicates_minhash,
+    simhash_signatures,
+    verify_jaccard,
+)
+from hive_person_service_spark.operators.joins import asof_join
+from hive_person_service_spark.operators.multimodal import (
+    decode_image_features,
+    documents_as_assets,
+    resize_images,
+)
+from hive_person_service_spark.operators.similarity import (
+    ann_pairs_lsh,
+    exact_topk_pairs_blockwise,
+)
+from hive_person_service_spark.sources import load_table
+
+
+def test_asof_join_brute_force(spark):
+    """asof_join == per-left-row argmax over eligible right rows."""
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 105), (3, 20, 100), (4, 30, 100)],
+        "lid long, key long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(11, 10, 99), (12, 10, 105), (13, 10, 105), (14, 20, 101), (15, 30, 90)],
+        "rid long, key long, rts long",
+    )
+    out = asof_join(
+        left, right, on="key", left_id="lid", left_ts="lts", right_ts="rts",
+        tie_break="rid",
+    ).select("lid", "rid").collect()
+    got = {r.lid: r.rid for r in out}
+    # lid=1: only rid 11 (99<=100). lid=2: ties at rts=105 -> larger rid 13.
+    # lid=3: rts 101 > 100 -> no match (None). lid=4: rid 15.
+    assert got == {1: 11, 2: 13, 3: None, 4: 15}
+
+
+def test_minhash_lsh_recall_and_precision(spark):
+    docs = load_table(spark, SF_SMALL, "documents")
+    found = near_duplicates_minhash(docs, threshold=0.7)
+    found_pairs = {(r.id_a, r.id_b): r.jaccard for r in found.collect()}
+
+    # Brute-force truth: exact Jaccard over the inverted shingle index.
+    shingled = doc_shingles(docs, n=3)
+    cand = (
+        shingled.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(shingled.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verify_jaccard(cand, shingled)
+        .where(F.col("jaccard") >= 0.7)
+        .collect()
+    }
+    # Precision is exact by construction (pairs are verified); recall is
+    # probabilistic: P(hit | j=0.7) ~ 0.89 with 8 bands x 4 rows.
+    assert set(found_pairs) <= set(truth)
+    if truth:
+        recall = len(found_pairs) / len(truth)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_simhash_identical_texts_equal_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "spark join window filter"), (2, "spark join window filter"),
+         (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.simhash_lo, r.simhash_hi)
+            for r in simhash_signatures(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+    assert all(0 <= lo < 2**32 and 0 <= hi < 2**32 for lo, hi in rows.values())
+
+
+def test_blockwise_topk_matches_expression_join(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    fast = exact_topk_pairs_blockwise(spark, emb, k=10)
+    a = emb.select(F.col("vec_id").alias("a_id"), to_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), to_double_array("embedding").alias("vb"))
+    naive = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine_expr(F.col("va"), F.col("vb")).alias("cos"))
+        .orderBy(F.col("cos").desc(), "a_id", "b_id")
+        .limit(10)
+    )
+    fast_rows = [(r.a_id, r.b_id, round(r.cos, 9)) for r in fast.collect()]
+    naive_rows = [(r.a_id, r.b_id, round(r.cos, 9)) for r in naive.collect()]
+    assert fast_rows == naive_rows
+
+
+def test_ann_lsh_pairs_are_exact_subset(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ann = ann_pairs_lsh(emb, threshold=0.6, n_planes=12)
+    a = emb.select(F.col("vec_id").alias("a_id"), to_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), to_double_array("embedding").alias("vb"))
+    exact = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= 0.6)
+    )
+    ann_pairs = {(r.a_id, r.b_id) for r in ann.collect()}
+    exact_pairs = {(r.a_id, r.b_id) for r in exact.collect()}
+    assert ann_pairs <= exact_pairs  # no false positives (verified in-bucket)
+
+
+def test_approx_count_distinct_error(spark):
+    ev = load_table(spark, SF_SMALL, "events")
+    approx = {
+        r.event_type: r.approx_users
+        for r in ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.users
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("users"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(1, 0.05 * v), (k, approx[k], v)
+
+
+def test_sort_within_partitions_layout(spark):
+    from hive_person_service_spark import plans
+
+    df = plans.all_queries()["sort_within_partitions"](spark, SF_SMALL)
+
+    def check(it):
+        rows = list(it)
+        keys = [(r.l_suppkey, -r.l_extendedprice) for r in rows]
+        assert keys == sorted(keys)
+        # one suppkey never spans two partitions: emit the distinct keys
+        return iter({r.l_suppkey for r in rows})
+
+    parts = df.rdd.mapPartitions(check).collect()
+    assert len(parts) == len(set(parts))  # no suppkey in two partitions
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    assets = documents_as_assets(docs)
+    feats = decode_image_features(assets, dim=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert r.blob_len > 0
+        assert len(r.feature) == 8
+        assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-9  # unit norm
+    with pytest.raises(NotImplementedError):
+        resize_images(assets, 224, 224)
+
+
+def test_spark_hashes_deterministic(spark):
+    from hive_person_service_spark import plans
+
+    q = plans.all_queries()["fn_hash_spark"]
+    a = sorted(map(tuple, q(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, q(spark, SF_SMALL).collect()))
+    assert a == b

@@ -1,0 +1,75 @@
+"""Structured Streaming smoke + batch-equivalence (SURVEY.md §5.2.4): each
+streaming job over the events parquet with trigger(availableNow=True) must
+equal its batch event-time form."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from hive_person_service_spark import plans
+from hive_person_service_spark.sources import load_table
+from hive_person_service_spark.streaming import (
+    read_events_stream,
+    run_to_memory_sink,
+    stream_dedup_within_watermark,
+    stream_session_agg,
+    stream_static_enrich,
+    stream_stream_join,
+    stream_tumbling_agg,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    got = run_to_memory_sink(stream_tumbling_agg(stream), spark, "complete")
+    want = plans.all_queries()["stream_tumbling"](spark, SF_SMALL)
+    cols = ["ws", "we", "event_type", "n", "total"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_stream_equals_batch(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    got = run_to_memory_sink(stream_session_agg(stream), spark, "complete")
+    want = plans.all_queries()["stream_session"](spark, SF_SMALL)
+    cols = ["user_id", "session_start", "session_end", "n_events", "total"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup_smoke(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    got = run_to_memory_sink(stream_dedup_within_watermark(stream), spark)
+    # one row per (user, type) seen; arrival order within a micro-batch is
+    # not the deterministic batch order, so check keys not chosen rows
+    batch = plans.all_queries()["stream_dedup_events"](spark, SF_SMALL)
+    got_keys = {(r.user_id, r.event_type) for r in got.collect()}
+    want_keys = {(r.user_id, r.event_type) for r in batch.collect()}
+    assert got_keys == want_keys
+
+
+def test_stream_static_join_smoke(spark):
+    stream = read_events_stream(spark, SF_SMALL)
+    dim = (
+        load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total"))
+    )
+    got = run_to_memory_sink(stream_static_enrich(stream, dim, "user_id"), spark)
+    assert got.count() == load_table(spark, SF_SMALL, "events").count()
+    assert got.where(F.col("user_total").isNull()).count() == 0
+
+
+def test_stream_stream_join_equals_batch_range_join(spark):
+    views = read_events_stream(spark, SF_SMALL).where(F.col("event_type") == "view")
+    purchases = read_events_stream(spark, SF_SMALL).where(
+        F.col("event_type") == "purchase"
+    )
+    got = run_to_memory_sink(stream_stream_join(views, purchases), spark)
+    want = plans.all_queries()["join_range"](spark, SF_SMALL)
+    cols = ["a_id", "b_id", "user_id"]
+    assert _rows(got, cols) == _rows(want, cols)
