@@ -126,8 +126,13 @@ def near_duplicates_minhash(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle -> minhash -> band ->
-    bucket-join -> exact-Jaccard verify -> threshold filter."""
-    shingled = doc_shingles(df, n=shingle_n)
+    bucket-join -> exact-Jaccard verify -> threshold filter.
+
+    The shingle relation feeds three consumers (signatures + both sides of
+    the verify join), so it is persisted -- without it Spark re-scans and
+    re-shingles the corpus per consumer. At 100 TB the same role is played
+    by materializing shingles to a parquet staging table."""
+    shingled = doc_shingles(df, n=shingle_n).persist()
     sigs = minhash_signatures(shingled, num_perm=num_perm)
     cands = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
     return verify_jaccard(cands, shingled).where(F.col("jaccard") >= threshold)

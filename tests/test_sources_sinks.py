@@ -1,0 +1,86 @@
+"""§2.A surface: multi-format ingest round-trips, INSERT OVERWRITE,
+partitioned layout + partition pruning, bucketed tables + shuffle-free SMB
+join."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from hive_person_service_spark.sinks import (
+    insert_overwrite_parquet,
+    write_bucketed_table,
+    write_partitioned_parquet,
+)
+from hive_person_service_spark.sources import load_table
+from hive_person_service_spark.sources.io_formats import read_csv, read_json, read_orc
+
+
+def _explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_csv_json_orc_roundtrip(spark):
+    src = load_table(spark, SF_SMALL, "customer")
+    with tempfile.TemporaryDirectory() as d:
+        src.write.mode("overwrite").option("header", "true").csv(f"{d}/csv")
+        src.write.mode("overwrite").json(f"{d}/json")
+        src.write.mode("overwrite").orc(f"{d}/orc")
+        want = _sorted_rows(src)
+        assert _sorted_rows(read_csv(spark, f"{d}/csv", src.schema)) == want
+        assert _sorted_rows(read_json(spark, f"{d}/json", src.schema)) == want
+        assert _sorted_rows(read_orc(spark, f"{d}/orc", src.schema)) == want
+
+
+def test_insert_overwrite_replaces(spark):
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    with tempfile.TemporaryDirectory() as d:
+        insert_overwrite_parquet(li.limit(100), f"{d}/t")
+        assert spark.read.parquet(f"{d}/t").count() == 100
+        insert_overwrite_parquet(li.limit(10), f"{d}/t")  # overwrite, not append
+        assert spark.read.parquet(f"{d}/t").count() == 10
+
+
+def test_partition_pruning(spark):
+    o = load_table(spark, SF_SMALL, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_partitioned_parquet(o, f"{d}/orders_by_year", ["order_year"])
+        back = spark.read.parquet(f"{d}/orders_by_year")
+        q = back.where(F.col("order_year") == 1996)
+        plan = _explain(q)
+        # predicate must prune at the directory level, not post-scan filter
+        assert "PartitionFilters: [isnotnull(order_year" in plan, plan
+        want = o.where(F.col("order_year") == 1996).count()
+        assert q.count() == want
+
+
+def test_bucketed_smb_join_no_shuffle(spark):
+    o = load_table(spark, SF_SMALL, "orders")
+    li = load_table(spark, SF_SMALL, "lineitem")
+    write_bucketed_table(o, "orders_b", "o_orderkey", 8)
+    write_bucketed_table(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b",
+        "o_orderkey", 8,
+    )
+    # hint forces SMJ (the fixture tables are under the broadcast threshold;
+    # at real scale the planner picks SMJ on its own)
+    joined = (
+        spark.table("orders_b")
+        .hint("merge")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+    )
+    plan = _explain(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan  # co-bucketed -> shuffle-free
+    assert joined.count() == li.count()
