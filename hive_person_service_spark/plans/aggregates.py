@@ -209,6 +209,19 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare("agg_percentile_approx", oracle=None)  # rows-only: sketch-specific
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch): the 100 TB path --
+    single pass, bounded memory, mergeable partials. Rows-only check (the
+    sketch's answers differ from DuckDB's exact quantiles by design);
+    pytest-bounded against the exact values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 1000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("price_p90_approx"),
+    )
+
+
 @declare(
     "agg_stats",
     oracle="""

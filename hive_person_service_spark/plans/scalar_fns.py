@@ -257,6 +257,24 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare("fn_string_spark", oracle=None)  # rows-only: no DuckDB equivalents
+def fn_string_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions with no (1.0-era) DuckDB counterpart: initcap,
+    translate, instr, substring_index, repeat, soundex, format_number.
+    Deterministic within Spark; pytest pins exact values on fixed inputs."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.initcap("p_name").alias("title_name"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.instr("p_name", "o").cast("long").alias("first_o"),
+        F.substring_index("p_name", " ", 1).alias("head_word"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.soundex("p_brand").alias("brand_soundex"),
+        F.format_number("p_retailprice", 2).alias("pretty_price"),
+    )
+
+
 @declare("fn_hash_spark", oracle=None)  # rows-only: Spark-specific hash fns
 def fn_hash_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark-specific hashes (xxhash64 / Murmur3 hash / crc32): deterministic

@@ -64,6 +64,45 @@ def test_stream_static_join_smoke(spark):
     assert got.where(F.col("user_total").isNull()).count() == 0
 
 
+def test_parquet_streaming_sink_with_checkpoint(spark, tmp_path):
+    """Durable sink: writeStream -> parquet + checkpointLocation; restart
+    with the same checkpoint must not duplicate data (exactly-once files)."""
+    stream = read_events_stream(spark, SF_SMALL)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_events = plans.all_queries()["stream_tumbling"]  # noqa: F841 (doc anchor)
+    total = load_table(spark, SF_SMALL, "events").count()
+    assert spark.read.parquet(out).count() == total
+    run_once()  # same checkpoint: no new input -> no duplicates
+    assert spark.read.parquet(out).count() == total
+
+
+def test_approx_percentile_bounded_error(spark):
+    got = {
+        r.l_returnflag: r.p50_approx
+        for r in plans.all_queries()["agg_percentile_approx"](
+            spark, SF_SMALL
+        ).collect()
+    }
+    exact = {
+        r.l_returnflag: r.p50
+        for r in plans.all_queries()["agg_percentile"](spark, SF_SMALL).collect()
+    }
+    for k, v in exact.items():
+        assert abs(got[k] - v) <= 2.0, (k, got[k], v)  # qty domain 1..50
+
+
 def test_stream_stream_join_equals_batch_range_join(spark):
     views = read_events_stream(spark, SF_SMALL).where(F.col("event_type") == "view")
     purchases = read_events_stream(spark, SF_SMALL).where(
