@@ -169,6 +169,17 @@ def test_multimodal_decode_plumbing(spark):
         resize_images(assets, 224, 224)
 
 
+def test_sample_rows_deterministic(spark):
+    from hive_person_service_spark import plans
+
+    q = plans.all_queries()["sample_rows"]
+    a = sorted(map(tuple, q(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, q(spark, SF_SMALL).collect()))
+    assert a == b
+    n_total = load_table(spark, SF_SMALL, "lineitem").count()
+    assert 0.05 * n_total < len(a) < 0.15 * n_total  # ~10% Bernoulli
+
+
 def test_spark_hashes_deterministic(spark):
     from hive_person_service_spark import plans
 
