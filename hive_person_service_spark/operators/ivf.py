@@ -1,0 +1,62 @@
+"""IVF (inverted-file) approximate nearest-neighbor search (SURVEY.md §2.J
+"similarity search: IVF variant as the scale path").
+
+Build: k-means (pyspark.ml, seeded -> deterministic) partitions the corpus
+into nlist cells; each vector is stored with its cell id (at 100 TB:
+written as a parquet table partitioned/bucketed by cell).
+
+Search: score the query against the nlist centroids driver-side (nlist is
+small -- thousands at most), probe only the nprobe nearest cells, exact
+cosine within them. IO and compute drop by ~nlist/nprobe vs brute force;
+recall is tunable via nprobe (pytest pins recall@10 >= 0.7 at nprobe=4,
+nlist=16 on the fixtures).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.ml.clustering import KMeans
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_expr, to_double_array
+
+
+def build_ivf(
+    emb: DataFrame, nlist: int = 16, seed: int = 42, id_col: str = "vec_id"
+) -> tuple[DataFrame, np.ndarray]:
+    """Assign every vector to an IVF cell. Returns (assigned, centroids):
+    assigned = emb columns + ``cell``; centroids = (nlist, dim) ndarray."""
+    feat = emb.withColumn("__features", array_to_vector(to_double_array("embedding")))
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__features", predictionCol="cell"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    centroids = np.array(model.clusterCenters(), dtype=np.float64)
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbors of ``query_vec`` probing the nprobe nearest
+    cells only. Cell selection is a driver-side numpy dot (centroids are
+    tiny); the probed scan is a partition-pruned filter at scale."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    cells = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        assigned.where(F.col("cell").isin(cells))
+        .select(
+            id_col,
+            F.round(cosine_expr(to_double_array("embedding"), qlit), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), id_col)
+        .limit(k)
+    )

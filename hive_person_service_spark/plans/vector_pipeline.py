@@ -113,6 +113,25 @@ def sim_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_pairs_lsh(emb, threshold=0.6, n_planes=12)
 
 
+@declare("sim_ivf_topk", oracle=None)  # rows-only: index-assisted ANN
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-indexed top-10 neighbors of vec_id 0: k-means cells + nprobe
+    probing (operators/ivf.py). pytest pins recall vs the exact sim_topk
+    and full-probe == exact equivalence."""
+    import numpy as np
+
+    from ..operators.ivf import build_ivf, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf(emb, nlist=16, seed=42)
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
+    )
+    return ivf_topk(
+        assigned.where(F.col("vec_id") != 0), centroids, qv, k=10, nprobe=8
+    )
+
+
 @declare(
     "multimodal_blob",
     oracle="""
