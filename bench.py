@@ -16,8 +16,6 @@ import os
 import sys
 import time
 
-from pyspark.sql import functions as F
-
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

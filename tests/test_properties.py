@@ -71,6 +71,48 @@ def test_random_predicates_agree(li, duck_li, col, op, frac, col2, op2, frac2, c
     assert spark_n == duck_n, sql_pred
 
 
+@given(
+    gcol=st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey"]),
+    acol=st.sampled_from(NUM_COLS),
+    fcol=st.sampled_from(NUM_COLS),
+    op=st.sampled_from(OPS),
+    frac=st.floats(0.0, 1.0),
+)
+@_settings
+def test_random_groupby_agg_agree(li, duck_li, gcol, acol, fcol, op, frac):
+    domains = {
+        "l_quantity": (1.0, 50.0),
+        "l_extendedprice": (900.0, 105000.0),
+        "l_discount": (0.0, 0.1),
+        "l_tax": (0.0, 0.08),
+    }
+    lo, hi = domains[fcol]
+    v = round(lo + frac * (hi - lo), 4)
+    pred = f"{fcol} {op} {v}"
+    got = {
+        tuple(r)
+        for r in li.where(F.expr(pred))
+        .groupBy(gcol)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(acol), 2).alias("s"),
+            F.min(acol).alias("mn"),
+            F.max(acol).alias("mx"),
+        )
+        .collect()
+    }
+    want = set(
+        map(
+            tuple,
+            duck_li.execute(
+                f"SELECT {gcol}, count(*), round(sum({acol}), 2), "
+                f"min({acol}), max({acol}) FROM lineitem WHERE {pred} GROUP BY 1"
+            ).fetchall(),
+        )
+    )
+    assert got == want, pred
+
+
 @given(st.lists(st.text(st.characters(codec="ascii"), max_size=40), max_size=30))
 @_settings
 def test_string_functions_agree(spark, texts):

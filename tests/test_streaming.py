@@ -81,7 +81,6 @@ def test_parquet_streaming_sink_with_checkpoint(spark, tmp_path):
         q.awaitTermination(120)
 
     run_once()
-    n_events = plans.all_queries()["stream_tumbling"]  # noqa: F841 (doc anchor)
     total = load_table(spark, SF_SMALL, "events").count()
     assert spark.read.parquet(out).count() == total
     run_once()  # same checkpoint: no new input -> no duplicates

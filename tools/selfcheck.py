@@ -9,7 +9,6 @@ Usage:
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 import traceback
