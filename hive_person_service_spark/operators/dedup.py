@@ -8,6 +8,8 @@ bucket sizes -- and only candidates pay the exact-Jaccard verification.
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -31,15 +33,31 @@ def doc_shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id") -> DataFrame
     )
 
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash constants (a, b), a != 0, mod 2^31-1."""
+    rng = random.Random(7)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     shingled: DataFrame, num_perm: int = 32, id_col: str = "doc_id"
 ) -> DataFrame:
-    """MinHash signature per document: sig_j = min over shingles of
-    xxhash64(shingle, seed=j). One pass, one shuffle on id (num_perm
-    aggregate expressions, map-side partial min)."""
+    """MinHash signature per document: one base hash per shingle, then
+    num_perm universal-hash permutations sig_j = min((a_j*h + b_j) mod
+    (2^31-1)) -- 1 hash + num_perm mul-adds per row instead of num_perm
+    full hash calls. All arithmetic stays under 2^62 (ANSI mode on Spark 4
+    makes silent wrap-around an error, so the classic overflow trick is
+    off the table). One pass, one shuffle, map-side partial min."""
+    h = F.pmod(F.xxhash64(F.col("shingle")), F.lit(_MERSENNE_31))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(j))).alias(f"sig_{j}")
-        for j in range(num_perm)
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_31))).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(_perm_constants(num_perm))
     ]
     return shingled.groupBy(id_col).agg(*aggs)
 
@@ -132,6 +150,11 @@ def near_duplicates_minhash(
     the verify join), so it is persisted -- without it Spark re-scans and
     re-shingles the corpus per consumer. At 100 TB the same role is played
     by materializing shingles to a parquet staging table."""
+    # Fan the (narrow) doc rows across all cores before the wide explode --
+    # a single-row-group parquet file otherwise pins shingling to one task.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     shingled = doc_shingles(df, n=shingle_n).persist()
     sigs = minhash_signatures(shingled, num_perm=num_perm)
     cands = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
