@@ -51,11 +51,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c], b[c]
         if av.dtype.kind == "f":
-            eq = (
-                (av.isna() & bv.isna())
-                | (av == bv)
-                | ((av - bv).abs() <= 1e-9 * (1 + bv.abs()))
-            )
+            # Bit-exact on purpose: the in-query rounding discipline
+            # (registry docstring) makes Spark and DuckDB produce identical
+            # doubles -- measured 0 mismatches across all oracles at sf0.01.
+            # A tolerance here would mask regressions the driver's value
+            # hash might not forgive.
+            eq = (av.isna() & bv.isna()) | (av == bv)
         else:
             eq = (av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object))
         bad = (~eq).sum()
