@@ -1,0 +1,201 @@
+"""Second coverage batch: nested structs, bitwise ops, TRY-functions
+(ANSI-safe error handling), extended datetime, TPC-H-style analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import declare
+
+
+@declare(
+    "fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           {'custkey': o_custkey, 'status': o_orderstatus,
+            'price': o_totalprice}.custkey AS s_custkey,
+           {'custkey': o_custkey, 'status': o_orderstatus,
+            'price': o_totalprice}.status AS s_status,
+           {'custkey': o_custkey, 'status': o_orderstatus,
+            'price': o_totalprice}.price * 2 AS s_price2
+    FROM orders
+    """,
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested STRUCT columns (Hive STRUCT<...>): build, carry, field-access
+    -- the oracle is the round-trip identity on each field."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return o.select(
+        "o_orderkey",
+        s["custkey"].alias("s_custkey"),
+        s["status"].alias("s_status"),
+        (s["price"] * 2).alias("s_price2"),
+    )
+
+
+@declare(
+    "fn_bitwise",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS and8,
+           l_orderkey | 15 AS or4,
+           xor(l_orderkey, l_linenumber) AS xorv,
+           CAST(l_linenumber AS BIGINT) << 3 AS shl3,
+           l_orderkey >> 2 AS shr2
+    FROM lineitem
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise expression family: AND/OR/XOR/shifts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k, n = F.col("l_orderkey"), F.col("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("and8"),
+        k.bitwiseOR(F.lit(15)).alias("or4"),
+        k.bitwiseXOR(n.cast("long")).alias("xorv"),
+        F.shiftleft(n.cast("long"), 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+    )
+
+
+@declare(
+    "fn_try",
+    oracle="""
+    SELECT doc_id,
+           try_cast(substr(text, 1, 3) AS BIGINT) AS bad_int,
+           try_cast(CAST(n_chars AS VARCHAR) AS BIGINT) AS good_int,
+           n_chars / nullif(CAST(doc_id % 3 AS BIGINT), 0) AS guarded_div
+    FROM documents
+    """,
+)
+def fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: try_cast returns NULL instead of raising
+    (Spark 4 runs ANSI mode by default -- plain CAST('abc' AS INT) throws);
+    try_divide guards division by zero the same way DuckDB's
+    x / nullif(y, 0) does."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.try_to_number(F.substring("text", 1, 3), F.lit("999"))
+        .cast("long")
+        .alias("bad_int"),
+        F.col("n_chars").cast("string").try_cast("long").alias("good_int"),
+        F.try_divide(F.col("n_chars"), (F.col("doc_id") % 3).cast("long")).alias(
+            "guarded_div"
+        ),
+    )
+
+
+@declare(
+    "fn_datetime2",
+    oracle="""
+    SELECT o_orderkey,
+           dayname(CAST(o_orderdate AS DATE)) AS day_name,
+           monthname(CAST(o_orderdate AS DATE)) AS month_name,
+           CAST(week(CAST(o_orderdate AS DATE)) AS BIGINT) AS iso_week,
+           strftime(make_date(CAST(year(o_orderdate) AS INTEGER), 1, 1),
+                    '%Y-%m-%d') AS year_start
+    FROM orders
+    """,
+)
+def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended datetime family: day/month names, ISO week, make_date."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "EEEE").alias("day_name"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_format(
+            F.make_date(F.year(d), F.lit(1), F.lit(1)), "yyyy-MM-dd"
+        ).alias("year_start"),
+    )
+
+
+@declare(
+    "sql_tpch_q3",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to the fixture columns:
+    segment-filtered 3-table join, grouped revenue, deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@declare(
+    "sql_tpch_q6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate;
+    every predicate pushes to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
