@@ -31,9 +31,16 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + page cache (BASELINE.md methodology).
+    # Warm the JVM + page cache (BASELINE.md methodology), and the Python
+    # worker pool (first pandas-UDF call otherwise pays ~5s of fork+Arrow
+    # startup inside whichever query touches Python first).
     for t in ("lineitem", "orders", "events"):
         load_table(spark, sf_dir, t).count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    _noop = F.pandas_udf(lambda s: s, LongType())
+    spark.range(256).repartition(64).select(_noop("id")).count()
 
     qs = plans.all_queries()
     headline = {

@@ -123,6 +123,25 @@ def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare("stat_sketches", oracle=None)  # rows-only: sketch/sample-based
+def stat_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame stat sketches: frequent-items (misra-gries style) and
+    seeded stratified sampling -- the quick-profiling surface a pipeline
+    uses before committing to a full scan. pytest checks the frequent set
+    contains the true heavy hitters and strata are within bounds."""
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.stat.freqItems(["event_type"], support=0.1)
+    strata = ev.sampleBy(
+        "event_type", {"click": 0.5, "purchase": 0.1}, seed=42
+    ).groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+    f = freq.select(
+        F.array_join(
+            F.sort_array(F.col("event_type_freqItems")), ","
+        ).alias("frequent_event_types")
+    )
+    return strata.crossJoin(F.broadcast(f))
+
+
 @declare(
     "sql_tpch_q3",
     oracle="""

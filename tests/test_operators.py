@@ -180,6 +180,20 @@ def test_sample_rows_deterministic(spark):
     assert 0.05 * n_total < len(a) < 0.15 * n_total  # ~10% Bernoulli
 
 
+def test_stat_sketches_sane(spark):
+    from hive_person_service_spark import plans
+
+    rows = plans.all_queries()["stat_sketches"](spark, SF_SMALL).collect()
+    # all 5 event types are ~uniform (>10% support) -> all are frequent
+    freq = set(rows[0].frequent_event_types.split(","))
+    assert {"click", "error", "purchase", "signup", "view"} <= freq
+    sampled = {r.event_type: r.n_sampled for r in rows}
+    ev = load_table(spark, SF_SMALL, "events")
+    n_click = ev.where(F.col("event_type") == "click").count()
+    assert 0.3 * n_click < sampled.get("click", 0) < 0.7 * n_click
+    assert set(sampled) <= {"click", "purchase"}
+
+
 def test_spark_hashes_deterministic(spark):
     from hive_person_service_spark import plans
 
