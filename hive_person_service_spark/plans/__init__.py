@@ -22,3 +22,4 @@ from . import udfs  # noqa: F401,E402  (§2.K)
 from . import sql_surface  # noqa: F401,E402  (§3.1 SQL entry + subqueries)
 from . import extras  # noqa: F401,E402  (pivot, null-safe join, long tail)
 from . import extras2  # noqa: F401,E402  (structs, bitwise, try, tpch-style)
+from . import arrays  # noqa: F401,E402  (explode_outer, higher-order, sequence)
