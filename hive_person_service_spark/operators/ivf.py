@@ -29,8 +29,10 @@ def build_ivf(
     """Assign every vector to an IVF cell. Returns (assigned, centroids):
     assigned = emb columns + ``cell``; centroids = (nlist, dim) ndarray."""
     feat = emb.withColumn("__features", array_to_vector(to_double_array("embedding")))
+    # maxIter=8: cell quality plateaus early for ANN partitioning (cells
+    # only gate candidate generation; exact scoring happens in-cell).
     model = KMeans(
-        k=nlist, seed=seed, featuresCol="__features", predictionCol="cell"
+        k=nlist, seed=seed, maxIter=8, featuresCol="__features", predictionCol="cell"
     ).fit(feat)
     assigned = model.transform(feat).drop("__features")
     centroids = np.array(model.clusterCenters(), dtype=np.float64)
