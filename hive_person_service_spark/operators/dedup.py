@@ -161,6 +161,53 @@ def near_duplicates_minhash(
     return verify_jaccard(cands, shingled).where(F.col("jaccard") >= threshold)
 
 
+def near_duplicates_incremental(
+    new_docs: DataFrame,
+    corpus_shingled: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Continuous-ingest near-dup: check NEW documents against an EXISTING
+    corpus without re-hashing the corpus. ``corpus_shingled`` is the stored
+    (id, shingle) relation (at 100 TB: a parquet staging table maintained
+    by the ingest pipeline; signatures/bands derive from it once per batch).
+
+    Returns (id_a=corpus doc, id_b=new doc) pairs over the threshold. The
+    corpus side is touched only through band-bucket joins + candidate
+    verification -- cost scales with the new batch, not the corpus.
+    """
+    new_shingled = doc_shingles(new_docs, n=shingle_n).persist()
+    new_sigs = minhash_signatures(new_shingled, num_perm=num_perm)
+    corpus_sigs = minhash_signatures(corpus_shingled, num_perm=num_perm)
+
+    def banded(sigs: DataFrame, out_id: str) -> DataFrame:
+        rows_per_band = num_perm // bands
+        cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+        return sigs.select(
+            F.col("doc_id").alias(out_id), F.explode(F.array(*cols)).alias("band")
+        ).select(out_id, "band.band_id", "band.band_hash")
+
+    cands = (
+        banded(corpus_sigs, "id_a")
+        .join(banded(new_sigs, "id_b"), ["band_id", "band_hash"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    both = corpus_shingled.unionByName(new_shingled)
+    return verify_jaccard(cands, both).where(F.col("jaccard") >= threshold)
+
+
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document over distinct tokens, emitted as two
     32-bit halves (simhash_lo = bits 0..31, simhash_hi = bits 32..63) to
