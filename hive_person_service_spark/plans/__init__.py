@@ -23,3 +23,4 @@ from . import sql_surface  # noqa: F401,E402  (§3.1 SQL entry + subqueries)
 from . import extras  # noqa: F401,E402  (pivot, null-safe join, long tail)
 from . import extras2  # noqa: F401,E402  (structs, bitwise, try, tpch-style)
 from . import arrays  # noqa: F401,E402  (explode_outer, higher-order, sequence)
+from . import analytics  # noqa: F401,E402  (funnel, retention composites)
