@@ -1,0 +1,58 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+Sorting a table by interleaved bits of several columns co-locates rows
+close in ALL those dimensions into the same files/row groups, so min/max
+row-group stats prune scans filtered on ANY of the dimensions -- the same
+technique behind Delta OPTIMIZE ZORDER BY. Pure expression code (bit
+shifts), no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _rank_normalize(df: DataFrame, col: str, bits: int) -> Column:
+    """Map a column to [0, 2^bits) by percent_rank -- Z-order needs bounded
+    uniform-ish integer coordinates regardless of the value distribution."""
+    from pyspark.sql import Window
+
+    pr = F.percent_rank().over(Window.orderBy(F.col(col)))
+    return F.least(
+        F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1)
+    )
+
+
+def zorder_key(coords: Sequence[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each coordinate into one Morton
+    key (for k coords the key uses k*bits bits; keep k*bits <= 62)."""
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(coords):
+            bit = F.shiftright(c, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * len(coords) + i))
+    return key
+
+
+def zorder_write(
+    df: DataFrame, path: str, cols: Sequence[str], bits: int = 10, n_files: int = 8
+) -> None:
+    """Write ``df`` Z-ordered on ``cols``: rank-normalize, Morton-interleave,
+    range-partition by the key, sort inside files. Filters on any of
+    ``cols`` then skip most row groups via parquet min/max stats.
+
+    Note: rank normalization uses a global window (one pass); at 100 TB
+    swap in approxQuantile-based binning to avoid the single-partition
+    rank -- the key construction is unchanged."""
+    coords = [_rank_normalize(df, c, bits) for c in cols]
+    keyed = df.withColumn("__z", zorder_key(coords, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

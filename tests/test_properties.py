@@ -113,6 +113,40 @@ def test_random_groupby_agg_agree(li, duck_li, gcol, acol, fcol, op, frac):
     assert got == want, pred
 
 
+@given(
+    pcol=st.sampled_from(["l_returnflag", "l_linestatus", "l_suppkey"]),
+    ocol=st.sampled_from(NUM_COLS),
+    desc=st.booleans(),
+    k=st.integers(1, 5),
+)
+@_settings
+def test_random_window_topk_agree(li, duck_li, pcol, ocol, desc, k):
+    """Random top-k-per-group windows agree with DuckDB (unique tie-break
+    on (l_orderkey, l_linenumber) keeps both engines deterministic)."""
+    direction = "DESC" if desc else "ASC"
+    sql = f"""
+      SELECT {pcol}, l_orderkey, l_linenumber FROM (
+        SELECT {pcol}, l_orderkey, l_linenumber,
+               row_number() OVER (PARTITION BY {pcol}
+                 ORDER BY {ocol} {direction}, l_orderkey, l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= {k}
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ocol).desc() if desc else F.col(ocol).asc(),
+             "l_orderkey", "l_linenumber"]
+    w = Window.partitionBy(pcol).orderBy(*order)
+    got = {
+        tuple(r)
+        for r in li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(pcol, "l_orderkey", "l_linenumber")
+        .collect()
+    }
+    want = set(map(tuple, duck_li.execute(sql).fetchall()))
+    assert got == want
+
+
 @given(st.lists(st.text(st.characters(codec="ascii"), max_size=40), max_size=30))
 @_settings
 def test_string_functions_agree(spark, texts):
