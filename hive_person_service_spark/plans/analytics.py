@@ -72,6 +72,112 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "events_densify",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events WHERE user_id < 30 GROUP BY user_id),
+    days AS (
+      SELECT user_id,
+             unnest([d0 + CAST(i AS INTEGER)
+                     FOR i IN range(0, date_diff('day', d0, d1) + 1)]) AS day
+      FROM bounds),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+             ROUND(SUM(value), 4) AS total
+      FROM events WHERE user_id < 30 GROUP BY 1, 2)
+    SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+           coalesce(daily.n, 0) AS n,
+           coalesce(daily.total, 0.0) AS total
+    FROM days d LEFT JOIN daily ON d.user_id = daily.user_id AND d.day = daily.day
+    """,
+)
+def events_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap filling): every calendar day in each
+    user's active range, zero-filled where no events -- sequence() explode +
+    left join, the standard pre-step for rolling metrics over sparse
+    activity."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    bounds = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    return (
+        days.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+    )
+
+
+@declare(
+    "text_stopword_filter",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(str_split(text, ' ')) AS token FROM documents)
+    WHERE token NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'on')
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 50
+    """,
+)
+def text_stopword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-filtered term frequencies: the stopword set ships to every
+    task as a broadcast literal IN-list (at real vocabulary sizes: a
+    broadcast left-anti join against a stopword table -- same plan shape)."""
+    stopwords = ["the", "a", "of", "and", "to", "in", "is", "on"]
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .where(~F.col("token").isin(stopwords))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(50)
+    )
+
+
+@declare(
+    "subquery_scalar_correlated",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey)
+             AS max_order
+    FROM customer WHERE c_custkey < 500
+    """,
+)
+def subquery_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: Catalyst decorrelates it into a left
+    outer join against the per-key aggregate (RewriteCorrelatedScalarSubquery)."""
+    import uuid as _uuid
+
+    c = f"cust_{_uuid.uuid4().hex[:10]}"
+    o = f"ord_{_uuid.uuid4().hex[:10]}"
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(c)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(o)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name,
+               (SELECT MAX(o_totalprice) FROM {o} WHERE o_custkey = c_custkey)
+                 AS max_order
+        FROM {c} WHERE c_custkey < 500
+        """
+    )
+
+
+@declare(
     "events_retention",
     oracle="""
     WITH active AS (SELECT DISTINCT user_id,
