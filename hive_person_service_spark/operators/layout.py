@@ -37,17 +37,37 @@ def zorder_key(coords: Sequence[Column], bits: int = 16) -> Column:
     return key
 
 
-def zorder_write(
-    df: DataFrame, path: str, cols: Sequence[str], bits: int = 10, n_files: int = 8
-) -> None:
-    """Write ``df`` Z-ordered on ``cols``: rank-normalize, Morton-interleave,
-    range-partition by the key, sort inside files. Filters on any of
-    ``cols`` then skip most row groups via parquet min/max stats.
+def _quantile_normalize(df: DataFrame, col: str, bits: int) -> Column:
+    """Map a column to [0, 2^bits) by approximate quantile bins: no global
+    window (the scale path). The cut array is a broadcast literal; the
+    coordinate is how many cuts lie at or below the value (vectorized
+    filter/size over the literal array inside codegen)."""
+    n_bins = 1 << bits
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.stat.approxQuantile(col, probs, 0.001)
+    cut_arr = F.array(*[F.lit(float(c)) for c in cuts])
+    x = F.col(col).cast("double")
+    return F.size(F.filter(cut_arr, lambda c: c <= x)).cast("long")
 
-    Note: rank normalization uses a global window (one pass); at 100 TB
-    swap in approxQuantile-based binning to avoid the single-partition
-    rank -- the key construction is unchanged."""
-    coords = [_rank_normalize(df, c, bits) for c in cols]
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 10,
+    n_files: int = 8,
+    mode: str = "rank",
+) -> None:
+    """Write ``df`` Z-ordered on ``cols``: normalize each column to integer
+    coordinates, Morton-interleave, range-partition by the key, sort inside
+    files. Filters on any of ``cols`` then skip most row groups via parquet
+    min/max stats.
+
+    mode='rank': exact percent_rank (global window -- fine to ~1e8 rows).
+    mode='quantile': approxQuantile bins (no global window; the 100 TB
+    path; use bits <= 8 so the literal cut arrays stay small)."""
+    norm = _rank_normalize if mode == "rank" else _quantile_normalize
+    coords = [norm(df, c, bits) for c in cols]
     keyed = df.withColumn("__z", zorder_key(coords, bits))
     (
         keyed.repartitionByRange(n_files, "__z")
