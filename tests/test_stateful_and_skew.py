@@ -40,6 +40,42 @@ def test_stateful_totals_converge_to_batch(spark):
         assert abs(final[u][1] - total) < 1e-6
 
 
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas needs the protobuf runtime "
+    "(broken in this container); stateful.py covers the semantics",
+)
+def test_stateful_v2_totals_converge_to_batch(spark):
+    from hive_person_service_spark.streaming.stateful_v2 import (
+        running_user_totals_v2,
+    )
+
+    stream = read_events_stream(spark, SF_SMALL)
+    got = run_to_memory_sink(running_user_totals_v2(stream), spark, "update")
+    agg = {r.user_id: r.n for r in got.groupBy("user_id")
+           .agg(F.max("n_events").alias("n")).collect()}
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert agg == want
+
+
 def test_salted_join_equals_plain_join(spark):
     li = load_table(spark, SF_SMALL, "lineitem")
     o = load_table(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
