@@ -39,6 +39,35 @@ def build_ivf(
     return assigned, centroids
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    root: str,
+    nlist: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF index: vectors written partitioned by cell
+    (``root/vectors/cell=N/``) + centroids as JSON. A probe then reads ONLY
+    the nprobe cell directories -- partition pruning does the index lookup,
+    so probe IO is ~nprobe/nlist of the corpus at any scale."""
+    import json
+    from pathlib import Path
+
+    assigned, centroids = build_ivf(emb, nlist=nlist, seed=seed, id_col=id_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{root}/vectors")
+    Path(root, "centroids.json").write_text(json.dumps(centroids.tolist()))
+
+
+def read_ivf_index(spark, root: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a persisted IVF index: (partitioned vectors DF, centroids)."""
+    import json
+    from pathlib import Path
+
+    vectors = spark.read.parquet(f"{root}/vectors")
+    centroids = np.array(json.loads(Path(root, "centroids.json").read_text()))
+    return vectors, centroids
+
+
 def ivf_topk(
     assigned: DataFrame,
     centroids: np.ndarray,

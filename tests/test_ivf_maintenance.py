@@ -39,6 +39,35 @@ def test_ivf_recall_vs_exact(spark):
     assert full == exact
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    from hive_person_service_spark.operators.ivf import (
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    root = str(tmp_path / "ivf")
+    write_ivf_index(emb, root, nlist=16)
+    vectors, centroids = read_ivf_index(spark, root)
+    assert vectors.count() == emb.count()
+
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).collect()[0].embedding, dtype=np.float64
+    )
+    probe = ivf_topk(vectors.where(F.col("vec_id") != 0), centroids, qv,
+                     k=10, nprobe=4)
+    plan = probe._sc._jvm.PythonSQLUtils.explainString(
+        probe._jdf.queryExecution(), "formatted"
+    )
+    # the cell IN-list must prune at the directory level
+    assert "PartitionFilters: [cell" in plan.replace("isnotnull(cell#", "x"), plan
+
+    # persisted probe == in-memory probe (same cells, same scores)
+    assigned, cent2 = build_ivf(emb, nlist=16)
+    mem = ivf_topk(assigned.where(F.col("vec_id") != 0), cent2, qv, k=10, nprobe=4)
+    assert [tuple(r) for r in probe.collect()] == [tuple(r) for r in mem.collect()]
+
+
 def test_merge_upsert(spark, tmp_path):
     target = str(tmp_path / "t")
     base = spark.createDataFrame(
