@@ -123,6 +123,32 @@ def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "agg_bool_bit",
+    oracle="""
+    SELECT l_returnflag,
+           bool_and(l_quantity > 0) AS all_qty_pos,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           bit_and(l_linenumber) AS lines_and,
+           bit_or(l_linenumber) AS lines_or,
+           bit_xor(CAST(l_orderkey AS BIGINT)) AS keys_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean + bitwise aggregate family (bool_and/bool_or/bit_and/
+    bit_or/bit_xor) -- order-insensitive by construction, so no rounding
+    discipline needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_qty_pos"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.expr("bit_and(l_linenumber)").alias("lines_and"),
+        F.expr("bit_or(l_linenumber)").alias("lines_or"),
+        F.expr("bit_xor(CAST(l_orderkey AS BIGINT))").alias("keys_xor"),
+    )
+
+
 @declare("stat_sketches", oracle=None)  # rows-only: sketch/sample-based
 def stat_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame stat sketches: frequent-items (misra-gries style) and
