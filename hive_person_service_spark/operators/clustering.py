@@ -1,0 +1,85 @@
+"""Connected components over near-duplicate pairs -> dedup groups.
+
+A dedup pipeline ends with GROUPS, not pairs: if A~B and B~C, all three
+form one cluster and one canonical representative survives. This is
+small-diameter connected components via iterative minimum-label
+propagation -- each round, every node adopts the smallest id reachable in
+one hop; near-dup clusters are tiny (duplicates of one document), so
+convergence takes O(cluster diameter) rounds, not O(graph size).
+
+Scale: each round is one groupBy over the edge list (shuffle on node id).
+The edge list is the LSH output -- already bounded by candidate
+generation. localCheckpoint() per round truncates the lineage so 10
+rounds don't build a 10-deep recursive plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 10,
+) -> DataFrame:
+    """(node, component) for every node in the pair list; component = the
+    smallest node id in its connected component. Raises if not converged
+    within max_iterations (a near-dup graph that deep means the threshold
+    is too loose, not that more iterations are needed)."""
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("comp"))
+        .select(F.col("a").alias("node"), "comp")
+    )
+    for _ in range(max_iterations):
+        # every node adopts min(own label, neighbors' labels)
+        neighbor_labels = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .select(edges["a"].alias("node"), F.col("comp"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def dedup_groups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse near-dup pairs into groups: every doc mapped to its
+    canonical (smallest-id) representative; docs in no pair map to
+    themselves. ``keep = (doc_id == canon)`` marks survivors."""
+    comp = connected_components(pairs)
+    return (
+        docs.join(comp, docs[id_col] == comp["node"], "left")
+        .select(
+            docs[id_col],
+            F.coalesce(F.col("comp"), docs[id_col]).alias("canon"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("canon"))
+    )

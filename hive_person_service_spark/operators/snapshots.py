@@ -75,3 +75,14 @@ class SnapshotTable:
 
     def history(self) -> list[dict]:
         return self._manifest()["versions"]
+
+    def diff(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed between two snapshots: full rows tagged
+        'added' (in v_to only) or 'removed' (in v_from only) -- bag
+        semantics via exceptAll, so duplicate-count changes surface too."""
+        from pyspark.sql import functions as F
+
+        old, new = self.read(v_from), self.read(v_to)
+        added = new.exceptAll(old).withColumn("__change", F.lit("added"))
+        removed = old.exceptAll(new).withColumn("__change", F.lit("removed"))
+        return added.unionByName(removed)
