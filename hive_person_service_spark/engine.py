@@ -76,6 +76,19 @@ class Engine:
     def near_duplicates(self, docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         return near_duplicates_minhash(docs, threshold=threshold)
 
+    def dedup_clusters(self, docs: DataFrame, threshold: float = 0.9) -> DataFrame:
+        """(doc_id, canon, keep): near-dup pairs collapsed to groups."""
+        from .operators.clustering import dedup_groups
+
+        pairs = near_duplicates_minhash(docs, threshold=threshold)
+        return dedup_groups(docs.select("doc_id"), pairs)
+
+    def split(self, df: DataFrame, id_col: str, fractions, seed: int = 42):
+        """Reproducible hash-bucket train/val/test splits."""
+        from .operators.splits import hash_split
+
+        return hash_split(df, id_col, fractions, seed=seed)
+
     def topk_similar(
         self, query_vec: Sequence[float], k: int = 10, nlist: int = 16, nprobe: int = 8
     ) -> DataFrame:

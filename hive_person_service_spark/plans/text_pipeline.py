@@ -96,6 +96,33 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates_minhash(d, threshold=0.7)
 
 
+@declare("dedup_cluster", oracle=None)  # rows-only: LSH + iterative CC
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: MinHash-LSH pairs -> connected components ->
+    (doc_id, canon, keep). The full pipeline a training-data run executes;
+    group purity is pytest-verified on the real sf0.1 duplicates."""
+    from ..operators.clustering import dedup_groups
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = near_duplicates_minhash(d, threshold=0.9)
+    return dedup_groups(d.select("doc_id"), pairs)
+
+
+@declare("dataset_split", oracle=None)  # rows-only: Spark-hash based
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment per document (hash-bucket
+    split; reproducibility and disjointness pytest-pinned)."""
+    from ..operators.splits import hash_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    splits = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = None
+    for name, df in splits.items():
+        tagged = df.select("doc_id", F.lit(name).alias("split"))
+        out = tagged if out is None else out.unionByName(tagged)
+    return out
+
+
 @declare("dedup_simhash", oracle=None)  # rows-only: verified by pytest
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash signatures per document (two 32-bit halves).
