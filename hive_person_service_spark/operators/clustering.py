@@ -74,6 +74,12 @@ def dedup_groups(
     """Collapse near-dup pairs into groups: every doc mapped to its
     canonical (smallest-id) representative; docs in no pair map to
     themselves. ``keep = (doc_id == canon)`` marks survivors."""
+    if pairs.limit(1).count() == 0:
+        # no near-dups at all (the common case on clean corpora): skip the
+        # iterative propagation entirely
+        return docs.select(
+            docs[id_col], docs[id_col].alias("canon")
+        ).withColumn("keep", F.lit(True))
     comp = connected_components(pairs)
     return (
         docs.join(comp, docs[id_col] == comp["node"], "left")
