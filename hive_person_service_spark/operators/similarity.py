@@ -81,6 +81,45 @@ def exact_topk_pairs_blockwise(
     return local.orderBy(F.col("cos").desc(), "a_id", "b_id").limit(k)
 
 
+def cosine_pairs_blockwise(
+    spark: SparkSession,
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs (a < b) with round(cos, 6) >= threshold -- blockwise exact.
+
+    Same regime as exact_topk_pairs_blockwise: the corpus matrix is broadcast
+    and each partition does one numpy matmul for its block row-stripe, so the
+    N^2 dot products never materialize as rows -- only the (sparse) pairs
+    above threshold are emitted. Replaces the non-equi-join formulation,
+    whose zip_with/aggregate expression is evaluated per pair (~50x slower).
+    At corpus sizes past broadcast reach, tile the right side or drop to the
+    LSH tier (ann_pairs_lsh).
+    """
+    rows = emb.select(id_col, "embedding").collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            block = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = np.round(block @ all_mat.T, 6)  # (rows_in_block, N)
+            keep = (sims >= threshold) & (all_ids[None, :] > block_ids[:, None])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"a_id": block_ids[r], "b_id": all_ids[c], "cos": sims[r, c]}
+            )
+
+    return emb.select(id_col, "embedding").mapInPandas(block_pairs, _PAIR_SCHEMA)
+
+
 def knn_join_exact(
     anchors: DataFrame, corpus: DataFrame, k: int, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -87,21 +87,21 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+                                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
     """,
 )
 def emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos >= 0.8), exact all-pairs
-    form (oracle-checkable). sim_ann_pairs is the bucketed scale path."""
+    """Embedding-cosine near-dup candidate pairs (cos >= 0.45 -- the top
+    ~1e-4 quantile of this corpus, whose max off-diagonal cosine is ~0.6; a
+    corpus with verbatim dups would threshold at 0.9+), exact all-pairs
+    form (oracle-checkable) via the blockwise matmul operator -- one numpy
+    matmul per partition against the broadcast corpus instead of a non-equi
+    join evaluating the dot-product expression per pair. sim_ann_pairs is
+    the bucketed path once the corpus outgrows broadcast."""
+    from ..operators.similarity import cosine_pairs_blockwise
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a_id"), to_double_array("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b_id"), to_double_array("embedding").alias("vb"))
-    cos = F.round(cosine_expr(F.col("va"), F.col("vb")), 6)
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", cos.alias("cos"))
-        .where(F.col("cos") >= 0.8)
-    )
+    return cosine_pairs_blockwise(spark, emb, threshold=0.45)
 
 
 @declare("sim_ann_pairs", oracle=None)  # rows-only: LSH bucketing is Spark-side

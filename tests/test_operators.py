@@ -107,6 +107,26 @@ def test_blockwise_topk_matches_expression_join(spark):
     assert fast_rows == naive_rows
 
 
+def test_blockwise_pairs_match_expression_join(spark):
+    from hive_person_service_spark.operators.similarity import (
+        cosine_pairs_blockwise,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    fast = cosine_pairs_blockwise(spark, emb, threshold=0.4)
+    a = emb.select(F.col("vec_id").alias("a_id"), to_double_array("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b_id"), to_double_array("embedding").alias("vb"))
+    naive = (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .where(F.col("cos") >= 0.4)
+    )
+    fast_rows = sorted((r.a_id, r.b_id, r.cos) for r in fast.collect())
+    naive_rows = sorted((r.a_id, r.b_id, r.cos) for r in naive.collect())
+    assert fast_rows == naive_rows
+    assert len(fast_rows) > 0  # threshold picked to select real pairs
+
+
 def test_ann_lsh_pairs_are_exact_subset(spark):
     emb = load_table(spark, SF_SMALL, "embeddings")
     ann = ann_pairs_lsh(emb, threshold=0.6, n_planes=12)
