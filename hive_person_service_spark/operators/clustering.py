@@ -73,14 +73,23 @@ def dedup_groups(
 ) -> DataFrame:
     """Collapse near-dup pairs into groups: every doc mapped to its
     canonical (smallest-id) representative; docs in no pair map to
-    themselves. ``keep = (doc_id == canon)`` marks survivors."""
+    themselves. ``keep = (doc_id == canon)`` marks survivors.
+
+    ``pairs`` is persisted here: it is an expensive pipeline (typically
+    LSH candidate generation) that would otherwise be recomputed by the
+    emptiness probe AND by both branches of the edge-list union."""
+    pairs = pairs.persist()
     if pairs.limit(1).count() == 0:
         # no near-dups at all (the common case on clean corpora): skip the
         # iterative propagation entirely
+        pairs.unpersist()
         return docs.select(
             docs[id_col], docs[id_col].alias("canon")
         ).withColumn("keep", F.lit(True))
     comp = connected_components(pairs)
+    # comp's final labels were localCheckpoint()ed inside the loop, so the
+    # returned plan no longer references pairs
+    pairs.unpersist()
     return (
         docs.join(comp, docs[id_col] == comp["node"], "left")
         .select(
