@@ -1,0 +1,152 @@
+"""Product quantization (PQ) for memory-bound vector corpora (SURVEY.md
+§2.J similarity-search scale path; Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011 -- listed in PAPERS.md lineage of ANN
+methods).
+
+Why: at 100 TB an embedding corpus doesn't fit executor memory as floats.
+PQ stores each vector as m byte codes (64-dim float32 = 256 B -> m=8 B,
+32x), and queries score codes without decompressing: the query builds an
+(m x ksub) table of per-subspace dot products once, and each vector's
+approximate dot product is m table lookups.
+
+Spark shape:
+  * train -- driver-side seeded Lloyd's on a bounded sample (codebooks are
+    tiny: m * ksub * dim/m doubles); broadcast to executors by closure;
+  * encode -- Arrow-batched pandas UDF, one vectorized argmin per subspace
+    per batch; output column is array<tinyint> (ksub <= 256);
+  * search (ADC) -- mapInPandas: numpy fancy-indexing over the broadcast
+    lookup table, top-k per partition would be a refinement; the global
+    orderBy carries only (id, score).
+
+The ADC identity score(q, code) == dot(q, decode(code)) is exact (not an
+estimate of itself), so tests pin it to the reconstruction dot product;
+recall vs exact search is pinned empirically on the fixtures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    ByteType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Seeded Lloyd's k-means (numpy, deterministic). x: (n, d) -> (k, d)."""
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=k, replace=len(x) < k)].copy()
+    for _ in range(iters):
+        # (n, k) squared distances via ||x||^2 - 2 x.c + ||c||^2 (monotone
+        # equivalent: argmin over -2 x.c + ||c||^2)
+        d2 = -2.0 * (x @ cent.T) + (cent * cent).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = x[mask].mean(axis=0)
+    return cent
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    max_sample: int = 10_000,
+) -> np.ndarray:
+    """Train PQ codebooks on a bounded sample (the first max_sample rows in
+    scan order -- deterministic on a fixed file layout; codebook quality is
+    insensitive to which bounded sample it sees).
+
+    Returns (m, ksub, dsub) codebooks. ksub <= 128 (codes are stored as
+    signed bytes)."""
+    if ksub > 128:
+        raise ValueError("ksub > 128 does not fit a signed byte code")
+    rows = emb.select("embedding").limit(max_sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            _lloyd(x[:, j * dsub : (j + 1) * dsub], ksub, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def encode_pq(
+    emb: DataFrame, codebooks: np.ndarray, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, codes array<tinyint>): each vector's per-subspace nearest
+    codeword. Vectorized per Arrow batch; codebooks ride in the closure."""
+    m, ksub, dsub = codebooks.shape
+    cb = codebooks  # captured; small (m * ksub * dsub doubles)
+
+    @F.pandas_udf(ArrayType(ByteType()))
+    def codes(col: pd.Series) -> pd.Series:
+        x = np.array(list(col), dtype=np.float64)  # (n, dim)
+        out = np.empty((len(x), m), dtype=np.int8)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = -2.0 * (sub @ cb[j].T) + (cb[j] * cb[j]).sum(axis=1)[None, :]
+            out[:, j] = d2.argmin(axis=1).astype(np.int8)
+        return pd.Series(list(out))
+
+    return emb.select(id_col, codes("embedding").alias("codes"))
+
+
+def decode_pq(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Reconstruct (n, dim) vectors from (n, m) codes -- test/refine helper."""
+    m = codebooks.shape[0]
+    return np.concatenate(
+        [codebooks[j][codes[:, j]] for j in range(m)], axis=1
+    )
+
+
+_SCORE_SCHEMA = StructType(
+    [StructField("vec_id", LongType()), StructField("score", DoubleType())]
+)
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by ADC approximate dot product. The lookup table is built once
+    driver-side ((m, ksub) doubles) and applied with one fancy-index per
+    batch; only (id, score) rows reach the final top-k."""
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    lut = np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )  # (m, ksub)
+    j_idx = np.arange(m)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            s = lut[j_idx[None, :], c].sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col], "score": np.round(s, 6)})
+
+    return (
+        encoded.mapInPandas(score, _SCORE_SCHEMA)
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )

@@ -132,6 +132,26 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare("sim_pq_topk", oracle=None)  # rows-only: quantized scores
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized top-10 neighbors of vec_id 0 (operators/pq.py):
+    vectors compressed to 8 byte-codes, scored via ADC lookup tables --
+    the memory-bound regime where the float corpus can't be resident.
+    pytest pins the ADC identity (score == dot with the reconstruction)
+    and candidate recall vs the exact query."""
+    import numpy as np
+
+    from ..operators.pq import encode_pq, pq_topk, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebooks = train_pq(emb, m=8, ksub=16, seed=42)
+    encoded = encode_pq(emb.where(F.col("vec_id") != 0), codebooks)
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
+    )
+    return pq_topk(encoded, codebooks, qv, k=10)
+
+
 @declare(
     "multimodal_blob",
     oracle="""

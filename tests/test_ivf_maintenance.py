@@ -98,3 +98,39 @@ def test_compact_parquet(spark, tmp_path):
     n_after = len(list(pathlib.Path(path).glob("*.parquet")))
     assert n_after == n_files < n_before
     assert spark.read.parquet(path).count() == before
+
+
+def test_pq_adc_identity_and_recall(spark):
+    """ADC lookup-table scores must EQUAL dot(q, reconstruction) (identity,
+    not approximation), and the quantized candidate set must cover most of
+    the exact top-10 (seeded training + fixed scan order => deterministic)."""
+    from hive_person_service_spark.operators.pq import (
+        decode_pq,
+        encode_pq,
+        pq_topk,
+        train_pq,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    cb = train_pq(emb, m=8, ksub=16, seed=42)
+    assert cb.shape == (8, 16, 8)
+    enc = encode_pq(emb, cb)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    q = mat[ids == 0][0]
+
+    crows = enc.collect()
+    codes = np.array([r["codes"] for r in crows], dtype=np.int64)
+    rec = decode_pq(codes, cb)
+    lut = np.stack([cb[j] @ q[j * 8 : (j + 1) * 8] for j in range(8)])
+    adc = lut[np.arange(8)[None, :], codes].sum(axis=1)
+    assert np.abs(adc - rec @ q).max() < 1e-9
+
+    exact = set(ids[ids != 0][np.argsort(-(mat[ids != 0] @ q))[:10]])
+    cand = {
+        r["vec_id"]
+        for r in pq_topk(enc.where(F.col("vec_id") != 0), cb, q, k=50).collect()
+    }
+    assert len(exact & cand) >= 6  # measured 7/10 recall@50 on the fixture
