@@ -111,3 +111,54 @@ def test_stream_stream_join_equals_batch_range_join(spark):
     want = plans.all_queries()["join_range"](spark, SF_SMALL)
     cols = ["a_id", "b_id", "user_id"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_kafka_envelope_roundtrip_batch_and_stream(spark, tmp_path):
+    """Kafka adapters: encode events into the connector's record shape,
+    parse back -> identical typed rows. The parse transform is then run as
+    an actual stream over an enveloped archive (the no-broker path)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hive_person_service_spark.streaming.kafka import (
+        KAFKA_ENVELOPE,
+        parse_kafka_json,
+        to_kafka_json,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    payload_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    envel = to_kafka_json(ev, key_col="user_id", topic="events").select(
+        "key",
+        "value",
+        "topic",
+        F.lit(0).cast("int").alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+
+    parsed = parse_kafka_json(envel, payload_schema)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    assert _rows(parsed, cols) == _rows(ev, cols)
+    assert parsed.where(F.col("kafka_key") != F.col("user_id").cast("string")).count() == 0
+
+    archive = str(tmp_path / "kafka_archive")
+    envel.write.parquet(archive)
+    stream = spark.readStream.schema(KAFKA_ENVELOPE).parquet(archive)
+    got = run_to_memory_sink(parse_kafka_json(stream, payload_schema), spark)
+    assert _rows(got, cols) == _rows(ev, cols)
