@@ -18,10 +18,23 @@ from ..sources import load_table
 from .registry import declare
 
 
+def _money_sum(term=None):
+    """Accumulation-order-proof money sum: round each term to cents
+    (bit-identical per row across engines -- IEEE products of identical
+    doubles), sum EXACTLY as DECIMAL, surface as DOUBLE. Plain
+    round(sum(double), 2) flakes when a sum lands on a half-cent boundary
+    (observed at sf0.001: 261471.225 rounding both ways)."""
+    if term is None:
+        term = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return F.sum(F.round(term, 2).cast("decimal(18,2)")).cast("double")
+
+
 @declare(
     "sql_tpch_q5",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 2)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -58,11 +71,7 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money_sum().alias("revenue"))
     )
 
 
@@ -70,7 +79,8 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_tpch_q10",
     oracle="""
     SELECT c_custkey, c_name, n_name, c_acctbal,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 2)
+                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -99,11 +109,7 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money_sum().alias("revenue"))
         .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -183,7 +189,9 @@ def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "sql_tpch_q22",
     oracle="""
-    SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 2) AS totacctbal
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -214,6 +222,6 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
