@@ -150,3 +150,65 @@ def pq_topk(
         .orderBy(F.col("score").desc(), id_col)
         .limit(k)
     )
+
+
+def build_ivfpq(
+    emb: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+):
+    """IVF cells + PQ codes in one table: (id, cell, codes). The composed
+    index: IVF bounds IO (probe nprobe/nlist of the corpus -- partition
+    pruning when persisted partitioned by cell), PQ bounds memory (codes,
+    not floats, are what the probe scans). Returns (encoded, centroids,
+    codebooks)."""
+    from .ivf import build_ivf
+
+    assigned, centroids = build_ivf(emb, nlist=nlist, seed=seed, id_col=id_col)
+    codebooks = train_pq(emb, m=m, ksub=ksub, seed=seed)
+    coded = encode_pq(assigned, codebooks, id_col=id_col).join(
+        assigned.select(id_col, "cell"), id_col
+    )
+    return coded, centroids, codebooks
+
+
+def ivfpq_topk(
+    spark,
+    coded: DataFrame,
+    emb: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe the nprobe nearest cells, ADC-score their codes, take k*refine
+    candidates, then re-rank those EXACTLY against the float vectors (a
+    semi-join against the corpus -- only k*refine rows of floats are ever
+    read). Output schema matches the exact search (vec_id, cos)."""
+    from ..functions.vectors import cosine_expr, to_double_array
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cells = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    cand = pq_topk(
+        coded.where(F.col("cell").isin(cells)),
+        codebooks,
+        q,
+        k=k * refine,
+        id_col=id_col,
+    ).select(id_col)
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    return (
+        emb.join(F.broadcast(cand), id_col)
+        .select(
+            id_col,
+            F.round(cosine_expr(to_double_array("embedding"), qlit), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), id_col)
+        .limit(k)
+    )

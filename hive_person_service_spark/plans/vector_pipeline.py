@@ -152,6 +152,33 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(encoded, codebooks, qv, k=10)
 
 
+@declare("sim_ivfpq_topk", oracle=None)  # rows-only: composed ANN index
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ top-10 for vec_id 0: probe cells (IO bound), ADC on
+    byte codes (memory bound), exact re-rank of the candidate short-list.
+    pytest pins recall vs exact; full-probe + wide refine == exact."""
+    import numpy as np
+
+    from ..operators.pq import build_ivfpq, ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded, centroids, codebooks = build_ivfpq(emb, nlist=16, m=8, ksub=16, seed=42)
+    qv = np.array(
+        emb.where(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
+    )
+    return ivfpq_topk(
+        spark,
+        coded.where(F.col("vec_id") != 0),
+        emb.where(F.col("vec_id") != 0),
+        centroids,
+        codebooks,
+        qv,
+        k=10,
+        nprobe=8,
+        refine=5,
+    )
+
+
 @declare(
     "multimodal_blob",
     oracle="""

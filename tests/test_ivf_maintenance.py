@@ -134,3 +134,39 @@ def test_pq_adc_identity_and_recall(spark):
         for r in pq_topk(enc.where(F.col("vec_id") != 0), cb, q, k=50).collect()
     }
     assert len(exact & cand) >= 6  # measured 7/10 recall@50 on the fixture
+
+
+def test_ivfpq_recall_and_fullprobe(spark):
+    """Composed IVF+PQ: (a) recall@10 vs exact at nprobe=8/refine=5; (b)
+    probing ALL cells with a corpus-wide refine reduces to the exact search
+    (the approximation comes only from cell pruning + candidate cut)."""
+    from hive_person_service_spark.operators.pq import build_ivfpq, ivfpq_topk
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    corpus = emb.where(F.col("vec_id") != 0)
+    coded, centroids, codebooks = build_ivfpq(emb, nlist=16, m=8, ksub=16, seed=42)
+    coded = coded.where(F.col("vec_id") != 0)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    q = mat[ids == 0][0]
+    exact = set(ids[ids != 0][np.argsort(-(mat[ids != 0] @ q))[:10]])
+
+    got = {
+        r.vec_id
+        for r in ivfpq_topk(
+            spark, coded, corpus, centroids, codebooks, q,
+            k=10, nprobe=8, refine=5,
+        ).collect()
+    }
+    assert len(exact & got) >= 5  # uniform-sphere fixture: hard ANN case
+
+    full = {
+        r.vec_id
+        for r in ivfpq_topk(
+            spark, coded, corpus, centroids, codebooks, q,
+            k=10, nprobe=16, refine=50,
+        ).collect()
+    }
+    assert full == exact
