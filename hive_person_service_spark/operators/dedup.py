@@ -236,3 +236,34 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return agg.select(
         id_col, lo.cast("long").alias("simhash_lo"), hi.cast("long").alias("simhash_hi")
     )
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with the benchmark set (the train/test-overlap gate every training-data
+    pipeline runs before shipping a corpus).
+
+    Shape: shingle both sides, semi-join on the shingle (inverted index --
+    candidates meet through shared shingles, never a cross join), left join
+    the flag back. The benchmark side is small in practice -> its distinct
+    shingle set broadcasts; corpus-side shingling streams.
+
+    n=4 suits the synthetic fixture (near-zero natural 8-gram overlap);
+    production decontamination uses 8-13-gram windows on the same plumbing.
+    """
+    bsh = doc_shingles(benchmark, n=n, id_col=id_col).select("shingle").distinct()
+    csh = doc_shingles(corpus, n=n, id_col=id_col)
+    flagged = (
+        csh.join(F.broadcast(bsh), "shingle")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return corpus.join(flagged, id_col, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )

@@ -332,3 +332,51 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("bow_fp"),
         F.substring(F.md5(canon), 1, 8).alias("bow_fp8"),
     )
+
+
+@declare(
+    "text_decontaminate",
+    oracle="""
+    WITH tok AS (SELECT doc_id, str_split(text, ' ') AS tokens FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(tokens[i:i+3], ' ')
+                     FOR i IN range(1, greatest(len(tokens) - 2, 1))]) AS shingle
+      FROM tok),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0),
+    flagged AS (
+      SELECT DISTINCT s.doc_id AS doc_id
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.doc_id % 100 <> 0)
+    SELECT d.doc_id, (f.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN flagged f USING (doc_id)
+    WHERE d.doc_id % 100 <> 0
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train/test overlap gate): corpus docs
+    sharing any word 4-gram with the held-out benchmark set (doc_id % 100
+    == 0 stands in for an eval suite) get flagged. Inverted-index semi-join
+    on shingles -- operators/dedup.py::contamination_flags."""
+    from ..operators.dedup import contamination_flags
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 100 == 0)
+    corpus = d.where(F.col("doc_id") % 100 != 0)
+    return contamination_flags(corpus, bench, n=4).select(
+        "doc_id", "contaminated"
+    )
+
+
+@declare("docs_pack", oracle=None)  # rows-only: partition-local greedy
+def docs_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: documents greedily packed into 512-token training
+    sequences (whitespace token counts; operators/packing.py). pytest pins
+    budget compliance, exactly-once membership, and determinism."""
+    from ..functions.text import tokens_expr
+    from ..operators.packing import pack_documents
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_expr()).cast("long").alias("n_tokens")
+    )
+    return pack_documents(d, budget=512)

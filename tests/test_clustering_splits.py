@@ -75,3 +75,32 @@ def test_snapshot_diff(spark, tmp_path):
     t.write(spark.createDataFrame([(2, "b"), (3, "c")], "id long, v string"))
     d = {(r.id, r.v): r["__change"] for r in t.diff(1, 2).collect()}
     assert d == {(3, "c"): "added", (1, "a"): "removed"}
+
+
+def test_pack_documents_invariants(spark):
+    """Packing: every doc exactly once; no pack over budget unless a lone
+    over-budget doc; deterministic across runs."""
+    from hive_person_service_spark.functions.text import tokens_expr
+    from hive_person_service_spark.operators.packing import pack_documents
+
+    d = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.size(tokens_expr()).cast("long").alias("n_tokens")
+    )
+    budget = 512
+    packed = pack_documents(d, budget=budget)
+    rows = packed.collect()
+
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in d.collect()
+    )  # exactly-once membership
+
+    by_pack: dict[str, int] = {}
+    sizes: dict[str, int] = {}
+    for r in rows:
+        by_pack[r.pack_id] = by_pack.get(r.pack_id, 0) + r.n_tokens
+        sizes[r.pack_id] = sizes.get(r.pack_id, 0) + 1
+    for pack, total in by_pack.items():
+        assert total <= budget or sizes[pack] == 1, (pack, total, sizes[pack])
+
+    again = {(r.doc_id, r.pack_id) for r in pack_documents(d, budget=budget).collect()}
+    assert again == {(r.doc_id, r.pack_id) for r in rows}  # deterministic
