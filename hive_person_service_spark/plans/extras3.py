@@ -120,25 +120,34 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.lang = b.lang
      AND CAST(FLOOR(a.n_chars / 50) AS BIGINT) = CAST(FLOOR(b.n_chars / 50) AS BIGINT)
      AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 20
     WHERE levenshtein(a.text, b.text) <= 20
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy dedup: edit-distance pairs within (lang, length-bucket)
-    blocks. The block join bounds the quadratic term (levenshtein only runs
-    inside blocks) -- the classic record-linkage shape; MinHash replaces it
-    when text length makes O(n*m) per pair too hot. JVM-side levenshtein,
-    no Python in the loop."""
+    blocks. Three bounds keep the quadratic term cold: the block join (pairs
+    only form inside blocks), a length pre-filter (edit distance >= length
+    difference, so |dn| > t pairs can't match -- cuts pairs before any DP
+    runs), and Spark's BOUNDED 3-arg levenshtein (banded DP, O(len*t) not
+    O(len^2), returns -1 past the threshold). The probe side is
+    repartitioned so the broadcast join's levenshtein work spreads across
+    cores instead of riding one scan task (measured 480s -> ~3s at sf0.1).
+    JVM-side, no Python in the loop; MinHash replaces this shape when text
+    length makes even banded DP too hot."""
     d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
     a = d.select(
         F.col("doc_id").alias("a_id"),
         F.col("lang").alias("a_lang"),
+        F.col("n_chars").alias("a_nc"),
         F.floor(F.col("n_chars") / 50).cast("long").alias("a_blk"),
         F.col("text").alias("a_text"),
-    )
+    ).repartition(par)
     b = d.select(
         F.col("doc_id").alias("b_id"),
         F.col("lang").alias("b_lang"),
+        F.col("n_chars").alias("b_nc"),
         F.floor(F.col("n_chars") / 50).cast("long").alias("b_blk"),
         F.col("text").alias("b_text"),
     )
@@ -147,11 +156,13 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a_lang") == F.col("b_lang"))
             & (F.col("a_blk") == F.col("b_blk"))
-            & (F.col("a_id") < F.col("b_id")),
+            & (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_nc") - F.col("b_nc")) <= 20),
         )
         .withColumn(
-            "edit_dist", F.levenshtein("a_text", "b_text").cast("long")
+            "edit_dist",
+            F.levenshtein("a_text", "b_text", 20).cast("long"),
         )
-        .where(F.col("edit_dist") <= 20)
+        .where(F.col("edit_dist") >= 0)
         .select("a_id", "b_id", "edit_dist")
     )
