@@ -1,0 +1,161 @@
+"""Training-data pipeline, second batch: RAG-style document chunking,
+deterministic stratified sampling, an inverted index over tokens, and
+per-type anomaly flagging on the event stream. All four are oracle-checked
+(SURVEY.md §2.J extends beyond the reference surface per the north star).
+
+Engine-agreement notes:
+- Chunk positions come from an explicit 1-based arithmetic sequence, and the
+  chunk id is FLOOR((pos-1)/stride) computed identically in both engines --
+  never from unnest ordinality, which DuckDB and Spark number differently.
+- Stratified sampling buckets on the first two hex chars of md5(lang:doc_id):
+  md5 is bit-stable and lowercase-hex in both engines, and the keep decision
+  is a lexicographic string compare, so the sample is reproducible anywhere
+  (unlike xxhash64/hash, whose seeds are Spark-specific -- that is why
+  dataset_split is rows-only but this query oracle-checks).
+- At 100 TB: chunking and sampling are embarrassingly parallel map-side ops
+  (no shuffle at all); the inverted index is one token-keyed shuffle with
+  map-side partial distinct; anomaly flagging is a small broadcast of
+  per-type stats back onto the stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import declare
+
+CHUNK = 100
+STRIDE = 80
+
+
+@declare(
+    "text_chunk",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(FLOOR((pos - 1) / {STRIDE}.0) AS BIGINT) AS chunk_id,
+           substr(text, CAST(pos AS INTEGER), {CHUNK}) AS chunk_text,
+           length(substr(text, CAST(pos AS INTEGER), {CHUNK})) AS chunk_len
+    FROM documents,
+         unnest(generate_series(1, length(text), {STRIDE})) AS t(pos)
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width overlapping character chunks (window 100, stride 80 -- 20
+    chars of overlap), the standard RAG / context-window packing primitive.
+    One generate-positions + substring pass, fully map-side: no shuffle, no
+    Python, scales linearly with corpus bytes. The final short chunk at each
+    document tail is kept (real pipelines pad or merge it downstream)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text"), F.lit(STRIDE))
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.floor((F.col("pos") - 1) / float(STRIDE)).cast("long").alias("chunk_id"),
+            F.expr(f"substring(text, pos, {CHUNK})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )
+
+
+@declare(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars, bucket
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents)
+    WHERE bucket < (CASE WHEN lang = 'en' THEN '40' ELSE '80' END)
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsampling: hash each doc into one of 256
+    hex buckets via md5(lang:doc_id) and keep a language-dependent prefix
+    range -- here 25% of English ('00'..'3f') and 50% of everything else,
+    the downweight-the-overrepresented-language move every corpus build
+    makes. Pure map-side, reproducible across engines and runs, and rows
+    keep their bucket so downstream stages can sub-sample further without
+    rehashing."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string"))),
+        1,
+        2,
+    )
+    threshold = F.when(F.col("lang") == "en", "40").otherwise("80")
+    return docs.withColumn("bucket", bucket).where(F.col("bucket") < threshold).select(
+        "doc_id", "lang", "source", "n_chars", "bucket"
+    )
+
+
+@declare(
+    "text_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents))
+    SELECT token, COUNT(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+    FROM tok GROUP BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting lists: token -> document frequency + sorted doc_id list, the
+    backbone of the shingle-join dedup/decontamination operators
+    (operators/dedup.py) exposed as a standalone index build. tokenize ->
+    DISTINCT (map-side partial) -> one token-keyed shuffle. postings is
+    sort_array'd for determinism (SURVEY.md §5.3). At 100 TB the only skew
+    risk is stopword tokens; the dedup operators cap or drop top-df tokens,
+    and this build keeps them to stay a faithful index."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).distinct()
+    return tok.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+@declare(
+    "events_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT event_id, e.event_type, value,
+           ROUND((value - m) / sd, 4) AS zscore
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE ABS(value - m) > 3 * sd
+    """,
+)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|value - mean| > 3 sigma): grouped stats on
+    a first pass, broadcast back onto the stream, filter. The stats side is
+    five rows -- at any scale the join is a broadcast, so the whole operator
+    is one grouped shuffle plus a map. The 3-sigma gate compares doubles that
+    the two engines accumulate in different orders; divergence is ~1e-12
+    relative, so a boundary flip needs a value within that of exactly
+    3 sigma -- not observed at any fixture SF."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    return (
+        ev.join(F.broadcast(stats), ev.event_type == F.col("s_type"))
+        .where(F.abs(F.col("value") - F.col("m")) > 3 * F.col("sd"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("m")) / F.col("sd"), 4).alias("zscore"),
+        )
+    )
