@@ -28,3 +28,4 @@ from . import tpch_more  # noqa: F401,E402  (Q5/Q10/Q13/Q18/Q22 analogs)
 from . import extras3  # noqa: F401,E402  (mode/median, histogram, sessionize, fuzzy dedup)
 from . import tpch_final  # noqa: F401,E402  (Q2/Q12/Q15/Q17/Q19 analogs)
 from . import pipeline2  # noqa: F401,E402  (chunking, stratified sample, inverted index, anomaly)
+from . import extras4  # noqa: F401,E402  (LATERAL top-k, time-interval RANGE frame)

@@ -1,0 +1,84 @@
+"""Fifth extras batch: correlated LATERAL subquery (per-row dependent TOP-N,
+a distinct Catalyst operator -- LateralJoin with a DomainJoin rewrite) and a
+time-interval RANGE window frame over event time (the sliding-sum shape
+`win_range_frame` covers only for numeric ranges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import load_table
+from .registry import declare
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@declare(
+    "sql_lateral_topk",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c_nationkey = 5
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's two largest orders. The
+    same result as a window top-k, but exercising the LATERAL join path --
+    Catalyst decorrelates the per-row ORDER BY ... LIMIT via DomainJoin into
+    a join + per-key limit, so no per-customer re-scan happens at scale
+    (verify with .explain: no nested-loop over orders). Ties break on
+    o_orderkey for cross-engine determinism."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_nationkey = 5
+        """
+    )
+
+
+@declare(
+    "win_time_range",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100.0 AS rolling_1h
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour sum via a RANGE frame keyed on event time --
+    the event-time analog of a numeric RANGE frame, and the batch twin of the
+    sliding streaming window (stream_sliding aggregates per bucket; this
+    keeps one row per event). Values sum as exact integer cents inside the
+    frame (value has 2-decimal payload; ROUND(value*100) is bit-identical in
+    both engines), so frame-internal accumulation order -- which DuckDB's
+    segment tree and Spark's running evaluator genuinely do differently --
+    cannot produce float drift. One shuffle on user_id; frames evaluate
+    partition-locally."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id, ts, value,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                      PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 100.0 AS rolling_1h
+        FROM events
+        WHERE user_id < 50
+        """
+    )
