@@ -126,6 +126,51 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "scd2_history",
+    oracle="""
+    WITH upd AS (
+      SELECT user_id, value AS balance, CAST(ts AS TIMESTAMP) AS ts
+      FROM events),
+    dedup AS (
+      SELECT user_id, balance, ts FROM (
+        SELECT user_id, balance, ts,
+               LAG(balance) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM upd)
+      WHERE prev_ts IS NULL OR balance IS DISTINCT FROM prev)
+    SELECT user_id, balance, ts AS effective_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS effective_to,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             AS is_current
+    FROM dedup
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 rebuild of the person/profile dimension from the event
+    stream, exercising the actual operators/scd.py merge (from an empty
+    history) rather than a hand-inlined window query -- the oracle is the
+    equivalent lag-dedup + lead-interval SQL, so the operator's semantics
+    (consecutive no-op collapse, half-open versioning, is_current flag) are
+    DuckDB-checked end to end. The incremental form of the same operator is
+    exercised by the foreachBatch streaming sink (streaming/jobs.py,
+    tests/test_scd.py)."""
+    from ..operators.scd import scd2_merge
+
+    upd = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.col("value").alias("balance"), "ts")
+    )
+    empty_hist = upd.limit(0).select(
+        "user_id",
+        "balance",
+        F.col("ts").alias("effective_from"),
+        F.col("ts").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return scd2_merge(empty_hist, upd, ["user_id"], ["balance"], "ts")
+
+
+@declare(
     "events_anomaly",
     oracle="""
     WITH s AS (

@@ -119,6 +119,64 @@ def stream_stream_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
     )
 
 
+def stream_scd2_profiles(
+    spark: SparkSession, sf_dir: str, history_path: str
+) -> None:
+    """End-to-end incremental profile-dimension maintenance: the event
+    stream is treated as a feed of profile-attribute updates (user_id ->
+    value), and each micro-batch MERGEs into an SCD2 parquet history via
+    foreachBatch + stage-then-swap (same atomicity story as
+    maintenance.merge_upsert). Runs to completion with availableNow.
+
+    Replay safety: a re-delivered batch re-applies updates whose tracked
+    values equal the open row, and the merge's no-op collapse drops them --
+    foreachBatch's at-least-once delivery composes with the merge into
+    effectively-once history, provided batches arrive in event-time order
+    (scd2_merge's in-order assumption; dropDuplicatesWithinWatermark
+    upstream enforces per-key uniqueness within the horizon)."""
+    import uuid as _uuid
+    from pathlib import Path
+
+    from ..operators.maintenance import _swap_in
+    from ..operators.scd import scd2_merge
+
+    updates = read_events_stream(spark, sf_dir).select(
+        "user_id", F.col("value").alias("balance"), "ts"
+    )
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        target = Path(history_path)
+        if target.exists():
+            history = sess.read.parquet(str(target))
+        else:
+            history = (
+                batch.limit(0)
+                .select(
+                    "user_id",
+                    "balance",
+                    F.col("ts").alias("effective_from"),
+                    F.col("ts").alias("effective_to"),
+                    F.lit(True).alias("is_current"),
+                )
+            )
+        merged = scd2_merge(history, batch, ["user_id"], ["balance"], "ts")
+        staging = target.with_name(
+            target.name + f".staging-{_uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(str(staging))
+        _swap_in(staging, target)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_scd2_")
+    q = (
+        updates.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
 def run_to_memory_sink(
     df: DataFrame, spark: SparkSession, output_mode: str = "append"
 ) -> DataFrame:
