@@ -104,3 +104,39 @@ class Engine:
 
     def compact(self, path: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         return compact_parquet(self.spark, path, target_file_bytes)
+
+    # -- profile history (SCD2) ------------------------------------------
+    def scd2_merge(
+        self,
+        history: DataFrame,
+        updates: DataFrame,
+        keys: Sequence[str],
+        tracked: Sequence[str],
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        from .operators.scd import scd2_merge
+
+        return scd2_merge(history, updates, keys, tracked, ts_col)
+
+    def profile_as_of(self, history: DataFrame, ts: str) -> DataFrame:
+        from .operators.scd import scd2_as_of
+
+        return scd2_as_of(history, ts)
+
+    # -- data skipping ----------------------------------------------------
+    def stats_index(self, table_path: str, columns: Sequence[str]) -> DataFrame:
+        from .operators.skipping import build_stats_index
+
+        return build_stats_index(self.spark, table_path, columns)
+
+    def range_scan(
+        self,
+        table_path: str,
+        stats: DataFrame,
+        column: str,
+        lo: float,
+        hi: float,
+    ) -> DataFrame:
+        from .operators.skipping import skipping_scan
+
+        return skipping_scan(self.spark, table_path, stats, column, lo, hi)

@@ -1,12 +1,14 @@
 """Fifth extras batch: correlated LATERAL subquery (per-row dependent TOP-N,
-a distinct Catalyst operator -- LateralJoin with a DomainJoin rewrite) and a
+a distinct Catalyst operator -- LateralJoin with a DomainJoin rewrite), a
 time-interval RANGE window frame over event time (the sliding-sum shape
-`win_range_frame` covers only for numeric ranges).
+`win_range_frame` covers only for numeric ranges), the aggregate FILTER
+clause, and max_by/min_by argmax aggregates.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .registry import declare
@@ -81,4 +83,64 @@ def win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WHERE user_id < 50
         """
+    )
+
+
+@declare(
+    "agg_filter_clause",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*) AS n_cust,
+           COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                  FILTER (WHERE c_mktsegment = 'AUTOMOBILE')
+                AS DOUBLE) / 100.0 AS auto_bal
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 aggregate FILTER clause: several differently-filtered
+    aggregates in ONE grouped pass (the alternative -- N filtered scans
+    unioned -- reads the table N times). Spark evaluates these as
+    conditional aggregates inside the same HashAggregate, so the cost is one
+    scan + one shuffle no matter how many FILTER variants ride along.
+    Money sums use floor-cents (engine-proof, see tpch_final)."""
+    from ..sources import load_table as _lt
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS n_cust,
+               COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))
+                      FILTER (WHERE c_mktsegment = 'AUTOMOBILE')
+                    AS DOUBLE) / 100.0 AS auto_bal
+        FROM customer GROUP BY c_nationkey
+        """
+    )
+
+
+@declare(
+    "agg_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           MAX_BY(o_orderkey, o_totalprice) AS biggest_order,
+           MIN_BY(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregates: the order key that carries each group's
+    extreme price, in one pass -- no self-join back onto the max and no
+    window + filter. max_by/min_by keep a single (value, arg) pair of state
+    per group, so they partial-aggregate map-side like any min/max.
+    Determinism: per-priority price extremes are unique in the fixtures at
+    every SF (checked; ties would make the arg engine-dependent)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
+        F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
     )
