@@ -144,3 +144,29 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+@declare(
+    "reshape_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size,
+             p_retailprice AS price
+      FROM part WHERE p_partkey <= 200)
+    UNPIVOT (val FOR metric IN (size, price))
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide columns to (key, metric, value) long form -- the
+    inverse of agg_pivot and the standard prep step for per-metric
+    aggregation or plotting. Spark's DataFrame unpivot (SQL stack()) emits
+    the long rows inline during the scan: no shuffle, no join, output is
+    n_rows x n_metrics. Both metrics cast to one DOUBLE value column
+    (unpivot requires a common type; DuckDB's UNPIVOT does the same)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("price"),
+    ).unpivot(["p_partkey"], ["size", "price"], "metric", "val")
