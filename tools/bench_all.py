@@ -1,9 +1,15 @@
 """Per-query timing sweep over the ENTIRE declared inventory (not just the
 bench.py headline set) -- the per-round perf regression baseline.
 
-Usage: python tools/bench_all.py [sf_dir] [out.json]
-Writes {"sf": ..., "queries": {name: sec}} sorted slowest-first and prints
-the 10 slowest.
+Usage: python tools/bench_all.py [sf_dir] [out.json] [collect|noop]
+Writes {"sf": ..., "mode": ..., "queries": {name: sec}} sorted
+slowest-first and prints the 10 slowest.
+
+Modes: `collect` (default) measures end-to-end including driver
+materialization -- what the oracle gate pays; `noop` executes into the
+JVM-side noop sink, isolating plan cost from result-set serialization
+(a projection returning 600k rows is "slow" under collect purely from
+shipping rows to Python).
 """
 
 from __future__ import annotations
@@ -28,14 +34,23 @@ def main() -> int:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
 
+    mode = sys.argv[3] if len(sys.argv) > 3 else "collect"
     timings: dict[str, float] = {}
     for name, fn in plans.all_queries().items():
         t0 = time.time()
-        fn(spark, sf_dir).collect()
+        df = fn(spark, sf_dir)
+        if mode == "noop":
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
         timings[name] = round(time.time() - t0, 3)
 
     ordered = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-    json.dump({"sf": sf_dir, "queries": ordered}, open(out_path, "w"), indent=1)
+    json.dump(
+        {"sf": sf_dir, "mode": mode, "queries": ordered},
+        open(out_path, "w"),
+        indent=1,
+    )
     total = round(sum(timings.values()), 1)
     print(f"total {total}s over {len(timings)} queries -> {out_path}")
     for name, sec in list(ordered.items())[:10]:
