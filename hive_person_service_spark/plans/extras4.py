@@ -170,3 +170,33 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("size"),
         F.col("p_retailprice").alias("price"),
     ).unpivot(["p_partkey"], ["size", "price"], "metric", "val")
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain AS (
+      SELECT c_custkey,
+             CAST(FLOOR(c_custkey / 10.0) AS BIGINT) AS ancestor,
+             0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CAST(FLOOR(ancestor / 10.0) AS BIGINT) AS ancestor,
+             depth + 1
+      FROM chain WHERE ancestor > 0)
+    SELECT c_custkey, MAX(depth) AS chain_depth, COUNT(*) AS chain_len
+    FROM chain GROUP BY c_custkey
+"""
+
+
+@declare("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4.x): transitive closure over a derived
+    referral hierarchy (parent = custkey/10, so chains are ~log10(N) deep).
+    Each iteration is one self-referencing micro-plan unioned into the loop
+    result -- iteration count scales with GRAPH DEPTH, not table size, so a
+    100 TB customer table still terminates in ~7 rounds; each round is an
+    ordinary shuffled plan AQE optimizes independently. FLOOR(x/10.0) keeps
+    parent derivation identical across engines (DuckDB's double->int CAST
+    rounds; Spark's truncates)."""
+    _views(spark, sf_dir, "customer")
+    return spark.sql(_RECURSIVE_SQL)
