@@ -200,3 +200,85 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds; Spark's truncates)."""
     _views(spark, sf_dir, "customer")
     return spark.sql(_RECURSIVE_SQL)
+
+
+@declare(
+    "events_rollup_2level",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2)
+    SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS d, event_type,
+           SUM(n) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
+           COUNT(*) AS hours_active
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def events_rollup_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical reaggregation (the hypertable / continuous-aggregate
+    pattern): daily totals computed FROM the hourly rollup, not from raw
+    events -- sums of sums and counts of hours re-aggregate exactly because
+    the hourly grain carries additive state (integer cents, counts). At
+    scale the hourly table is the materialized view streaming ingest
+    maintains; daily/weekly/monthly grains all derive from it, reading
+    24/168/720 rows per key instead of the raw stream."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS h, event_type,
+                 COUNT(*) AS n,
+                 SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2)
+        SELECT date_format(date_trunc('day', h), 'yyyy-MM-dd') AS d, event_type,
+               SUM(n) AS n_events,
+               CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value,
+               COUNT(*) AS hours_active
+        FROM hourly GROUP BY 1, 2
+        """
+    )
+
+
+@declare(
+    "agg_share_of_total",
+    oracle="""
+    WITH nat AS (
+      SELECT c_nationkey,
+             SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_nationkey)
+    SELECT c_nationkey,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           ROUND(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER () AS DOUBLE), 6) AS share
+    FROM nat
+    """,
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: window over an aggregate (SUM() OVER () on the
+    grouped result). The global-total window runs on the 25-row nation
+    aggregate, not the fact table, so the unpartitioned frame -- normally a
+    single-partition hazard -- is free here; the heavy lifting stays in the
+    partial+final grouped sum. Shares divide exact integer-cent sums, so
+    the ratio is bit-identical across engines before the display round."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    nat = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    return nat.select(
+        "c_nationkey",
+        (F.col("cents").cast("double") / 100.0).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )

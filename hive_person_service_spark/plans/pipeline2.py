@@ -204,3 +204,30 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("value") - F.col("m")) / F.col("sd"), 4).alias("zscore"),
         )
     )
+
+
+@declare("graph_pagerank", oracle=None)  # rows-only: iterative power method
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier shipment graph (who supplies the
+    best-connected customers), top-20. Iterative DataFrame power method
+    (operators/graph.py): per round one edges-join-ranks shuffle + a scalar
+    dangling-mass aggregate, lineage cut by localCheckpoint. Not
+    SQL-expressible in one query => rows-only; pytest pins ranks against a
+    dense numpy power iteration including dangling redistribution
+    (tests/test_graph.py)."""
+    from ..operators.graph import pagerank, top_ranked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iter=8)
+    return top_ranked(ranks, k=20).select(
+        "node", F.round("rank", 8).alias("rank")
+    )
