@@ -44,16 +44,9 @@ def _list_parquet_files(table_path: str) -> list[str]:
     return sorted(str(f) for f in p.rglob("*.parquet") if f.is_file())
 
 
-def build_stats_index(
-    spark: SparkSession, table_path: str, columns: Sequence[str]
-) -> DataFrame:
-    """Per-file min/max/null-count for numeric/temporal `columns`, from
-    parquet footer metadata. Distributed over the file list (one task per
-    path batch); each row-group's statistics fold into a file-level range.
-    Timestamps index as epoch micros so one DoubleType range column serves
-    every orderable type (lossless for the fixture domains; a production
-    index would keep per-type columns)."""
-    cols = list(columns)
+def _footer_reader(cols: list[str]):
+    """mapInPandas worker factory: path batches -> per-(file, column) stats
+    rows, reading parquet footers only."""
 
     def _read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
@@ -100,11 +93,55 @@ def build_stats_index(
                 out, columns=[f.name for f in STATS_SCHEMA.fields]
             )
 
+    return _read_footers
+
+
+def build_stats_index(
+    spark: SparkSession, table_path: str, columns: Sequence[str]
+) -> DataFrame:
+    """Per-file min/max/null-count for numeric/temporal `columns`, from
+    parquet footer metadata. Distributed over the file list (one task per
+    path batch); each row-group's statistics fold into a file-level range.
+    Timestamps index as epoch micros so one DoubleType range column serves
+    every orderable type (lossless for the fixture domains; a production
+    index would keep per-type columns)."""
     files = _list_parquet_files(table_path)
     paths = spark.createDataFrame(
         [(f,) for f in files], T.StructType([T.StructField("path", T.StringType())])
     ).repartition(min(len(files), 32))
-    return paths.mapInPandas(_read_footers, STATS_SCHEMA)
+    return paths.mapInPandas(_footer_reader(list(columns)), STATS_SCHEMA)
+
+
+def refresh_stats_index(
+    spark: SparkSession,
+    table_path: str,
+    old_stats: DataFrame,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Incremental index maintenance: footer-read ONLY files not yet in the
+    index, drop rows for files that vanished (compaction, retention), keep
+    everything else untouched. On a 100k-file table where a daily batch
+    appends ~1%, the refresh reads ~1k footers instead of 100k -- index
+    upkeep stays proportional to churn, not table size. (Renamed-in-place
+    rewrites must invalidate by path; parquet immutability makes same-path
+    content change a non-event on real lakes.)"""
+    current = set(_list_parquet_files(table_path))
+    old_rows = old_stats.where(F.col("column").isin(list(columns)))
+    kept = old_rows.where(F.col("file").isin(list(current)))
+    known = {
+        r["file"] for r in old_rows.select("file").distinct().collect()
+    }
+    new_files = sorted(current - known)
+    if not new_files:
+        return kept
+    paths = spark.createDataFrame(
+        [(f,) for f in new_files],
+        T.StructType([T.StructField("path", T.StringType())]),
+    ).repartition(min(len(new_files), 32))
+    fresh = paths.mapInPandas(
+        _footer_reader(list(columns)), STATS_SCHEMA
+    )
+    return kept.unionByName(fresh)
 
 
 def prune_files(

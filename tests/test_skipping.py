@@ -103,3 +103,46 @@ def test_timestamp_stats_prune(spark, tmp_path):
         spark.read.parquet(*kept).where(F.year("l_shipdate") == 1996).count()
     )
     assert pruned_1996 == full_1996
+
+
+def test_refresh_stats_index_incremental(spark, tmp_path):
+    """Append files + remove a file: refresh must footer-read only the new
+    files, drop vanished ones, and end identical to a from-scratch build."""
+    import os
+
+    from hive_person_service_spark.operators.skipping import (
+        build_stats_index,
+        refresh_stats_index,
+    )
+
+    path = str(tmp_path / "orders_inc")
+    full = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    full.where(F.col("o_orderkey") % 3 == 0).repartitionByRange(
+        3, "o_totalprice"
+    ).write.mode("overwrite").parquet(path)
+    old = build_stats_index(spark, path, ["o_totalprice"]).cache()
+    old.count()
+
+    # churn: one file removed, a new batch appended
+    victim = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(path, victim))
+    full.where(F.col("o_orderkey") % 3 == 1).repartitionByRange(
+        2, "o_totalprice"
+    ).write.mode("append").parquet(path)
+
+    refreshed = refresh_stats_index(spark, path, old, ["o_totalprice"])
+    scratch = build_stats_index(spark, path, ["o_totalprice"])
+    assert refreshed.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(refreshed).count() == 0
+    # and the refreshed index still prunes correctly
+    kept = prune_files(refreshed, "o_totalprice", 50_000.0, 80_000.0)
+    got = spark.read.parquet(*kept).where(
+        F.col("o_totalprice").between(50_000.0, 80_000.0)
+    )
+    want = spark.read.parquet(path).where(
+        F.col("o_totalprice").between(50_000.0, 80_000.0)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
