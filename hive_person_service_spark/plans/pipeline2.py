@@ -231,3 +231,44 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ranked(ranks, k=20).select(
         "node", F.round("rank", 8).alias("rank")
     )
+
+
+_PROFILE_COLS = ["c_custkey", "c_nationkey", "c_mktsegment", "c_name"]
+
+
+@declare(
+    "quality_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col, COUNT(*) AS n_rows,
+               SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               COUNT(DISTINCT {c}) AS ndv,
+               CAST(MIN({c}) AS VARCHAR) AS min_val,
+               CAST(MAX({c}) AS VARCHAR) AS max_val
+        FROM customer"""
+        for c in _PROFILE_COLS
+    ),
+)
+def quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact long-form data profile (col -> rows / nulls / NDV / min / max),
+    the trust-but-verify scan before using a new table drop. One single-row
+    aggregate per column unioned long-form: each branch's scan prunes to its
+    one column, so total IO equals one scan of the profiled columns, and
+    every branch partial-aggregates map-side. min/max compute on the native
+    type and cast to string only for the uniform output schema (int/string
+    columns only here -- double formatting differs between engines). The
+    approx wide-format twin is operators/quality.py::profile (HLL NDV, one
+    pass, no union)."""
+    out = None
+    for c in _PROFILE_COLS:
+        cust = load_table(spark, sf_dir, "customer")
+        branch = cust.agg(
+            F.lit(c).alias("col"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(c).alias("ndv"),
+            F.min(c).cast("string").alias("min_val"),
+            F.max(c).cast("string").alias("max_val"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out
