@@ -30,3 +30,4 @@ from . import tpch_final  # noqa: F401,E402  (Q2/Q12/Q15/Q17/Q19 analogs)
 from . import pipeline2  # noqa: F401,E402  (chunking, stratified sample, inverted index, anomaly)
 from . import extras4  # noqa: F401,E402  (LATERAL top-k, time-interval RANGE frame)
 from . import tpch_rest  # noqa: F401,E402  (Q4/Q9/Q11/Q16/Q20/Q21 analogs)
+from . import pipeline3  # noqa: F401,E402  (PII scrub, mixture, repetition, blob dims)
