@@ -1,0 +1,88 @@
+"""Deterministic frequency/cardinality sketches (SURVEY.md §2.J adjacent):
+count-min and k-minimum-values built from md5-derived hashes.
+
+Spark ships HLL (approx_count_distinct) and GK quantiles natively; those are
+declared elsewhere as rows-only checks because their estimates are
+engine-specific. These two sketches instead use *engine-reproducible*
+hashing -- bucket = int(hex(md5(x))[:8]) -- so the full sketch, not just its
+contract, is oracle-checkable in DuckDB, and a re-run (or another engine)
+rebuilds bit-identical state. That property is what makes a sketch usable
+as a persisted, incrementally-merged artifact of a 100 TB corpus build:
+counts from new data merge by addition (CMS) / min-union (KMV) without
+rehashing history.
+
+Scale notes: both sketches reduce the corpus in ONE grouped pass whose
+output is tiny (d*w cells / k values per group); the shuffle key space is
+the sketch address space, not the data, so partial aggregation collapses
+nearly everything map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TWO32 = float(1 << 32)
+
+
+def md5_int(col: Column) -> Column:
+    """First 32 bits of md5 as a non-negative long -- reproducible in any
+    engine with md5 + hex parsing (DuckDB: ('0x' || substr(md5(x),1,8))::
+    UBIGINT). The deliberate alternative to xxhash64/murmur3, which are
+    Spark-specific."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def cms_build(items: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min sketch: d independent hash rows of w buckets. One grouped
+    pass; output is at most d*w cells regardless of input size. Merging two
+    sketches = union + sum by (seed, bucket)."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(d)])).alias("seed")
+    cells = items.select(F.col(col).alias("item"), seeds).select(
+        "seed",
+        (
+            md5_int(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("item")))
+            % w
+        ).alias("bucket"),
+    )
+    return cells.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cms_probe(cms: DataFrame, probes: DataFrame, col: str, d: int = 4,
+              w: int = 1024) -> DataFrame:
+    """Point-query the sketch: est(x) = min over seeds of cell count; never
+    underestimates, overestimates only on bucket collisions. The probe side
+    is tiny (candidate list), the sketch is tiny -- broadcast both ways."""
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(d)])).alias("seed")
+    pb = probes.select(F.col(col).alias("item"), seeds).select(
+        "item",
+        "seed",
+        (
+            md5_int(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("item")))
+            % w
+        ).alias("bucket"),
+    )
+    return (
+        pb.join(F.broadcast(cms), ["seed", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def kmv_ndv(items: DataFrame, col: str, group_col: str, k: int = 64) -> DataFrame:
+    """K-minimum-values distinct-count estimate per group: hash each
+    distinct item into [0, 2^32), keep the k smallest per group, estimate
+    NDV = (k-1) * 2^32 / h_k. The distinct pre-aggregation collapses
+    map-side; the per-group top-k is a WindowGroupLimit-able rank (ties on
+    the 32-bit hash broken by the item itself for determinism)."""
+    hv = (
+        items.select(F.col(group_col).alias("grp"), F.col(col).alias("item"))
+        .distinct()
+        .withColumn("h", md5_int(F.col("item")))
+    )
+    w = Window.partitionBy("grp").orderBy("h", "item")
+    kth = hv.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == k)
+    return kth.select(
+        F.col("grp").alias(group_col),
+        F.round(F.lit((k - 1) * TWO32) / F.col("h"), 4).alias("kmv_est"),
+    )

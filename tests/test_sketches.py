@@ -1,0 +1,70 @@
+"""Sketch semantics beyond oracle agreement: CMS never underestimates (and
+overestimates only via collisions), KMV lands within a sane relative error.
+Run on the real documents fixture at sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hive_person_service_spark.operators.sketches import (
+    cms_build,
+    cms_probe,
+    kmv_ndv,
+)
+from hive_person_service_spark.plans.sketches import _CMS_PROBES, _bigrams
+from tests.conftest import SF_SMALL
+
+
+def test_cms_never_underestimates(spark):
+    grams = _bigrams(spark, SF_SMALL)
+    exact = {
+        r["g"]: r["cnt"]
+        for r in grams.groupBy("g").agg(F.count("*").alias("cnt")).collect()
+    }
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], ["item"])
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_probe(cms_build(grams, "g"), probes, "item").collect()
+    }
+    assert set(est) == set(_CMS_PROBES)
+    for item, e in est.items():
+        assert e >= exact.get(item, 0), (item, e, exact.get(item, 0))
+    assert "missing pair" not in exact
+
+
+def test_cms_small_width_overestimates_bounded(spark):
+    # Squeeze the same stream into 64 buckets: collisions become certain,
+    # est stays >= exact and within exact + n/w per CMS's guarantee
+    # (with d=4 rows the bound holds overwhelmingly; assert the hard floor
+    # and a loose 3n/w ceiling to keep the test deterministic-but-tight).
+    grams = _bigrams(spark, SF_SMALL)
+    n = grams.count()
+    w = 64
+    exact = {
+        r["g"]: r["cnt"]
+        for r in grams.groupBy("g").agg(F.count("*").alias("cnt")).collect()
+    }
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], ["item"])
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_probe(cms_build(grams, "g", w=w), probes, "item", w=w).collect()
+    }
+    for item, e in est.items():
+        ex = exact.get(item, 0)
+        assert ex <= e <= ex + 3 * n / w, (item, e, ex, n)
+
+
+def test_kmv_relative_error(spark):
+    bg = _bigrams(spark, SF_SMALL)
+    est = {r["lang"]: r["kmv_est"] for r in kmv_ndv(bg, "g", "lang", k=64).collect()}
+    exact = {
+        r["lang"]: r["ndv"]
+        for r in bg.distinct()
+        .groupBy("lang")
+        .agg(F.countDistinct("g").alias("ndv"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for lang, e in est.items():
+        rel = abs(e - exact[lang]) / exact[lang]
+        assert rel < 0.35, (lang, e, exact[lang], rel)
