@@ -178,3 +178,42 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.floor(ewma * 1_000_000 + 0.5) / 1_000_000.0).alias("ewma8"),
     )
+
+
+@declare(
+    "agg_equidepth_hist",
+    oracle="""
+    SELECT o_orderpriority, tile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(ntile(8) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS tile
+      FROM orders)
+    GROUP BY o_orderpriority, tile
+    """,
+)
+def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram per order priority: ntile(8) splits each group
+    into equal-count bands, then min/max per band gives the boundaries --
+    the quantile-sketch view of a distribution as a query (CBO histograms
+    and data-skipping zone maps are this shape). The window partitions by
+    the group key (never a global sort), ties broken by o_orderkey for
+    cross-engine determinism; boundary values are untouched fixture doubles,
+    so no rounding discipline is needed."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(8).over(w).cast("bigint").alias("tile"),
+        )
+        .groupBy("o_orderpriority", "tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
