@@ -199,3 +199,61 @@ def run_to_memory_sink(
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+def stream_cms_maintenance(
+    spark: SparkSession, sf_dir: str, sketch_path: str
+) -> None:
+    """Incrementally maintain a persisted count-min sketch over the event
+    stream (frequency of event_type): each micro-batch builds its own tiny
+    sketch (operators/sketches.cms_build -- one grouped pass, <= d*w cells)
+    and merges it into the parquet-persisted sketch by (seed, bucket) sum,
+    stage-then-swap for atomicity. This is the streaming face of the
+    "sketch as a mergeable artifact" design: the persisted state stays
+    <= d*w rows forever, however much stream has flowed through.
+
+    Replay guard: CMS addition is NOT idempotent, so at-least-once
+    foreachBatch redelivery would double-count. A `_last_batch` column
+    carried in the sketch rows records the high-water batch id; batches at
+    or below it are skipped. The swap publishes counts and watermark
+    atomically -- effectively-once without a transactional table."""
+    import uuid as _uuid
+    from pathlib import Path
+
+    from ..operators.maintenance import _swap_in
+    from ..operators.sketches import cms_build
+
+    events = read_events_stream(spark, sf_dir).select("event_type")
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        target = Path(sketch_path)
+        if target.exists():
+            current = sess.read.parquet(str(target))
+            high = current.agg(F.max("_last_batch")).collect()[0][0]
+            if high is not None and batch_id <= high:
+                return  # replayed batch: already folded in
+            current = current.select("seed", "bucket", "cnt")
+        else:
+            current = None
+        delta = cms_build(batch, "event_type")
+        merged = delta if current is None else (
+            current.unionByName(delta)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        merged = merged.withColumn("_last_batch", F.lit(batch_id))
+        staging = target.with_name(
+            target.name + f".staging-{_uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("overwrite").parquet(str(staging))
+        _swap_in(staging, target)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_cms_")
+    q = (
+        events.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)

@@ -68,3 +68,26 @@ def test_kmv_relative_error(spark):
     for lang, e in est.items():
         rel = abs(e - exact[lang]) / exact[lang]
         assert rel < 0.35, (lang, e, exact[lang], rel)
+
+
+def test_stream_cms_equals_batch(spark, tmp_path):
+    # The incrementally-maintained sketch must equal the one-shot batch
+    # sketch: CMS merge is exact (per-cell sums), whatever the batch split.
+    from hive_person_service_spark.sources import load_table
+    from hive_person_service_spark.streaming.jobs import stream_cms_maintenance
+
+    path = str(tmp_path / "cms_sketch")
+    stream_cms_maintenance(spark, SF_SMALL, path)
+
+    streamed = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(path).collect()
+    }
+    batch = {
+        (r["seed"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            load_table(spark, SF_SMALL, "events").select("event_type"),
+            "event_type",
+        ).collect()
+    }
+    assert streamed == batch
