@@ -33,3 +33,4 @@ from . import tpch_rest  # noqa: F401,E402  (Q4/Q9/Q11/Q16/Q20/Q21 analogs)
 from . import pipeline3  # noqa: F401,E402  (PII scrub, mixture, repetition, blob dims)
 from . import sketches  # noqa: F401,E402  (deterministic CMS + KMV sketches)
 from . import extras5  # noqa: F401,E402  (streaks, winsorize, time-decay, EWMA)
+from . import pipeline4  # noqa: F401,E402  (batch-query ANN, fused corpus signals)
