@@ -11,10 +11,11 @@ New composite shapes vs the earlier batches:
        aggregate-join, the plan Catalyst itself produces for the subquery form)
 - Q19: disjunction of conjunctive range predicates across both join sides
 
-Float discipline follows tpch_more._money_sum: cent-rounded decimal sums so
-Spark's and DuckDB's accumulation orders cannot diverge; quantities are
-integral doubles (1..50, verified in FIXTURES.md) so AVG(l_quantity) is exact
-in both engines.
+Float discipline: money sums over COMPUTED terms use FLOOR-cents (exact
+BIGINT cent accumulation -- see sql_tpch_q19 and tpch_more._money_sum_cents;
+per-row cent ROUND proved engine-divergent on half-cent landings at sf0.1);
+quantities are integral doubles (1..50, verified in FIXTURES.md) so
+AVG(l_quantity) is exact in both engines.
 """
 
 from __future__ import annotations
@@ -116,32 +117,33 @@ def sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey,
-             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 2)
-                      AS DECIMAL(18,2))) AS tr
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS tr
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
       GROUP BY l_suppkey)
-    SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+    SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) / 100.0 AS total_revenue
     FROM supplier JOIN revenue ON s_suppkey = l_suppkey
     WHERE tr = (SELECT MAX(tr) FROM revenue)
     """,
 )
 def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep the
-    max-revenue supplier(s). The tie comparison happens on the exact
-    DECIMAL(18,2) accumulator, never on a double, so "equals the max" cannot
-    flake across engines; the cast to double happens only on output. The
-    single-row max broadcasts; revenue shuffles once on l_suppkey."""
+    max-revenue supplier(s). The tie comparison happens on the exact BIGINT
+    cent accumulator (FLOOR-cents discipline, cf. q19 -- per-row ROUND
+    itself proved engine-divergent on q5/q10 at sf0.1), never on a double,
+    so "equals the max" cannot flake across engines; the conversion to
+    double dollars happens only on output. The single-row max broadcasts;
+    revenue shuffles once on l_suppkey."""
     li = load_table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy("l_suppkey").agg(
         F.sum(
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).cast(
-                "decimal(18,2)"
-            )
+            F.floor((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100)
+            .cast("long")
         ).alias("tr")
     )
     max_rev = rev.agg(F.max("tr").alias("max_tr"))
@@ -151,7 +153,9 @@ def sql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tr") == F.col("max_tr"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
-            "s_suppkey", "s_name", F.col("tr").cast("double").alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            (F.col("tr").cast("double") / 100.0).alias("total_revenue"),
         )
     )
 

@@ -23,18 +23,35 @@ def _money_sum(term=None):
     (bit-identical per row across engines -- IEEE products of identical
     doubles), sum EXACTLY as DECIMAL, surface as DOUBLE. Plain
     round(sum(double), 2) flakes when a sum lands on a half-cent boundary
-    (observed at sf0.001: 261471.225 rounding both ways)."""
+    (observed at sf0.001: 261471.225 rounding both ways).
+
+    ONLY safe when each term is already an exact 2-decimal value (fixture
+    money columns like c_acctbal): there ROUND is a no-op in both engines.
+    For PRODUCTS (extprice * (1-disc)) the per-row ROUND itself diverges on
+    half-cent landings (Spark HALF_UP on exact binary vs DuckDB shortest-
+    decimal; hit q5/q10 at sf0.1) -- use _money_sum_cents for those."""
     if term is None:
         term = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return F.sum(F.round(term, 2).cast("decimal(18,2)")).cast("double")
+
+
+def _money_sum_cents(term=None):
+    """Engine-proof money sum for computed terms: truncate each term to
+    cents (FLOOR over the bit-identical IEEE product -- no rounding mode in
+    play), sum the exact BIGINT cents, surface as DOUBLE dollars. Matches
+    the q19/q9/q11 discipline; the SQL twin is
+    SUM(CAST(FLOOR(term * 100) AS BIGINT)) / 100.0."""
+    if term is None:
+        term = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return F.sum(F.floor(term * 100).cast("long")).cast("double") / 100.0
 
 
 @declare(
     "sql_tpch_q5",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 2)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -71,7 +88,7 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(_money_sum().alias("revenue"))
+        .agg(_money_sum_cents().alias("revenue"))
     )
 
 
@@ -79,8 +96,8 @@ def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_tpch_q10",
     oracle="""
     SELECT c_custkey, c_name, n_name, c_acctbal,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 2)
-                         AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -109,7 +126,7 @@ def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(_money_sum().alias("revenue"))
+        .agg(_money_sum_cents().alias("revenue"))
         .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
