@@ -91,3 +91,19 @@ def test_stream_cms_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_minhash_inrow_equals_grouped(spark):
+    # Zero-shuffle in-row signatures must be bit-identical to the
+    # explode+groupBy signatures (same constants, same arithmetic).
+    from hive_person_service_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+        minhash_signatures_inrow,
+    )
+    from hive_person_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    grouped = minhash_signatures(doc_shingles(docs)).orderBy("doc_id").collect()
+    inrow = minhash_signatures_inrow(docs).orderBy("doc_id").collect()
+    assert grouped == inrow
