@@ -306,3 +306,74 @@ def contamination_flags(
     return corpus.join(flagged, id_col, "left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
+
+
+def jaccard_prefix_candidates(
+    shingled: DataFrame, threshold: float = 0.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    Xiao et al., WWW'08): order each document's shingle set by ascending
+    global document frequency (rarest first); any two sets with
+    Jaccard >= t MUST share a shingle within each one's first
+    |set| - ceil(t * |set|) + 1 entries. Index ONLY those prefixes and
+    generate candidates from the prefix inverted index.
+
+    Why this is the scale move over the full inverted-index self-join:
+    (a) the index shrinks to the prefix fraction (~(1-t) of entries);
+    (b) the hottest shingles -- the skewed posting lists that dominate the
+    full join's fan-out -- sort LAST and rarely land in any prefix, so the
+    worst buckets never generate candidates; (c) the companion length
+    filter (t*|A| <= |B|) prunes cross-size pairs before verification.
+    Exact, not approximate: recall is 100% by the prefix lemma (pinned in
+    pytest against the full-index join)."""
+    gdf = shingled.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = shingled.join(gdf, "shingle").select(
+        F.col(id_col),
+        "shingle",
+        F.row_number()
+        .over(
+            Window.partitionBy(id_col).orderBy("df", "shingle")
+        )
+        .alias("pos"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("n"),
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("n").alias("n_a")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("n").alias("n_b")
+    )
+    return (
+        pa.join(pb, "shingle")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: Jaccard >= t forces t*|A| <= |B| <= |A|/t
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+            & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_join_prefix(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact threshold Jaccard self-join via prefix filtering: candidates
+    from jaccard_prefix_candidates, then exact verification over the full
+    shingle sets. Identical output to the full inverted-index join at the
+    same threshold -- only the candidate-generation strategy differs."""
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+    shingled = doc_shingles(docs, n=shingle_n).persist()
+    cands = jaccard_prefix_candidates(shingled, threshold=threshold, id_col=id_col)
+    return verify_jaccard(cands, shingled, id_col=id_col).where(
+        F.col("jaccard") >= threshold
+    )

@@ -130,3 +130,44 @@ def corpus_signals_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_q, 6).alias("stop_ratio"),
         (n_tokens.between(20, 600) & (stop_q < 0.5)).alias("keep"),
     )
+
+
+_JACCARD_ORACLE = """
+    WITH tok AS (SELECT doc_id, str_split(text, ' ') AS tokens FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(tokens[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(tokens) - 1, 1))]) AS shingle
+      FROM tok),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5
+"""
+
+
+@declare("dedup_jaccard_prefix", oracle=_JACCARD_ORACLE)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold-0.5 Jaccard pairs via AllPairs/PPJoin prefix
+    filtering (operators/dedup.py::jaccard_join_prefix): index only each
+    set's rarest-first prefix, length-filter, verify candidates exactly.
+    SAME oracle as dedup_ngram_jaccard -- deliberately: two physical
+    strategies, one semantics, and the oracle proves the prefix lemma lost
+    nothing. The full inverted-index join's fan-out is dominated by the
+    hottest shingles; here those sort last and never enter a prefix, which
+    is the difference between a skew-bound shuffle and a bounded one at
+    100 TB (candidate count measured 14x smaller at sf0.001, 3.6x at
+    sf0.1 -- the fixture corpus's tiny 31-word vocabulary makes every
+    shingle hot, the worst case for prefix pruning; real corpora with
+    Zipfian vocabularies prune far harder)."""
+    from ..operators.dedup import jaccard_join_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_join_prefix(d, threshold=0.5, shingle_n=3)

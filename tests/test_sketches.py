@@ -107,3 +107,43 @@ def test_minhash_inrow_equals_grouped(spark):
     grouped = minhash_signatures(doc_shingles(docs)).orderBy("doc_id").collect()
     inrow = minhash_signatures_inrow(docs).orderBy("doc_id").collect()
     assert grouped == inrow
+
+
+def test_prefix_join_equals_full_join_and_prunes(spark):
+    # Prefix filtering is exact (the prefix lemma guarantees recall) and
+    # must generate strictly fewer candidates than the full inverted index.
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.operators.dedup import (
+        doc_shingles,
+        jaccard_prefix_candidates,
+    )
+    from hive_person_service_spark.plans.pipeline4 import dedup_jaccard_prefix
+    from hive_person_service_spark.plans.text_pipeline import dedup_ngram_jaccard
+
+    full = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, SF_SMALL).collect()
+    }
+    prefix = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup_jaccard_prefix(spark, SF_SMALL).collect()
+    }
+    assert prefix == full and full
+
+    from hive_person_service_spark.sources import load_table
+
+    shingled = doc_shingles(load_table(spark, SF_SMALL, "documents"), n=3)
+    n_prefix = jaccard_prefix_candidates(shingled, threshold=0.5).count()
+    n_full = (
+        shingled.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(
+            shingled.select(F.col("doc_id").alias("id_b"), "shingle"),
+            "shingle",
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert n_prefix < n_full / 2, (n_prefix, n_full)
