@@ -217,3 +217,69 @@ def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@declare(
+    "events_cumulative_users",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+    new_per_day AS (
+      SELECT d, COUNT(*) AS new_users FROM first_day GROUP BY d)
+    SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+           SUM(new_users) OVER (ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_users
+    FROM new_per_day
+    """,
+)
+def events_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day -- the growth curve. Running
+    COUNT(DISTINCT) over an expanding window is quadratic done naively;
+    the standard reduction is first-touch attribution: min(date) per user
+    (one user-keyed aggregate), count news per day, prefix-sum. The only
+    unpartitioned window runs over ~#days rows (the grouped result), never
+    the event stream. Day is emitted as a string (registry rule: no DATE
+    output columns)."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    per_day = first_day.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+@declare(
+    "events_rolling_wau",
+    oracle="""
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    spine AS (SELECT DISTINCT d FROM days)
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT a.user_id) AS wau
+    FROM spine s JOIN days a ON a.d BETWEEN s.d - 6 AND s.d
+    GROUP BY s.d
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU). Distinct-over-sliding-
+    window is not a frame-expressible aggregate (distinct state cannot
+    merge by subtraction), so the plan is the day-spine range join: distinct
+    (user, day) once -- the event stream collapses ~30x before anything
+    else -- then each spine day joins its trailing week and counts distinct
+    users. The join fans out at most 7x the compacted day relation,
+    independent of raw event volume; the spine is tiny and broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    spine = days.select(F.col("d").alias("sd")).distinct()
+    return (
+        days.join(
+            F.broadcast(spine),
+            (F.col("d") >= F.date_sub(F.col("sd"), 6)) & (F.col("d") <= F.col("sd")),
+        )
+        .groupBy("sd")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("sd", "yyyy-MM-dd").alias("day"), "wau")
+    )
