@@ -283,3 +283,78 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau"))
         .select(F.date_format("sd", "yyyy-MM-dd").alias("day"), "wau")
     )
+
+
+@declare(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, med,
+             quantile_cont(abs(value - med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type, med)
+    SELECT event_id, e.event_type, value,
+           (abs(value - med) > 3 * 1.4826 * mad) AS is_outlier
+    FROM events e JOIN mad USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags: |value - median| > 3 * 1.4826 * MAD per event
+    type -- the median-absolute-deviation detector that, unlike the 3-sigma
+    flags (events_anomaly), is not itself dragged by the outliers it hunts.
+    Two grouped percentile passes (median, then median of absolute
+    deviations with the median broadcast back), then a broadcast of the
+    tiny per-type stats onto the stream. At 100 TB both percentile passes
+    swap to percentile_approx and the shape is unchanged. Exactness: both
+    engines interpolate quantiles identically on identical doubles
+    (agg_percentile precedent), and the flag's margin is huge relative to
+    any ulp drift."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy(F.col("event_type").alias("met")).agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), ev.event_type == F.col("met"))
+    mad = with_med.groupBy(F.col("event_type").alias("mat")).agg(
+        F.first("med").alias("med2"),
+        F.percentile(F.abs(F.col("value") - F.col("med")), 0.5).alias("mad"),
+    )
+    return (
+        ev.join(F.broadcast(mad), ev.event_type == F.col("mat"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                F.abs(F.col("value") - F.col("med2"))
+                > 3 * 1.4826 * F.col("mad")
+            ).alias("is_outlier"),
+        )
+    )
+
+
+@declare(
+    "fn_printf",
+    oracle="""
+    SELECT c_custkey,
+           printf('C%08d', c_custkey) AS cust_code,
+           printf('%x', c_nationkey) AS nation_hex,
+           printf('%s=%.2f', c_mktsegment, c_acctbal) AS seg_bal
+    FROM customer
+    """,
+)
+def fn_printf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C-style string formatting (Spark format_string == Java formatter,
+    DuckDB printf == fmt): zero-padded codes, hex rendering, mixed-type
+    templates -- the report/export surface. %.2f is applied only to
+    c_acctbal, an exact 2-decimal fixture value, so the rendered digits
+    cannot depend on rounding-mode differences between the formatters."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.format_string("C%08d", "c_custkey").alias("cust_code"),
+        F.format_string("%x", "c_nationkey").alias("nation_hex"),
+        F.format_string("%s=%.2f", "c_mktsegment", "c_acctbal").alias("seg_bal"),
+    )
