@@ -171,3 +171,38 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return jaccard_join_prefix(d, threshold=0.5, shingle_n=3)
+
+
+@declare(
+    "person_pseudonymize",
+    oracle="""
+    SELECT sha256('corpus-v1:' || CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+           substr(c_name, 1, 1) || '***' AS name_masked,
+           CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band,
+           c_mktsegment,
+           c_nationkey
+    FROM customer
+    """,
+)
+def person_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving person export (the governance surface a person
+    service owes its data): subject key -> salted sha256 (STABLE, so the
+    pseudonymized orders table still joins on pseudo_id), name masked to an
+    initial, balance generalized to $1000 bands (k-anonymity-style
+    coarsening), segment/nation kept as analysis dimensions. Pure map-side
+    expression work at scan speed. The salt lives in code/config, never in
+    the data -- without it the mapping is non-reversible.
+    operators/governance.py also ships erase_rows (GDPR deletion as an
+    anti-join rewrite + atomic swap; tested with receipts + idempotence)."""
+    from ..operators.governance import pseudonymize_key
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        pseudonymize_key("c_custkey", "corpus-v1").alias("pseudo_id"),
+        F.concat(F.substring("c_name", 1, 1), F.lit("***")).alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("bigint").alias(
+            "acctbal_band"
+        ),
+        "c_mktsegment",
+        "c_nationkey",
+    )
