@@ -140,3 +140,17 @@ class Engine:
         from .operators.skipping import skipping_scan
 
         return skipping_scan(self.spark, table_path, stats, column, lo, hi)
+
+    # -- governance -------------------------------------------------------
+    def erase(self, table_path: str, keys: DataFrame, key_col: str) -> dict:
+        """GDPR erasure with a receipt (operators/governance.py)."""
+        from .operators.governance import erase_rows
+
+        return erase_rows(self.spark, table_path, keys, key_col)
+
+    def pseudonymize(
+        self, df: DataFrame, key_col: str, salt: str, drop: Sequence[str] = ()
+    ) -> DataFrame:
+        from .operators.governance import pseudonymize
+
+        return pseudonymize(df, key_col, salt, drop=list(drop))

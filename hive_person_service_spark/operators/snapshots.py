@@ -76,6 +76,27 @@ class SnapshotTable:
     def history(self) -> list[dict]:
         return self._manifest()["versions"]
 
+    def expire(self, keep_last: int = 2) -> list[int]:
+        """Retention: drop snapshot data older than the newest ``keep_last``
+        versions (the current version is always kept, wherever it points).
+        Data deletion is physical; the manifest prunes the expired entries
+        atomically AFTER the directories are gone, so a crash mid-expire
+        leaves readable state. Returns the expired version numbers -- time
+        travel back past the horizon now raises, by design."""
+        import shutil
+
+        m = self._manifest()
+        versions = sorted(e["version"] for e in m["versions"])
+        keep = set(versions[-keep_last:]) | {m["current"]}
+        doomed = [v for v in versions if v not in keep]
+        for v in doomed:
+            shutil.rmtree(self.root / f"v={v}", ignore_errors=True)
+        m["versions"] = [e for e in m["versions"] if e["version"] in keep]
+        tmp = self.root / f".manifest-{uuid.uuid4().hex[:8]}.json"
+        tmp.write_text(json.dumps(m, indent=1))
+        os.replace(tmp, self._manifest_path)
+        return doomed
+
     def diff(self, v_from: int, v_to: int) -> DataFrame:
         """Change data feed between two snapshots: full rows tagged
         'added' (in v_to only) or 'removed' (in v_from only) -- bag

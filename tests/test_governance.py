@@ -51,3 +51,52 @@ def test_pseudonymize_stability_and_join_integrity(spark):
     assert pc.join(pc2, "pseudo_id").count() == 0
     # identifiers are gone
     assert "c_custkey" not in pc.columns and "c_name" not in pc.columns
+
+
+def test_engine_governance_wrappers(spark, tmp_path):
+    from hive_person_service_spark.engine import Engine
+
+    eng = Engine(spark)
+    path = str(tmp_path / "t")
+    load_table(spark, SF_SMALL, "customer").write.parquet(path)
+    r = eng.erase(path, spark.createDataFrame([(5,)], ["c_custkey"]), "c_custkey")
+    assert r["erased"] == 1
+    p = eng.pseudonymize(
+        load_table(spark, SF_SMALL, "customer"), "c_custkey", "s", drop=["c_name"]
+    )
+    assert "pseudo_id" in p.columns and "c_name" not in p.columns
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    # Lake reality: new columns appear over time; mergeSchema reads the
+    # union schema with nulls backfilled for old files.
+    path = str(tmp_path / "evolving")
+    c = load_table(spark, SF_SMALL, "customer")
+    c.select("c_custkey", "c_mktsegment").write.parquet(path + "/batch=1")
+    c.select(
+        "c_custkey", "c_mktsegment", F.lit("v2").alias("ingest_tag")
+    ).write.parquet(path + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) >= {"c_custkey", "c_mktsegment", "ingest_tag"}
+    n = c.count()
+    assert merged.count() == 2 * n
+    assert merged.where(F.col("ingest_tag").isNull()).count() == n
+
+
+def test_snapshot_expire_retention(spark, tmp_path):
+    from hive_person_service_spark.operators.snapshots import SnapshotTable
+
+    t = SnapshotTable(spark, str(tmp_path / "snap"))
+    c = load_table(spark, SF_SMALL, "customer")
+    for i in range(1, 5):
+        t.write(c.limit(i * 10), note=f"v{i}")
+    expired = t.expire(keep_last=2)
+    assert expired == [1, 2]
+    assert [e["version"] for e in t.history()] == [3, 4]
+    assert t.read().count() == 40          # current still readable
+    assert t.read(3).count() == 30         # horizon version readable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.read(1)                          # expired => gone, loudly
