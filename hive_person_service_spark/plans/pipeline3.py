@@ -189,3 +189,103 @@ def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     win is never materializing full payloads for a metadata-only query."""
     docs = load_table(spark, sf_dir, "documents")
     return png_dims(synth_png_assets(docs))
+
+
+@declare(
+    "text_feature_hash",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(token), 1, 8))::UBIGINT % 256 AS bucket,
+           COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens -> 256 hashed feature buckets with counts,
+    the fixed-width bag-of-words featurization (HashingTF's semantics) in
+    long form. md5-derived buckets make the features engine-reproducible --
+    a model trained on them can be re-featurized anywhere (the same
+    argument as the CMS/KMV sketches). One explode + one (doc, bucket)
+    grouped pass; the feature space is fixed at 256 regardless of
+    vocabulary, which is the entire point at 100 TB -- no vocabulary dict
+    to build, broadcast, or keep consistent."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long") % 256
+    )
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@declare(
+    "text_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS g
+      FROM toks),
+    big AS (SELECT g.w1 AS w1, g.w2 AS w2, COUNT(*) AS c2
+            FROM grams GROUP BY 1, 2),
+    uni AS (SELECT g.w1 AS w1, COUNT(*) AS c1 FROM grams GROUP BY 1)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           FLOOR(exp(-AVG(ln(CAST(c2 AS DOUBLE) / c1))) * 10000 + 0.5)
+               / 10000.0 AS ppl_proxy
+    FROM grams
+    JOIN big ON g.w1 = big.w1 AND g.w2 = big.w2
+    JOIN uni ON g.w1 = uni.w1
+    GROUP BY doc_id
+    """,
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: train a bigram language model ON the
+    corpus itself (P(w2|w1) = count(w1 w2)/count(w1 _)) and score each
+    document by exp(-mean log P) over its bigrams -- the KenLM-style
+    fluency filter of corpus pipelines, self-contained (no external model).
+    High proxy => improbable word sequences. Three aggregates over one
+    exploded bigram relation (model counts are corpus-wide, scores per
+    doc); the model tables are vocabulary-sized and broadcast back onto
+    the stream. ln/exp are transcendental, so the score is half-up-rounded
+    to 4 via the engine-proof FLOOR(x*1e4+0.5) idiom; the AVG over exact
+    count ratios is the one accumulation risk and stays within rounding
+    tolerance at every fixture SF (verified)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    grams = docs.select("doc_id", F.explode(pairs).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    big = grams.groupBy(
+        F.col("w1").alias("bw1"), F.col("w2").alias("bw2")
+    ).agg(F.count("*").alias("c2"))
+    uni = grams.groupBy(F.col("w1").alias("uw1")).agg(F.count("*").alias("c1"))
+    scored = (
+        grams.join(
+            F.broadcast(big),
+            (F.col("w1") == F.col("bw1")) & (F.col("w2") == F.col("bw2")),
+        )
+        .join(F.broadcast(uni), F.col("w1") == F.col("uw1"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.avg(F.log(F.col("c2").cast("double") / F.col("c1"))).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        (F.floor(F.exp(-F.col("nll")) * 10000 + 0.5) / 10000.0).alias("ppl_proxy"),
+    )
