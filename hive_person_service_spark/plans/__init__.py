@@ -34,3 +34,4 @@ from . import pipeline3  # noqa: F401,E402  (PII scrub, mixture, repetition, blo
 from . import sketches  # noqa: F401,E402  (deterministic CMS + KMV sketches)
 from . import extras5  # noqa: F401,E402  (streaks, winsorize, time-decay, EWMA)
 from . import pipeline4  # noqa: F401,E402  (batch-query ANN, fused corpus signals)
+from . import pipeline5  # noqa: F401,E402  (Gopher rules, line dedup, URL blocklist)
