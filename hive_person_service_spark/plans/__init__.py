@@ -35,3 +35,5 @@ from . import sketches  # noqa: F401,E402  (deterministic CMS + KMV sketches)
 from . import extras5  # noqa: F401,E402  (streaks, winsorize, time-decay, EWMA)
 from . import pipeline4  # noqa: F401,E402  (batch-query ANN, fused corpus signals)
 from . import pipeline5  # noqa: F401,E402  (Gopher rules, line dedup, URL blocklist)
+from . import vector_pipeline2  # noqa: F401,E402  (kmeans assign, SemDeDup, int8 quant)
+from . import extras6  # noqa: F401,E402  (regression aggregates)
