@@ -37,3 +37,4 @@ from . import pipeline4  # noqa: F401,E402  (batch-query ANN, fused corpus signa
 from . import pipeline5  # noqa: F401,E402  (Gopher rules, line dedup, URL blocklist)
 from . import vector_pipeline2  # noqa: F401,E402  (kmeans assign, SemDeDup, int8 quant)
 from . import extras6  # noqa: F401,E402  (regression aggregates)
+from . import analytics2  # noqa: F401,E402  (interleave, entropy, interarrival, cohorts)
