@@ -182,3 +182,106 @@ def png_dims(assets: DataFrame) -> DataFrame:
             )
 
     return assets.select("asset_id", "blob").mapInPandas(parse, PNG_DIMS_SCHEMA)
+
+
+# --- Audio (WAV) -----------------------------------------------------------
+
+WAV_META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("bits", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def make_wav_header(sample_rate: int, n_samples: int, channels: int = 1,
+                    bits: int = 16) -> bytes:
+    """Minimal valid WAV (RIFF) header + empty data chunk declaration:
+    RIFF/WAVE magic, fmt chunk (PCM, channels, rate, byte rate, block
+    align, bits), data chunk size = n_samples * block_align. A parser needs
+    only these 44 bytes -- real payloads would follow."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+
+
+def synth_wav_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV-headered blobs from the documents fixture:
+    sample_rate = 8000 + (doc_id % 5) * 4000, n_samples = 1000 +
+    (doc_id * 37) % 50000 -- the oracle re-derives both arithmetically, so
+    parsing them back from bytes independently checks the binary path."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "blob": [
+                        make_wav_header(
+                            int(8000 + (i % 5) * 4000),
+                            int(1000 + (i * 37) % 50000),
+                        )
+                        for i in ids
+                    ],
+                    "media_type": "audio/wav",
+                    "width": pd.Series([None] * len(ids), dtype="object"),
+                    "height": pd.Series([None] * len(ids), dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(synth, ASSET_SCHEMA)
+
+
+def wav_meta(assets: DataFrame) -> DataFrame:
+    """Parse sample rate / channels / bits / sample count / duration out of
+    WAV blobs byte-wise (RIFF+fmt+data offsets). Reads only the 44-byte
+    header per blob; duration_ms = n_samples * 1000 // sample_rate (exact
+    integer arithmetic, engine-reproducible)."""
+    import struct
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("sample_rate", "channels", "bits", "n_samples",
+                     "duration_ms")}
+            for b in pdf["blob"]:
+                raw = bytes(b)
+                if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+                    for k in rows:
+                        rows[k].append(-1)
+                    continue
+                _, channels, rate, _, block_align, bits = struct.unpack(
+                    "<HHIIHH", raw[20:36]
+                )
+                data_size = struct.unpack("<I", raw[40:44])[0]
+                n = data_size // block_align
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(channels)
+                rows["bits"].append(bits)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // rate)
+            out = {"asset_id": pdf["asset_id"].astype("int64")}
+            out.update({k: pd.Series(v, dtype="int64") for k, v in rows.items()})
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "blob").mapInPandas(parse, WAV_META_SCHEMA)

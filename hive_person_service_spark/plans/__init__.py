@@ -38,3 +38,4 @@ from . import pipeline5  # noqa: F401,E402  (Gopher rules, line dedup, URL block
 from . import vector_pipeline2  # noqa: F401,E402  (kmeans assign, SemDeDup, int8 quant)
 from . import extras6  # noqa: F401,E402  (regression aggregates)
 from . import analytics2  # noqa: F401,E402  (interleave, entropy, interarrival, cohorts)
+from . import pipeline6  # noqa: F401,E402  (WAV meta, frame sampling, BPE encode)

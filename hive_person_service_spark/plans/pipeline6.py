@@ -1,0 +1,108 @@
+"""Pipeline batch 6 -- audio/video modality plumbing + tokenization:
+
+- multimodal_wav_meta (oracle-checked): synthesize WAV-headered blobs
+  (operators/multimodal.py), parse sample rate / channels / bits / sample
+  count / duration back out of the raw RIFF bytes via Arrow mapInPandas.
+  The oracle re-derives every field arithmetically from doc_id, so the
+  match proves the byte-level round trip -- the audio twin of
+  multimodal_image_dims.
+- multimodal_frame_sample (oracle-checked): video frame sampling as a
+  METADATA operation -- every k-th frame index with its byte offset and
+  timestamp computed arithmetically (sequence + explode, all JVM-side).
+  At 100 TB the sampler emits (offset, length) read plans and only the
+  sampled frames' bytes ever move; the decode itself stays behind the
+  stubbed multimodal decode path.
+- text_bpe_encode (rows-only): real greedy BPE with a fixed rank-ordered
+  merge table (operators/tokenize.py) over Arrow batches; pytest pins the
+  Spark output to the pure-Python reference and the merge behavior itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import synth_wav_assets, wav_meta
+from ..operators.tokenize import bpe_encode
+from ..sources import load_table
+from .registry import declare
+
+# Video frame-sampling parameters (metadata-level).
+FPS = 24
+FRAME_BYTES = 3 * 64 * 64  # RGB 64x64 synthetic frames
+HEADER_BYTES = 64
+SAMPLE_EVERY = 12
+
+
+@declare(
+    "multimodal_wav_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           8000 + (doc_id % 5) * 4000 AS sample_rate,
+           CAST(1 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           1000 + (doc_id * 37) % 50000 AS n_samples,
+           CAST((1000 + (doc_id * 37) % 50000) * 1000
+                // (8000 + (doc_id % 5) * 4000) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV metadata extraction: synthesize RIFF/WAVE blobs deterministically
+    from doc_id, then parse rate/channels/bits/samples/duration back out of
+    the header bytes (44-byte reads -- a metadata pass never touches
+    payload bytes). Oracle re-derives the fields arithmetically, so the
+    binary round trip is independently checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_meta(synth_wav_assets(docs))
+
+
+@declare(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id AS asset_id, n_frames, frame_idx,
+           {HEADER_BYTES} + frame_idx * {FRAME_BYTES} AS byte_offset,
+           CAST(frame_idx * 1000 // {FPS} AS BIGINT) AS ts_ms
+    FROM (
+      SELECT doc_id, 24 + doc_id % 240 AS n_frames,
+             unnest(range(0, 24 + doc_id % 240, {SAMPLE_EVERY})) AS frame_idx
+      FROM documents)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-k-th video frame sampling as metadata: per asset (n_frames
+    derived from doc_id), emit sampled frame indices with exact byte
+    offsets and timestamps via sequence+explode -- a pure JVM pass that
+    produces the (offset, length) read plan; only sampled frames' bytes
+    would ever be fetched at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = (24 + F.col("doc_id") % 240).cast("long")
+    return (
+        docs.select(
+            F.col("doc_id").alias("asset_id"),
+            n_frames.alias("n_frames"),
+            F.explode(
+                F.sequence(F.lit(0), n_frames - 1, F.lit(SAMPLE_EVERY))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "asset_id",
+            "n_frames",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            (HEADER_BYTES + F.col("frame_idx") * FRAME_BYTES)
+            .cast("long")
+            .alias("byte_offset"),
+            F.floor(F.col("frame_idx") * 1000 / FPS).cast("long").alias("ts_ms"),
+        )
+    )
+
+
+@declare("text_bpe_encode", oracle=None)  # rows-only: iterative merge loop
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE tokenization with a fixed merge table (the trained-
+    tokenizer artifact) over Arrow batches -- the iterative merge loop is
+    the documented Python-path exception. pytest pins Spark output ==
+    pure-Python reference and that merges actually fire ('the' -> 1
+    token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs)
