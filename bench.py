@@ -17,6 +17,38 @@ import sys
 import time
 
 
+def _multifile_dir(spark, sf_dir: str, nfiles: int) -> str:
+    """Rewrite the fixture tables into an nfiles-per-table layout (once,
+    cached) and return the new dir. Single-file fixtures cap local scan
+    parallelism at one task per row-group; a production lake is many files,
+    and tests/test_multifile.py pins that results are layout-invariant.
+    Opt-in via SPARK_GRAFT_MULTIFILE so default numbers stay comparable
+    with BASELINE.md's single-file methodology."""
+    import shutil
+
+    from hive_person_service_spark.sources import TABLES
+    from hive_person_service_spark.sources.schemas import SCHEMAS
+
+    tag = sf_dir.rstrip("/").replace("/", "_")
+    out = f"/tmp/spark_graft_mf{nfiles}_{tag}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        for t in TABLES:
+            # events: keep the raw int64 nanos column (no ts conversion),
+            # so the rewritten table round-trips through the same loader.
+            schema = SCHEMAS["events_raw"] if t == "events" else SCHEMAS[t]
+            df = spark.read.schema(schema).parquet(
+                os.path.join(sf_dir, f"{t}.parquet")
+            )
+            df.repartition(nfiles).write.mode("overwrite").parquet(
+                os.path.join(out, f"{t}.parquet")
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return out
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -30,6 +62,12 @@ def main() -> int:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    nfiles = int(os.environ.get("SPARK_GRAFT_MULTIFILE", "0"))
+    layout = "single-file"
+    if nfiles > 1:
+        sf_dir = _multifile_dir(spark, sf_dir, nfiles)
+        layout = f"multifile-{nfiles}"
 
     # Warm the JVM + page cache (BASELINE.md methodology), and the Python
     # worker pool (first pandas-UDF call otherwise pays ~5s of fork+Arrow
@@ -79,6 +117,7 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "layout": layout,
     }
     print(json.dumps(result))
     spark.stop()
