@@ -39,3 +39,4 @@ from . import vector_pipeline2  # noqa: F401,E402  (kmeans assign, SemDeDup, int
 from . import extras6  # noqa: F401,E402  (regression aggregates)
 from . import analytics2  # noqa: F401,E402  (interleave, entropy, interarrival, cohorts)
 from . import pipeline6  # noqa: F401,E402  (WAV meta, frame sampling, BPE encode)
+from . import pipeline7  # noqa: F401,E402  (URL canonicalization, grouped reservoir)

@@ -53,6 +53,33 @@ _BLOCKLIST = [
 ]
 
 
+def gopher_keep() -> "F.Column":
+    """The combined Gopher keep gate as a reusable Column over `text` --
+    shared by the declared batch query and the streaming quality gate
+    (streaming/jobs.py), so both paths apply identical semantics."""
+    toks = tokens_expr()
+    n = F.size(toks)
+    mean_wlen = (F.length("text") - n + F.lit(1.0)) / n
+    stop_count = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS)))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    rep_ratio = (
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1)
+    )
+    return (
+        (n >= WC_MIN)
+        & (n <= WC_MAX)
+        & (mean_wlen >= MWL_MIN)
+        & (mean_wlen <= MWL_MAX)
+        & (stop_count >= STOP_MIN)
+        & (rep_ratio <= REP_MAX)
+    )
+
+
 @declare(
     "text_gopher_quality",
     oracle=f"""

@@ -1,6 +1,8 @@
 from .jobs import (
+    read_documents_stream,
     read_events_stream,
     run_to_memory_sink,
+    stream_quality_gate,
     stream_dedup_within_watermark,
     stream_session_agg,
     stream_sliding_agg,
@@ -10,8 +12,10 @@ from .jobs import (
 )
 
 __all__ = [
+    "read_documents_stream",
     "read_events_stream",
     "run_to_memory_sink",
+    "stream_quality_gate",
     "stream_dedup_within_watermark",
     "stream_session_agg",
     "stream_sliding_agg",

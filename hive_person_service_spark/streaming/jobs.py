@@ -257,3 +257,27 @@ def stream_cms_maintenance(
         .start()
     )
     q.awaitTermination(180)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the documents parquet (append-only corpus
+    model): new crawl batches land as files; maxFilesPerTrigger simulates
+    incremental arrival."""
+    configure(spark)
+    return (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/documents.*")
+    )
+
+
+def stream_quality_gate(docs: DataFrame) -> DataFrame:
+    """Streaming corpus-quality gate: apply the Gopher rule battery
+    (plans/pipeline5.gopher_keep -- the SAME Column expression as the batch
+    query, so batch and stream can never drift) to documents as they
+    arrive. Stateless map/filter: no watermark, no state store; at scale
+    this is the continuous admission filter in front of the training-data
+    lake."""
+    from ..plans.pipeline5 import gopher_keep
+
+    return docs.where(gopher_keep()).select("doc_id", "lang", "source", "n_chars")
