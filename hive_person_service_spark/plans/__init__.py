@@ -40,3 +40,4 @@ from . import extras6  # noqa: F401,E402  (regression aggregates)
 from . import analytics2  # noqa: F401,E402  (interleave, entropy, interarrival, cohorts)
 from . import pipeline6  # noqa: F401,E402  (WAV meta, frame sampling, BPE encode)
 from . import pipeline7  # noqa: F401,E402  (URL canonicalization, grouped reservoir)
+from . import analytics3  # noqa: F401,E402  (PMI, Zipf fit, Markov, attribution)
