@@ -178,3 +178,62 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(codes, lambda c: F.abs(c) == 127)).cast("long").alias("n_sat"),
         (F.floor(mae_sum / 64.0 * 1e9 + 0.5) / 1e9).alias("mae"),
     )
+
+
+OUTLIER_TOPK = 20
+
+
+@declare(
+    "emb_label_outliers",
+    oracle=f"""
+    WITH expl AS (
+      SELECT vec_id, label, pos, CAST(embedding AS DOUBLE[])[pos] AS v
+      FROM embeddings, unnest(generate_series(1, 64)) AS g(pos)),
+    cent AS (
+      SELECT label, pos, AVG(v) AS c FROM expl GROUP BY label, pos),
+    dist AS (
+      SELECT e.vec_id, e.label,
+             FLOOR(SUM((e.v - c.c) * (e.v - c.c)) * 1e6 + 0.5) / 1e6 AS d2
+      FROM expl e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY e.vec_id, e.label)
+    SELECT label, vec_id, d2, rk FROM (
+      SELECT label, vec_id, d2,
+             CAST(row_number() OVER (
+               PARTITION BY label ORDER BY d2 DESC, vec_id) AS BIGINT) AS rk
+      FROM dist)
+    WHERE rk <= {OUTLIER_TOPK}
+    """,
+)
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: squared L2 distance of each vector to its OWN
+    label's centroid, top-20 farthest per label (mislabel candidates --
+    the embedding-space label-noise detector). Centroids come from a
+    per-(label, dim) grouped average over the posexploded vectors; ranking
+    happens on the FLOOR-rounded distance (6dp) with a vec_id tie-break, so
+    cross-engine float accumulation differences cannot reorder ranks.
+    Per-label windows are bounded; rank<=k pushes down (WindowGroupLimit)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(to_double_array("embedding")).alias("pos0", "v"),
+    ).select("vec_id", "label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = expl.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    dist = (
+        expl.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.floor(F.sum((F.col("v") - F.col("c")) ** 2) * 1e6 + 0.5) / 1e6
+            ).alias("d2")
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(F.desc("d2"), "vec_id")
+    )
+    return (
+        dist.select("label", "vec_id", "d2", rk.cast("long").alias("rk"))
+        .where(F.col("rk") <= OUTLIER_TOPK)
+    )
