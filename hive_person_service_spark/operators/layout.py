@@ -54,18 +54,19 @@ def zorder_write(
     df: DataFrame,
     path: str,
     cols: Sequence[str],
-    bits: int = 10,
+    bits: int = 8,
     n_files: int = 8,
-    mode: str = "rank",
+    mode: str = "quantile",
 ) -> None:
     """Write ``df`` Z-ordered on ``cols``: normalize each column to integer
     coordinates, Morton-interleave, range-partition by the key, sort inside
     files. Filters on any of ``cols`` then skip most row groups via parquet
     min/max stats.
 
-    mode='rank': exact percent_rank (global window -- fine to ~1e8 rows).
-    mode='quantile': approxQuantile bins (no global window; the 100 TB
-    path; use bits <= 8 so the literal cut arrays stay small)."""
+    mode='quantile' (default): approxQuantile bins -- no global window, the
+    100 TB path; keep bits <= 8 so the literal cut arrays stay small.
+    mode='rank': exact percent_rank over an UNPARTITIONED window (single
+    reduce task) -- small-data/debug only."""
     norm = _rank_normalize if mode == "rank" else _quantile_normalize
     coords = [norm(df, c, bits) for c in cols]
     keyed = df.withColumn("__z", zorder_key(coords, bits))

@@ -41,3 +41,58 @@ from . import analytics2  # noqa: F401,E402  (interleave, entropy, interarrival,
 from . import pipeline6  # noqa: F401,E402  (WAV meta, frame sampling, BPE encode)
 from . import pipeline7  # noqa: F401,E402  (URL canonicalization, grouped reservoir)
 from . import analytics3  # noqa: F401,E402  (PMI, Zipf fit, Markov, attribution)
+
+# The driver certifies a bounded prefix of this registry (round 1: exactly
+# the first 50 entries), so insertion order is evidence policy, not style.
+# Reorder so that prefix carries one representative per SURVEY.md §2 family
+# -- A scans, B-G relational, H fn families (string/datetime/math/cond/
+# array/map/JSON/hash), I streaming batch-equivalents, J LLM-pipeline
+# (dedup/similarity/text/multimodal), K UDF/UDAF/UDTF -- instead of being
+# 100% relational. Redundant same-family variants (extra filter shapes,
+# set-op ALLs, TPC-H analogs) sort after the prefix; they keep their
+# round-1 driver greens and stay covered by selfcheck/pytest.
+_CERT_PRIORITY = [
+    # A: scan + project (parquet pushdown)
+    "scan_project",
+    # B: filter / project / distinct
+    "filter_pred", "proj_case_when", "filter_null", "distinct_rows",
+    # C: joins
+    "join_inner", "join_broadcast", "join_left_outer", "join_semi",
+    "join_anti", "join_range", "join_asof",
+    # D: aggregates
+    "agg_groupby", "agg_count_distinct", "agg_approx_distinct",
+    "agg_rollup", "agg_grouping_sets", "agg_percentile", "agg_stats",
+    # E: windows
+    "win_rank", "win_lag_lead", "win_running_sum", "win_topk_per_group",
+    # F: sort / limit
+    "sort_global", "sort_limit_topk",
+    # G: set ops
+    "set_union_all", "set_except",
+    # H: scalar fn families
+    "fn_string", "fn_datetime", "fn_math", "fn_conditional",
+    "fn_array_explode", "fn_map", "fn_json_props", "fn_hash",
+    # I: event-time windows + stateful dedup (batch equivalents)
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_dedup_events",
+    # J: LLM-data-pipeline surface
+    "dedup_exact", "dedup_near", "dedup_ngram_jaccard",
+    "sim_topk", "sim_knn_join", "text_term_freq", "text_tfidf",
+    "multimodal_blob",
+    # K: Python extension points
+    "udf_scalar", "udaf_grouped", "udtf_python",
+]
+assert len(_CERT_PRIORITY) == 50
+
+
+def _reorder_for_certification() -> None:
+    missing = [n for n in _CERT_PRIORITY if n not in REGISTRY]
+    if missing:  # fail loudly at import: a rename must update this list
+        raise KeyError(f"_CERT_PRIORITY names not in REGISTRY: {missing}")
+    head = set(_CERT_PRIORITY)
+    tail = [n for n in REGISTRY if n not in head]
+    ordered = {n: REGISTRY[n] for n in [*_CERT_PRIORITY, *tail]}
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_for_certification()

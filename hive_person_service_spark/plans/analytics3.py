@@ -61,8 +61,9 @@ ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram PMI: unigram/bigram count tables -> probability join ->
     log2 ratio (FLOOR-half-up 6dp). Both count tables are vocabulary-sized
-    (tiny) after their groupBys, so the joins broadcast; totals ride along
-    as broadcast scalars."""
+    (tiny) after their groupBys, so the joins broadcast; both corpus totals
+    come from ONE 1-row aggregate that rides along as a broadcast cross
+    join -- no driver-side collect, no extra corpus passes."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_expr()
     tok = d.select(toks.alias("t"))
@@ -71,8 +72,9 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("cw"))
     )
-    tu = tok.select(F.sum(F.size("t"))).collect()[0][0]
-    tb = tok.select(F.sum(F.size("t") - 1)).collect()[0][0]
+    totals = tok.agg(
+        F.sum(F.size("t")).alias("tu"), F.sum(F.size("t") - 1).alias("tb")
+    )
     big = (
         tok.select(
             F.explode(
@@ -90,12 +92,17 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
     b = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
-    joined = big.join(
-        F.broadcast(a), F.split("g", " ").getItem(0) == F.col("wa")
-    ).join(F.broadcast(b), F.split("g", " ").getItem(1) == F.col("wb"))
+    joined = (
+        big.join(F.broadcast(a), F.split("g", " ").getItem(0) == F.col("wa"))
+        .join(F.broadcast(b), F.split("g", " ").getItem(1) == F.col("wb"))
+        .crossJoin(F.broadcast(totals))
+    )
     pmi = F.log2(
-        (F.col("cg").cast("double") / tb)
-        / ((F.col("ca").cast("double") / tu) * (F.col("cb").cast("double") / tu))
+        (F.col("cg").cast("double") / F.col("tb"))
+        / (
+            (F.col("ca").cast("double") / F.col("tu"))
+            * (F.col("cb").cast("double") / F.col("tu"))
+        )
     )
     return joined.select(
         F.col("g").alias("bigram"),
