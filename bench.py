@@ -30,17 +30,20 @@ def _multifile_dir(spark, sf_dir: str, nfiles: int) -> str:
     from hive_person_service_spark.sources.schemas import SCHEMAS
 
     tag = sf_dir.rstrip("/").replace("/", "_")
-    out = f"/tmp/spark_graft_mf{nfiles}_{tag}"
+    out = f"/tmp/spark_graft_mf{nfiles}v2_{tag}"
     done = os.path.join(out, "_DONE")
     if not os.path.exists(done):
         shutil.rmtree(out, ignore_errors=True)
         for t in TABLES:
-            # events: keep the raw int64 nanos column (no ts conversion),
-            # so the rewritten table round-trips through the same loader.
-            schema = SCHEMAS["events_raw"] if t == "events" else SCHEMAS[t]
-            df = spark.read.schema(schema).parquet(
-                os.path.join(sf_dir, f"{t}.parquet")
-            )
+            if t == "events":
+                # Native-schema read round-trips whichever physical ts
+                # encoding the fixture uses (int64 nanos or timestamp[us]);
+                # the loader re-detects on the rewritten files.
+                df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            else:
+                df = spark.read.schema(SCHEMAS[t]).parquet(
+                    os.path.join(sf_dir, f"{t}.parquet")
+                )
             df.repartition(nfiles).write.mode("overwrite").parquet(
                 os.path.join(out, f"{t}.parquet")
             )

@@ -38,16 +38,40 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Physical ts encoding per events path, detected once from the footer.
+_EVENTS_TS_KIND: dict[str, str] = {}
+
+
+def _events_ts_kind(spark: SparkSession, path: str) -> str:
+    """The fixture generator has shipped events.ts as both TIMESTAMP(NANOS)
+    (reads as long under nanosAsLong=true) and timestamp[us]. Detect which
+    from the file footer (one driver-side metadata read, cached per path)
+    instead of pinning either -- forcing a LongType schema onto a
+    timestamp[us] file silently yields µs longs, and a blind ``div 1000``
+    then shifts every event by 1000x."""
+    kind = _EVENTS_TS_KIND.get(path)
+    if kind is None:
+        from pyspark.sql.types import LongType
+
+        dt = spark.read.parquet(path).schema["ts"].dataType
+        kind = "nanos_long" if isinstance(dt, LongType) else "timestamp"
+        _EVENTS_TS_KIND[path] = kind
+    return kind
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with its pinned schema."""
     configure(spark)  # idempotent; guarantees nanosAsLong + UTC on any session
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        raw = spark.read.schema(SCHEMAS["events_raw"]).parquet(path)
-        # TIMESTAMP(NANOS) parquet read as long; µs payload => lossless.
-        # MUST be integer division: (ts / 1000).cast('long') routes through
-        # double and loses µs precision at ~1.7e18 ns (53-bit mantissa).
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if _events_ts_kind(spark, path) == "nanos_long":
+            raw = spark.read.schema(SCHEMAS["events_raw"]).parquet(path)
+            # TIMESTAMP(NANOS) parquet read as long; µs payload => lossless.
+            # MUST be integer division: (ts / 1000).cast('long') routes
+            # through double and loses µs precision at ~1.7e18 ns (53-bit
+            # mantissa).
+            return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return spark.read.schema(SCHEMAS["events"]).parquet(path)
     return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 

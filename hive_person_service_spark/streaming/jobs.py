@@ -27,16 +27,28 @@ from ..sources.schemas import SCHEMAS
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events parquet (append-only table model),
-    with the same TIMESTAMP(NANOS) -> µs conversion as the batch loader."""
+    with the same physical-ts handling as the batch loader (the fixture has
+    shipped both TIMESTAMP(NANOS) and timestamp[us])."""
+    import os
+
+    from ..sources.loader import _events_ts_kind
+
     configure(spark)
+    kind = _events_ts_kind(spark, os.path.join(sf_dir, "events.parquet"))
     # Glob, not the bare file path: FileStreamSource requires a directory
     # basePath (a single-file path fails with "basePath must be a directory").
-    raw = (
-        spark.readStream.schema(SCHEMAS["events_raw"])
+    if kind == "nanos_long":
+        raw = (
+            spark.readStream.schema(SCHEMAS["events_raw"])
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{sf_dir}/events.*")
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{sf_dir}/events.*")
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

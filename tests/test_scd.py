@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_SMALL
 
+from hive_person_service_spark.sources import load_table
 from hive_person_service_spark.operators.scd import (
     scd2_as_of,
     scd2_current,
@@ -141,8 +142,7 @@ def test_stream_scd2_profiles(spark, tmp_path):
     # every user's current balance = value of their latest event (ties on
     # event ts cannot occur in the fixture: µs precision, checked non-flaky)
     latest = (
-        spark.read.parquet(f"{SF_SMALL}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        load_table(spark, SF_SMALL, "events")
         .withColumn(
             "rn",
             F.row_number().over(
