@@ -12,6 +12,7 @@ Three tiers, by scale:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,48 +37,108 @@ _PAIR_SCHEMA = StructType(
 )
 
 
+#: Bound on the rows the driver materializes per broadcast tile. At 64
+#: float64 dims this is ~50 MB of matrix per tile -- well inside both the
+#: driver heap and the executor-side broadcast budget.
+DEFAULT_TILE_ROWS = 100_000
+
+
+def _broadcast_tiles(
+    spark: SparkSession,
+    emb: DataFrame,
+    id_col: str,
+    max_tile_rows: int,
+):
+    """Yield ``(b_ids, b_mat)`` broadcast handles covering ``emb`` in tiles
+    of at most ~``max_tile_rows`` rows each.
+
+    The driver only ever holds ONE tile's rows at a time (the previous
+    tile's local copy is garbage-collected once its broadcast is shipped),
+    so the driver's peak footprint is O(tile), not O(N) -- the full-table
+    ``collect()`` this replaces was the canonical 100x-scale killer. Tiles
+    are assigned by ``pmod(xxhash64(id), n_tiles)``, so sizes are even in
+    expectation (hash-uniform ids), not strictly bounded.
+    """
+    n = emb.count()
+    n_tiles = max(1, math.ceil(n / max_tile_rows))
+    sel = emb.select(id_col, "embedding")
+    if n_tiles == 1:
+        rows = sel.collect()
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        del rows
+        yield spark.sparkContext.broadcast(ids), spark.sparkContext.broadcast(mat)
+        return
+    keyed = sel.withColumn(
+        "__tile", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles))
+    ).persist()
+    try:
+        for t in range(n_tiles):
+            rows = keyed.where(F.col("__tile") == t).drop("__tile").collect()
+            if not rows:
+                continue
+            ids = np.array([r[0] for r in rows], dtype=np.int64)
+            mat = np.array([r[1] for r in rows], dtype=np.float64)
+            del rows
+            yield (
+                spark.sparkContext.broadcast(ids),
+                spark.sparkContext.broadcast(mat),
+            )
+    finally:
+        keyed.unpersist()
+
+
 def exact_topk_pairs_blockwise(
-    spark: SparkSession, emb: DataFrame, k: int = 10, id_col: str = "vec_id"
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    max_tile_rows: int = DEFAULT_TILE_ROWS,
 ) -> DataFrame:
     """Global top-k most-similar pairs (a < b) -- blockwise exact.
 
-    The full matrix is broadcast (N x 64 floats; 2000 vectors = 0.5 MB --
-    at larger N switch to tiling the broadcast side); each partition
-    multiplies its rows against it with one numpy matmul and emits only its
-    local top-k, so the shuffle carries partitions*k rows, not N^2.
+    The corpus matrix is broadcast in bounded tiles (``max_tile_rows`` rows
+    each; one tile fits executor memory regardless of N); each partition
+    multiplies its row-stripe against the tile with one numpy matmul and
+    emits only its local top-k, so the shuffle carries
+    partitions * tiles * k rows, never N^2. The global top-k is the top-k of
+    the union of per-tile top-ks (every true pair lives in exactly the tile
+    holding its b side), so tiling is exact, not approximate.
     """
-    rows = emb.select(id_col, "embedding").collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    sel = emb.select(id_col, "embedding")
+    per_tile = []
+    for b_ids, b_mat in _broadcast_tiles(spark, emb, id_col, max_tile_rows):
 
-    def topk_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            block = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sims = block @ all_mat.T  # (rows_in_block, N)
-            # keep a < b only: mask columns with id <= row id
-            col_ids = all_ids[None, :]
-            mask = col_ids <= block_ids[:, None]
-            sims[mask] = -np.inf
-            flat = sims.ravel()
-            take = min(k, flat.size)
-            idx = np.argpartition(flat, -take)[-take:]
-            r, c = np.unravel_index(idx, sims.shape)
-            out = pd.DataFrame(
-                {
-                    "a_id": block_ids[r],
-                    "b_id": all_ids[c],
-                    "cos": flat[idx],
-                }
-            )
-            yield out[np.isfinite(out["cos"])]
+        def topk_block(
+            batches: Iterator[pd.DataFrame], b_ids=b_ids, b_mat=b_mat
+        ) -> Iterator[pd.DataFrame]:
+            tile_ids, tile_mat = b_ids.value, b_mat.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                block_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                block = np.array(list(pdf["embedding"]), dtype=np.float64)
+                sims = block @ tile_mat.T  # (rows_in_block, tile_n)
+                # keep a < b only: mask columns with id <= row id
+                mask = tile_ids[None, :] <= block_ids[:, None]
+                sims[mask] = -np.inf
+                flat = sims.ravel()
+                take = min(k, flat.size)
+                idx = np.argpartition(flat, -take)[-take:]
+                r, c = np.unravel_index(idx, sims.shape)
+                out = pd.DataFrame(
+                    {
+                        "a_id": block_ids[r],
+                        "b_id": tile_ids[c],
+                        "cos": flat[idx],
+                    }
+                )
+                yield out[np.isfinite(out["cos"])]
 
-    local = emb.select(id_col, "embedding").mapInPandas(topk_block, _PAIR_SCHEMA)
+        per_tile.append(sel.mapInPandas(topk_block, _PAIR_SCHEMA))
+    local = per_tile[0]
+    for t in per_tile[1:]:
+        local = local.unionAll(t)
     return local.orderBy(F.col("cos").desc(), "a_id", "b_id").limit(k)
 
 
@@ -86,38 +147,47 @@ def cosine_pairs_blockwise(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
+    max_tile_rows: int = DEFAULT_TILE_ROWS,
 ) -> DataFrame:
     """All pairs (a < b) with round(cos, 6) >= threshold -- blockwise exact.
 
-    Same regime as exact_topk_pairs_blockwise: the corpus matrix is broadcast
-    and each partition does one numpy matmul for its block row-stripe, so the
-    N^2 dot products never materialize as rows -- only the (sparse) pairs
-    above threshold are emitted. Replaces the non-equi-join formulation,
-    whose zip_with/aggregate expression is evaluated per pair (~50x slower).
-    At corpus sizes past broadcast reach, tile the right side or drop to the
-    LSH tier (ann_pairs_lsh).
+    Same tiling regime as exact_topk_pairs_blockwise: the corpus matrix is
+    broadcast in bounded tiles and each partition does one numpy matmul per
+    (row-stripe, tile), so the N^2 dot products never materialize as rows --
+    only the (sparse) pairs above threshold are emitted. Each qualifying
+    pair (a, b) is emitted by exactly one tile (the one holding b), so the
+    tile union is the exact answer with no dedup pass. Replaces the
+    non-equi-join formulation, whose zip_with/aggregate expression is
+    evaluated per pair (~50x slower). Past the all-tiles-resident regime
+    (N * stripes worth of matmuls), drop to the LSH tier (ann_pairs_lsh).
     """
-    rows = emb.select(id_col, "embedding").collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    sel = emb.select(id_col, "embedding")
+    per_tile = []
+    for b_ids, b_mat in _broadcast_tiles(spark, emb, id_col, max_tile_rows):
 
-    def block_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            block_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            block = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sims = np.round(block @ all_mat.T, 6)  # (rows_in_block, N)
-            keep = (sims >= threshold) & (all_ids[None, :] > block_ids[:, None])
-            r, c = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"a_id": block_ids[r], "b_id": all_ids[c], "cos": sims[r, c]}
-            )
+        def block_pairs(
+            batches: Iterator[pd.DataFrame], b_ids=b_ids, b_mat=b_mat
+        ) -> Iterator[pd.DataFrame]:
+            tile_ids, tile_mat = b_ids.value, b_mat.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                block_ids = pdf[id_col].to_numpy(dtype=np.int64)
+                block = np.array(list(pdf["embedding"]), dtype=np.float64)
+                sims = np.round(block @ tile_mat.T, 6)
+                keep = (sims >= threshold) & (
+                    tile_ids[None, :] > block_ids[:, None]
+                )
+                r, c = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"a_id": block_ids[r], "b_id": tile_ids[c], "cos": sims[r, c]}
+                )
 
-    return emb.select(id_col, "embedding").mapInPandas(block_pairs, _PAIR_SCHEMA)
+        per_tile.append(sel.mapInPandas(block_pairs, _PAIR_SCHEMA))
+    out = per_tile[0]
+    for t in per_tile[1:]:
+        out = out.unionAll(t)
+    return out
 
 
 def knn_join_exact(

@@ -94,10 +94,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare("dedup_near", oracle=None)  # rows-only: LSH not DuckDB-expressible
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (threshold 0.7): the 100 TB near-dup
-    path -- banding + bucket join bounds candidate generation. pytest
-    verifies recall against brute-force Jaccard on sf0.001."""
+    path -- banding + bucket join bounds candidate generation. Declared on
+    the candidate-verify formulation (in-row zero-shuffle signatures +
+    candidate-only verification -- operators/dedup.py) whose cost scales
+    with the near-dup pair set, not the corpus; pytest pins it
+    output-identical to the grouped pipeline and verifies recall against
+    brute-force Jaccard on sf0.001."""
+    from ..operators.dedup import near_duplicates_minhash_inrow
+
     d = load_table(spark, sf_dir, "documents")
-    return near_duplicates_minhash(d, threshold=0.7)
+    return near_duplicates_minhash_inrow(d, threshold=0.7)
 
 
 @declare("dedup_cluster", oracle=None)  # rows-only: LSH + iterative CC

@@ -78,6 +78,27 @@ def test_minhash_lsh_recall_and_precision(spark):
         assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_minhash_inrow_pipeline_matches_grouped(spark):
+    """The candidate-verify in-row pipeline (bench/declared default) must
+    produce the exact pair set of the grouped-shuffle pipeline -- same
+    signature constants, same banding, so same candidates; verification is
+    exact either way."""
+    from hive_person_service_spark.operators.dedup import (
+        near_duplicates_minhash_inrow,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    grouped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in near_duplicates_minhash(docs, threshold=0.7).collect()
+    }
+    inrow = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in near_duplicates_minhash_inrow(docs, threshold=0.7).collect()
+    }
+    assert inrow == grouped
+
+
 def test_simhash_identical_texts_equal_signatures(spark):
     df = spark.createDataFrame(
         [(1, "spark join window filter"), (2, "spark join window filter"),
@@ -125,6 +146,31 @@ def test_blockwise_pairs_match_expression_join(spark):
     naive_rows = sorted((r.a_id, r.b_id, r.cos) for r in naive.collect())
     assert fast_rows == naive_rows
     assert len(fast_rows) > 0  # threshold picked to select real pairs
+
+
+def test_tiled_blockwise_matches_single_tile(spark):
+    """Forcing a tiny max_tile_rows (sf0.001 has 500 vectors -> ~4 tiles of
+    ~128) must reproduce the single-broadcast output exactly, for both the
+    top-k and the threshold-pairs form. This pins the 100-TB path: the
+    driver never holds more than one tile."""
+    from hive_person_service_spark.operators.similarity import (
+        cosine_pairs_blockwise,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+
+    one_k = exact_topk_pairs_blockwise(spark, emb, k=10)
+    tiled_k = exact_topk_pairs_blockwise(spark, emb, k=10, max_tile_rows=128)
+    assert [(r.a_id, r.b_id, round(r.cos, 9)) for r in tiled_k.collect()] == [
+        (r.a_id, r.b_id, round(r.cos, 9)) for r in one_k.collect()
+    ]
+
+    one_p = cosine_pairs_blockwise(spark, emb, threshold=0.4)
+    tiled_p = cosine_pairs_blockwise(spark, emb, threshold=0.4, max_tile_rows=128)
+    one_rows = sorted((r.a_id, r.b_id, r.cos) for r in one_p.collect())
+    tiled_rows = sorted((r.a_id, r.b_id, r.cos) for r in tiled_p.collect())
+    assert tiled_rows == one_rows
+    assert len(tiled_rows) > 0
 
 
 def test_ann_lsh_pairs_are_exact_subset(spark):
