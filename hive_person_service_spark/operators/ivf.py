@@ -15,6 +15,7 @@ nlist=16 on the fixtures).
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.ml.clustering import KMeans
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
@@ -66,6 +67,62 @@ def read_ivf_index(spark, root: str) -> tuple[DataFrame, np.ndarray]:
     vectors = spark.read.parquet(f"{root}/vectors")
     centroids = np.array(json.loads(Path(root, "centroids.json").read_text()))
     return vectors, centroids
+
+
+def ivf_knn_join(
+    anchors: DataFrame,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """kNN JOIN on the IVF tier: top-k neighbors for EVERY anchor row,
+    with candidates meeting only through an equi-join on cell id -- never a
+    BroadcastNestedLoopJoin over the corpus.
+
+    Shape: each anchor picks its nprobe nearest cells (Arrow-batched numpy
+    against the broadcast centroid matrix -- centroids are tiny), explodes
+    to (anchor, cell) rows, equi-joins the cell-assigned corpus, scores
+    exact cosine in-cell, and keeps the per-anchor top-k window. Each
+    corpus vector lives in exactly one cell, so a pair can meet at most
+    once -- no dedup pass. At nprobe == nlist the candidate set is
+    exhaustive and the result is exactly the brute-force kNN join (the
+    oracle form); shrinking nprobe trades recall for ~nlist/nprobe less
+    join IO -- the knob the 100 TB run turns."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    n_probe = min(nprobe, len(cents))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(col: pd.Series) -> pd.Series:
+        m = np.array(list(col), dtype=np.float64)
+        top = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe]
+        return pd.Series(list(top.astype("int32")))
+
+    a = anchors.select(
+        F.col(id_col).alias("a_id"),
+        to_double_array("embedding").alias("va"),
+        F.explode(probe_cells("embedding")).alias("cell"),
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("b_id"), to_double_array("embedding").alias("vb")
+    )
+    scored = (
+        a.join(b, "cell")
+        .where(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    return scored.withColumn(
+        "neighbor_rank", F.row_number().over(w).cast("long")
+    ).where(F.col("neighbor_rank") <= k)
 
 
 def ivf_topk(

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_expr, to_double_array
-from ..operators.similarity import ann_pairs_lsh, knn_join_exact
+from ..operators.similarity import ann_pairs_lsh
 from ..sources import load_table
 from .registry import declare
 
@@ -71,12 +71,20 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact kNN join: top-3 neighbors for each anchor (vec_id < 50).
-    Broadcast corpus + per-anchor window; the LSH tier (sim_ann_pairs)
-    replaces the quadratic candidate set at scale."""
+    """kNN join: top-3 neighbors for each anchor (vec_id < 50), declared on
+    the IVF tier (operators/ivf.py): anchors probe cells, candidates meet
+    through an equi-join on cell id -- no BroadcastNestedLoopJoin anywhere
+    in the plan. Probed at nprobe == nlist the candidate set is exhaustive,
+    so the result is exactly the brute-force kNN join and stays
+    oracle-checkable; a 100 TB run shrinks nprobe to trade recall for
+    ~nlist/nprobe less join IO. knn_join_exact remains as the small-n
+    pytest oracle for the approximate settings."""
+    from ..operators.ivf import build_ivf, ivf_knn_join
+
     emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf(emb, nlist=16, seed=42)
     anchors = emb.where(F.col("vec_id") < 50)
-    return knn_join_exact(anchors, emb, k=3)
+    return ivf_knn_join(anchors, assigned, centroids, k=3, nprobe=16)
 
 
 @declare(

@@ -39,6 +39,39 @@ def test_ivf_recall_vs_exact(spark):
     assert full == exact
 
 
+def test_ivf_knn_join_fullprobe_equals_exact_and_no_bnlj(spark):
+    """The declared sim_knn_join tier: at nprobe == nlist the IVF kNN join
+    must equal the brute-force kNN join exactly, and its plan must contain
+    no BroadcastNestedLoopJoin (candidates meet via the cell equi-join)."""
+    from hive_person_service_spark.operators.ivf import ivf_knn_join
+    from hive_person_service_spark.operators.similarity import knn_join_exact
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    assigned, centroids = build_ivf(emb, nlist=16, seed=42)
+    anchors = emb.where(F.col("vec_id") < 20)
+
+    ivf = ivf_knn_join(anchors, assigned, centroids, k=3, nprobe=16)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r.a_id, r.b_id, r.neighbor_rank) for r in ivf.collect()}
+    want = {
+        (r.a_id, r.b_id, r.neighbor_rank)
+        for r in knn_join_exact(anchors, emb, k=3).collect()
+    }
+    assert got == want
+
+    # Approximate setting: per-anchor neighbor recall stays useful even on
+    # this near-uniform-sphere fixture (worst case for cell probing).
+    approx = {
+        (r.a_id, r.b_id)
+        for r in ivf_knn_join(anchors, assigned, centroids, k=3, nprobe=8).collect()
+    }
+    exact_pairs = {(a, b) for a, b, _ in want}
+    recall = len(approx & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF kNN-join recall too low: {recall}"
+
+
 def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     from hive_person_service_spark.operators.ivf import (
         read_ivf_index,
