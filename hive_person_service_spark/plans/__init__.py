@@ -41,6 +41,7 @@ from . import analytics2  # noqa: F401,E402  (interleave, entropy, interarrival,
 from . import pipeline6  # noqa: F401,E402  (WAV meta, frame sampling, BPE encode)
 from . import pipeline7  # noqa: F401,E402  (URL canonicalization, grouped reservoir)
 from . import analytics3  # noqa: F401,E402  (PMI, Zipf fit, Markov, attribution)
+from . import analytics4  # noqa: F401,E402  (Q8, centroid cosine, paths, keywords, containment, curriculum)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
