@@ -1,0 +1,301 @@
+"""Batch 9 — scale-pipeline widening (round 2):
+
+- text_winnowing: winnowing fingerprint selection (Schleimer et al.,
+  SIGMOD'03 -- the MOSS algorithm): rightmost-min k-gram hash per sliding
+  window, fully IN-ROW (zero shuffle; the 100 TB fingerprinting shape).
+  Engine-agnostic hashes via md5 prefixes compared as strings.
+- dedup_simhash_band_pairs: a fully oracle-checkable SimHash LSH pipeline:
+  32-bit signatures from md5 hex-digit votes (identical arithmetic in both
+  engines, unlike xxhash64), 4x8-bit banding, bucket equi-join, Hamming
+  verification -- the banded near-dup shape with an exact SQL oracle.
+- agg_weighted_median: weighted median per group via cumulative-weight
+  windows (no exact weighted-percentile built-in in either engine).
+- sample_importance: deterministic Bernoulli importance sampling by a
+  quality weight (pure arithmetic hash -> reproducible across engines,
+  runs, and partitionings).
+- dataset_shard_manifest: deterministic hash-sharding with a per-shard
+  manifest (counts + order-insensitive checksums) -- the training-data
+  export contract a downstream loader validates against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens_expr
+from ..sources import load_table
+from .registry import declare
+
+WINNOW_K = 3  # k-gram size
+WINNOW_W = 4  # winnowing window (guarantee: gap between picks <= w)
+
+
+@declare(
+    "text_winnowing",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    kg AS (
+      SELECT doc_id,
+             [substr(md5(array_to_string(t[i:i+{WINNOW_K - 1}], ' ')), 1, 16)
+              FOR i IN range(1, len(t) - {WINNOW_K - 2})] AS gs
+      FROM tok WHERE len(t) >= {WINNOW_K}),
+    win AS (
+      SELECT doc_id, gs,
+             [list_aggregate(gs[j:j+{WINNOW_W - 1}], 'min')
+              FOR j IN range(1, len(gs) - {WINNOW_W - 2})] AS mins
+      FROM kg WHERE len(gs) >= {WINNOW_W}),
+    sel AS (
+      SELECT doc_id,
+             unnest([
+               {{'fp': mins[j],
+                 'pos': CAST(j - 1 + list_position(gs[j:j+{WINNOW_W - 1}], mins[j])
+                        AS BIGINT)}}
+               FOR j IN range(1, len(mins) + 1)]) AS s
+      FROM win)
+    SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM sel
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: md5-prefix hash per k-gram, then
+    for every sliding window of w consecutive k-grams select the minimum
+    hash (first-min tiebreak), dedup selections. Guarantees at least one
+    shared fingerprint for any match of length >= w + k - 1 -- the
+    plagiarism/near-dup detection primitive behind MOSS. Entirely in-row
+    array expressions (transform/slice/array_min): ZERO shuffle at any
+    corpus size; the fingerprint explode keys later joins. Hashes are md5
+    prefixes compared as strings, so Spark and the SQL oracle agree
+    bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens_expr()
+    # gs[i] = md5 prefix of the k-gram starting at token i (1-based slice)
+    gs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (WINNOW_K - 1)),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(" ", F.slice(t, i, WINNOW_K))), 1, 16
+        ),
+    )
+    base = d.select("doc_id", gs.alias("gs")).where(
+        F.size("gs") >= WINNOW_W
+    )
+    # For window j (1-based): min hash of gs[j .. j+w-1], position of the
+    # first occurrence of that min inside the window (absolute, 0-based).
+    sel = F.transform(
+        F.sequence(F.lit(1), F.size("gs") - (WINNOW_W - 1)),
+        lambda j: F.struct(
+            F.array_min(F.slice(F.col("gs"), j, WINNOW_W)).alias("fp"),
+            (
+                j
+                - 1
+                + F.array_position(
+                    F.slice(F.col("gs"), j, WINNOW_W),
+                    F.array_min(F.slice(F.col("gs"), j, WINNOW_W)),
+                )
+            ).cast("long").alias("pos"),
+        ),
+    )
+    return (
+        base.select("doc_id", F.explode(F.array_distinct(sel)).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
+    )
+
+
+@declare(
+    "dedup_simhash_band_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN i <= 32
+                      THEN CASE WHEN substr(md5(w), i, 1) >= '8'
+                                THEN 1 ELSE -1 END
+                      ELSE CASE WHEN substr(md5('#' || w), i - 32, 1) >= '8'
+                                THEN 1 ELSE -1 END
+                 END) AS v
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY i) AS s
+      FROM votes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, b, substr(s, 1 + 8 * b, 8) AS band, s
+      FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.s AS sa, bb.doc_id AS id_b, bb.s AS sb
+      FROM banded a JOIN banded bb
+        ON a.b = bb.b AND a.band = bb.band AND a.doc_id < bb.doc_id),
+    ham AS (
+      SELECT id_a, id_b,
+             CAST((SELECT COUNT(*) FROM (SELECT unnest(generate_series(1, 64)) AS i)
+                   WHERE substr(sa, i, 1) <> substr(sb, i, 1)) AS BIGINT)
+               AS hamming
+      FROM cand)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
+    """,
+)
+def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash LSH near-dup pairs, fully oracle-checkable: 64-bit
+    TF-weighted signature where bit i is the sign of the per-occurrence
+    vote sum on an md5 hex digit (md5 gives identical bits in Spark and
+    DuckDB -- unlike the xxhash64-based dedup_simhash, which pytest covers
+    instead; two salted md5s supply 64 digits, term frequency supplies the
+    weighting that makes the fixture's shared-vocabulary docs separable).
+    Banded into 8x8-bit chunks, candidates meet ONLY through the
+    (band_id, band_value) equi-join, exact Hamming verification keeps
+    pairs <= 4. By pigeonhole any pair with hamming <= 7 shares some band,
+    so recall at threshold 4 is exact -- the same band-and-verify shape as
+    MinHash-LSH at signature-comparison cost."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_expr()).alias("w"))
+    h1, h2 = F.md5("w"), F.md5(F.concat(F.lit("#"), F.col("w")))
+    votes = [
+        F.sum(
+            F.when(F.substring(h1 if i < 32 else h2, (i % 32) + 1, 1) >= "8", 1)
+            .otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(64)
+    ]
+    sig = tok.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v_{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(64)
+    ]
+    sig = sig.select("doc_id", F.concat(*bits).alias("s"))
+    banded = sig.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.substring("s", 1 + 8 * b, 8).alias("band"),
+                )
+                for b in range(8)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "s", F.col("bb.b").alias("b"), F.col("bb.band").alias("band"))
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), "b", "band"
+    )
+    bside = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), "b", "band"
+    )
+    cand = (
+        a.join(bside, ["b", "band"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    diff = [
+        F.when(
+            F.substring("sa", i + 1, 1) != F.substring("sb", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(64)
+    ]
+    hamming = sum(diff[1:], diff[0]).cast("long")
+    return (
+        cand.select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 4)
+    )
+
+
+@declare(
+    "agg_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice, l_orderkey,
+                                            l_linenumber) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem)
+    SELECT l_returnflag,
+           ROUND(MIN(l_extendedprice), 2) AS wmedian
+    FROM cum WHERE cw >= tw / 2
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (l_extendedprice weighted by l_quantity) per return
+    flag: cumulative-weight window over the value order, first value whose
+    cumulative weight crosses half the total. Neither engine has an exact
+    weighted percentile built in; the windows partition by group only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cw"),
+        F.sum("l_quantity").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("l_extendedprice"), 2).alias("wmedian"))
+    )
+
+
+@declare(
+    "sample_importance",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ROUND(LEAST(CAST(n_chars AS DOUBLE) / 558, 1.0), 6) AS weight
+    FROM documents
+    WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) / 1000003
+          < LEAST(CAST(n_chars AS DOUBLE) / 558, 1.0)
+    """,
+)
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli importance sampling: keep each document with
+    probability proportional to a quality weight (here length-normalized),
+    decided by pure integer arithmetic on the id (Knuth multiplicative
+    hash mod a prime) -- identical across engines, runs, partitionings,
+    and scales, unlike rand()-seeded sampling whose draw order is
+    partition-dependent. Map-side only: no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars").cast("double") / 558, F.lit(1.0))
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)
+    ).cast("double") / 1000003
+    return (
+        d.where(u < weight)
+        .select("doc_id", "n_chars", F.round(weight, 6).alias("weight"))
+    )
+
+
+@declare(
+    "dataset_shard_manifest",
+    oracle="""
+    SELECT CAST((doc_id * 2654435761) % 16 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id * doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dataset_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding manifest: shard assignment by
+    multiplicative hash (stable across engines/runs), per-shard row count,
+    byte budget, and an order-insensitive id checksum. The export contract
+    a training loader validates before consuming a sharded corpus; one
+    map-side shuffle on the shard key, same key the physical write
+    partitions by."""
+    d = load_table(spark, sf_dir, "documents")
+    shard = ((F.col("doc_id") * F.lit(2654435761)) % 16).cast("long")
+    return (
+        d.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.col("doc_id") * F.col("doc_id")).cast("long").alias("id_checksum"),
+        )
+    )
