@@ -75,26 +75,56 @@ def minhash_signatures_inrow(
     short to have a single shingle are dropped, mirroring the grouped
     variant (they produce no exploded rows there).
 
-    When to use which (measured, sf0.1): in the full near-dup pipeline the
-    exploded shingles are persisted for the verify join anyway, and grouped
-    signatures off that cache win (3.0s vs 4.2s end-to-end warm) -- the
-    in-row path pays a second shingling plus num_perm serial array passes.
-    This variant wins when signatures are the ONLY thing computed (e.g.
-    signature-index builds, incremental new-batch fingerprinting, or a
-    cluster where the shingle shuffle -- ~200x corpus rows -- dominates)."""
+    Computed as ONE fold over the shingle array (F.aggregate with a
+    num_perm-wide accumulator: per shingle, zip_with the permuted hashes
+    against the running mins) instead of num_perm separate array
+    traversals -- measured 2.3x faster at sf0.1 (1.9s vs 4.5s cold) with
+    bit-identical output.
+
+    When to use which: this variant wins when signatures are the main
+    cost (signature-index builds, incremental new-batch fingerprinting,
+    the candidate-verify pipeline in near_duplicates_minhash_inrow, or a
+    cluster where the shingle shuffle -- ~200x corpus rows -- dominates);
+    grouped signatures win only when the exploded shingle relation is
+    persisted for other consumers anyway."""
+    consts = _perm_constants(num_perm)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in consts])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in consts])
+    acc0 = F.array(*[F.lit(_MERSENNE_31).cast("long") for _ in range(num_perm)])
+    m = F.lit(_MERSENNE_31)
     sh = F.array_distinct(shingles_expr(tokens_expr(), shingle_n))
-    hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
-    base = docs.select(F.col(id_col), hs.alias("_hs")).where(F.size("_hs") > 0)
-    sigs = [
-        F.array_min(
-            F.transform(
-                F.col("_hs"),
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_31)),
-            )
-        ).alias(f"sig_{j}")
-        for j, (a, b) in enumerate(_perm_constants(num_perm))
-    ]
-    return base.select(F.col(id_col), *sigs)
+    # Hash each shingle ONCE into _hs (HOF lambdas get no common-
+    # subexpression elimination -- hashing inside the fold would cost
+    # num_perm hash calls per shingle), then fold the mul-add mins.
+    hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), m))
+    # Guard on the CHEAP equivalent predicate (shingles are empty iff the
+    # doc has < n tokens): a guard on size(_hs) gets predicate-pushed below
+    # the caller's repartition with the whole shingling expression
+    # substituted in -- serializing the hash work into the (often
+    # single-task) scan stage and computing it twice.
+    base = docs.where(F.size(tokens_expr()) >= shingle_n).select(
+        F.col(id_col), hs.alias("_hs")
+    )
+    sig = F.aggregate(
+        F.col("_hs"),
+        acc0,
+        lambda acc, h: F.zip_with(
+            F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(a * h + b, m)),
+            acc,
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    # Two projections on purpose: referencing the fold once under an alias
+    # keeps CollapseProject from inlining one copy of the whole aggregate
+    # into each of the num_perm output columns (it only duplicates cheap
+    # expressions; a HOF fold is not one).
+    return base.select(F.col(id_col), sig.alias("_sig")).select(
+        F.col(id_col),
+        *[
+            F.element_at("_sig", j + 1).alias(f"sig_{j}")
+            for j in range(num_perm)
+        ],
+    )
 
 
 def lsh_candidate_pairs(

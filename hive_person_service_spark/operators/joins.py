@@ -21,31 +21,56 @@ def asof_join(
     right_ts: str,
     tie_break: str,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each left row (uniquely identified by ``left_id``),
-    the single latest right row with ``right_ts <= left_ts`` within the same
-    ``on`` key(s).
+    ONE right row within the same ``on`` key(s), chosen by ``direction``:
 
-    Spark has no native ASOF JOIN; this composes left-join + windowed
-    latest-pick. Ties on ``right_ts`` break on the largest ``tie_break``
-    (must be unique within the right side for determinism) -- matches DuckDB
-    ASOF JOIN semantics up to the explicit tie-break.
+      * ``backward`` (default): latest right with ``right_ts <= left_ts``;
+      * ``forward``: earliest right with ``right_ts >= left_ts``;
+      * ``nearest``: smallest ``|right_ts - left_ts|`` either side (tie
+        between equal distances -> the earlier right row).
+
+    Spark has no native ASOF JOIN; this composes a join + windowed pick.
+    Remaining ties break on the largest ``tie_break`` (must be unique
+    within the right side for determinism) -- matches DuckDB ASOF JOIN
+    semantics (backward/forward) up to the explicit tie-break.
 
     Scale: one shuffle of both sides on ``on`` for the join, one shuffle on
-    ``left_id`` for the latest-pick window. For huge right sides, pre-reduce
+    ``left_id`` for the pick window. For huge right sides, pre-reduce
     right to the latest row per (key, coarse time bucket) first so the join
     fan-out stays bounded; AQE skew-join splits oversized key partitions.
+    ``nearest`` has no time-side predicate, so its fan-out is the whole
+    key group -- pre-bucket the right side when keys are hot.
     """
+    from pyspark.sql.types import TimestampType
+
     keys = [on] if isinstance(on, str) else list(on)
+
+    def us(side: DataFrame, col: str):
+        c = side[col]
+        if isinstance(side.schema[col].dataType, TimestampType):
+            return F.unix_micros(c)
+        return c
+
+    if direction == "backward":
+        ts_cond = [right[right_ts] <= left[left_ts]]
+        order = [right[right_ts].desc(), right[tie_break].desc()]
+    elif direction == "forward":
+        ts_cond = [right[right_ts] >= left[left_ts]]
+        order = [right[right_ts].asc(), right[tie_break].desc()]
+    elif direction == "nearest":
+        ts_cond = []
+        delta = F.abs(us(right, right_ts) - us(left, left_ts))
+        order = [delta.asc(), right[right_ts].asc(), right[tie_break].desc()]
+    else:
+        raise ValueError(f"unknown asof direction: {direction!r}")
     joined = left.join(
         right,
-        on=[left[k] == right[k] for k in keys] + [right[right_ts] <= left[left_ts]],
+        on=[left[k] == right[k] for k in keys] + ts_cond,
         how=how,
     )
-    # One row per left row: latest right_ts, then largest tie_break.
-    w = Window.partitionBy(left[left_id]).orderBy(
-        right[right_ts].desc(), right[tie_break].desc()
-    )
+    w = Window.partitionBy(left[left_id]).orderBy(*order)
     ranked = joined.withColumn("__rn", F.row_number().over(w))
     return ranked.where(F.col("__rn") == 1).drop("__rn")
 
