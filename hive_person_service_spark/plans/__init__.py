@@ -44,6 +44,7 @@ from . import analytics3  # noqa: F401,E402  (PMI, Zipf fit, Markov, attribution
 from . import analytics4  # noqa: F401,E402  (Q8, centroid cosine, paths, keywords, containment, curriculum)
 from . import pipeline8  # noqa: F401,E402  (winnowing, simhash band pairs, weighted median, importance sample, shard manifest)
 from . import pipeline9  # noqa: F401,E402  (substring spans, token budget, BPE pair stats, rate spikes)
+from . import pipeline10  # noqa: F401,E402  (lang confusion, KS drift, nearest as-of)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.

@@ -50,6 +50,34 @@ def test_asof_join_brute_force(spark):
     assert got == {1: 11, 2: 13, 3: None, 4: 15}
 
 
+def test_asof_join_directions_brute_force(spark):
+    """forward / nearest directions == per-left-row argmin over eligible
+    right rows under the documented tie rules."""
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 105), (3, 20, 100), (4, 30, 100)],
+        "lid long, key long, lts long",
+    )
+    right = spark.createDataFrame(
+        [(11, 10, 99), (12, 10, 105), (13, 10, 105), (14, 20, 101), (15, 30, 90)],
+        "rid long, key long, rts long",
+    )
+    fwd = asof_join(
+        left, right, on="key", left_id="lid", left_ts="lts", right_ts="rts",
+        tie_break="rid", direction="forward",
+    ).select("lid", "rid").collect()
+    # lid=1: earliest rts >= 100 -> 105 (tie 12/13 -> larger rid 13).
+    # lid=2: 105 ties -> 13. lid=3: 101 -> 14. lid=4: none >= 100 -> None.
+    assert {r.lid: r.rid for r in fwd} == {1: 13, 2: 13, 3: 14, 4: None}
+
+    near = asof_join(
+        left, right, on="key", left_id="lid", left_ts="lts", right_ts="rts",
+        tie_break="rid", direction="nearest",
+    ).select("lid", "rid").collect()
+    # lid=1: |99-100|=1 beats |105-100|=5 -> 11. lid=2: delta 0 -> rid 13.
+    # lid=3: only 14. lid=4: only 15 (delta 10, backward side).
+    assert {r.lid: r.rid for r in near} == {1: 11, 2: 13, 3: 14, 4: 15}
+
+
 def test_minhash_lsh_recall_and_precision(spark):
     docs = load_table(spark, SF_SMALL, "documents")
     found = near_duplicates_minhash(docs, threshold=0.7)
