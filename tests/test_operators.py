@@ -176,6 +176,49 @@ def test_blockwise_pairs_match_expression_join(spark):
     assert len(fast_rows) > 0  # threshold picked to select real pairs
 
 
+def test_power_iteration_pc1_matches_numpy(spark):
+    """On well-conditioned (anisotropic) data the distributed power
+    iteration must align with numpy's exact top eigenvector; on the
+    near-spherical fixture (eigengap λ2/λ1 ≈ 0.93 -- power iteration's
+    worst case) it must still capture most of the top variance, and the
+    declared projections must equal X @ v exactly."""
+    import numpy as np
+
+    from hive_person_service_spark.operators.pca import (
+        pc1_projections,
+        power_iteration_pc1,
+    )
+
+    # 1) synthetic dominant direction: converges in 6 iterations.
+    rng = np.random.RandomState(7)
+    u = rng.standard_normal(64)
+    u /= np.linalg.norm(u)
+    S = rng.standard_normal((200, 64)) * 0.3 + np.outer(
+        rng.standard_normal(200) * 3.0, u
+    )
+    sdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in S[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    v_syn = power_iteration_pc1(sdf, dim=64, iters=6)
+    w, vecs = np.linalg.eigh(S.T @ S)
+    assert abs(float(np.dot(v_syn, vecs[:, -1]))) >= 0.99
+
+    # 2) fixture: Rayleigh quotient within 80% of λ1 + projection identity.
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    v = power_iteration_pc1(emb, dim=64, iters=6)
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    lam1 = np.linalg.eigh(X.T @ X)[0][-1]
+    rayleigh = float(v @ (X.T @ (X @ v)))
+    assert rayleigh >= 0.8 * lam1, (rayleigh, lam1)
+    proj = {r.vec_id: r.pc1 for r in pc1_projections(emb).collect()}
+    want = X @ v
+    for i, vid in enumerate(ids):
+        assert abs(proj[vid] - round(float(want[i]), 6)) < 1e-6
+
+
 def test_tiled_blockwise_matches_single_tile(spark):
     """Forcing a tiny max_tile_rows (sf0.001 has 500 vectors -> ~4 tiles of
     ~128) must reproduce the single-broadcast output exactly, for both the
