@@ -46,6 +46,7 @@ from . import pipeline8  # noqa: F401,E402  (winnowing, simhash band pairs, weig
 from . import pipeline9  # noqa: F401,E402  (substring spans, token budget, BPE pair stats, rate spikes)
 from . import pipeline10  # noqa: F401,E402  (lang confusion, KS drift, nearest as-of)
 from . import pipeline11  # noqa: F401,E402  (TWAP, chi-square, power-iteration PCA)
+from . import pipeline12  # noqa: F401,E402  (SQL-registered UDF, step latency, keep-best dedup, Pareto)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
