@@ -91,14 +91,78 @@ def decode_image_features(assets: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def resize_images(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize -- requires an imaging library not present in this
-    container. Deliberately unimplemented (SURVEY/task contract: stub the
-    decode, keep the plumbing real)."""
+    """Image resize over COMPRESSED formats (PNG/JPEG/...) -- requires a
+    codec library not present in this container; the pixel-space resize
+    itself is fully implemented (resize_raw_images below, pure numpy over
+    raw gray8 blobs). Wire a decoder in front of resize_raw_images when
+    deploying."""
     raise NotImplementedError(
-        "resize_images needs an image decoder (PIL/opencv); not available in "
-        "this environment. Wire the decoder into decode_image_features-style "
-        "mapInPandas when deploying."
+        "resize_images needs an image DECODER (PIL/opencv) for compressed "
+        "formats; not available in this environment. The resize math is "
+        "implemented: decode to raw gray8 and use resize_raw_images."
     )
+
+
+# Raw (decoded) image table: row-major gray8 pixels in a BinaryType blob.
+RAW_IMAGE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("blob", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def synth_raw_images(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic raw gray8 test images: dims from the id, pixel
+    (x, y) = (3x + 7y + id) mod 256 -- arithmetic, so an oracle can
+    re-derive any pixel (and thus any resize output) without the bytes."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid in pdf[id_col].astype("int64"):
+                w = 16 + int(aid) % 8
+                h = 16 + int(aid) % 5
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((3 * x + 7 * y + int(aid)) % 256).astype(np.uint8)
+                out.append((int(aid), px.tobytes(), w, h))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "blob", "width", "height"]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(synth, RAW_IMAGE_SCHEMA)
+
+
+def resize_raw_images(
+    assets: DataFrame, out_w: int, out_h: int
+) -> DataFrame:
+    """REAL nearest-neighbor resize over raw gray8 blobs (numpy index
+    arithmetic per Arrow batch -- no codec needed): output pixel (r, c)
+    samples source pixel (floor(r*h/out_h), floor(c*w/out_w)). Streaming
+    mapInPandas iterator => constant memory per task however large the
+    image partition is."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows_out = np.arange(out_h, dtype=np.int64)
+        cols_out = np.arange(out_w, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for aid, blob, w, h in zip(
+                pdf["asset_id"], pdf["blob"], pdf["width"], pdf["height"]
+            ):
+                arr = np.frombuffer(blob, dtype=np.uint8).reshape(int(h), int(w))
+                r_idx = (rows_out * int(h)) // out_h
+                c_idx = (cols_out * int(w)) // out_w
+                resized = arr[r_idx][:, c_idx]
+                out.append((int(aid), resized.tobytes(), out_w, out_h))
+            yield pd.DataFrame(
+                out, columns=["asset_id", "blob", "width", "height"]
+            )
+
+    return assets.mapInPandas(resize, RAW_IMAGE_SCHEMA)
 
 
 # --- Real binary parsing: PNG header synthesis + dimension extraction. ----

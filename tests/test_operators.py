@@ -302,8 +302,39 @@ def test_multimodal_decode_plumbing(spark):
         assert r.blob_len > 0
         assert len(r.feature) == 8
         assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-9  # unit norm
+    # Compressed-format path stays gated on a codec library...
     with pytest.raises(NotImplementedError):
         resize_images(assets, 224, 224)
+
+
+def test_raw_image_resize_exact(spark):
+    """...but the pixel-space resize is REAL: nearest-neighbor over raw
+    gray8 blobs matches numpy's reference sampling exactly, and resizing
+    to the source dims is the identity."""
+    import numpy as np
+
+    from hive_person_service_spark.operators.multimodal import (
+        resize_raw_images,
+        synth_raw_images,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "asset_id long")
+    raw = synth_raw_images(ids)
+    src = {r.asset_id: (bytes(r.blob), r.width, r.height) for r in raw.collect()}
+
+    out = {r.asset_id: bytes(r.blob) for r in resize_raw_images(raw, 8, 8).collect()}
+    for aid, (blob, w, h) in src.items():
+        arr = np.frombuffer(blob, dtype=np.uint8).reshape(h, w)
+        r_idx = (np.arange(8) * h) // 8
+        c_idx = (np.arange(8) * w) // 8
+        assert out[aid] == arr[r_idx][:, c_idx].tobytes()
+
+    # identity: out dims == src dims reproduces the source bytes (dims
+    # vary per id, so check one id at its own dims)
+    one = raw.where(F.col("asset_id") == 3)
+    w3, h3 = src[3][1], src[3][2]
+    same = resize_raw_images(one, w3, h3).collect()[0]
+    assert bytes(same.blob) == src[3][0]
 
 
 def test_sample_rows_deterministic(spark):
