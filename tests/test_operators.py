@@ -337,6 +337,35 @@ def test_raw_image_resize_exact(spark):
     assert bytes(same.blob) == src[3][0]
 
 
+def test_compression_ratio_invariants(spark):
+    """Repetitive text must compress harder than high-entropy text; ratios
+    stay in (0, ~1.1]; repeated runs agree (zlib level pinned)."""
+    from hive_person_service_spark import plans
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark " * 200),
+            (2, " ".join(f"tok{i}xyz{i * 7}" for i in range(200))),
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_cr_docs")
+
+    import zlib
+
+    ratios = {}
+    for r in df.collect():
+        ratios[r.doc_id] = len(zlib.compress(r.text.encode(), 6)) / len(r.text)
+    assert ratios[1] < ratios[2]  # repetition compresses more
+
+    q = plans.all_queries()["text_compression_ratio"]
+    out = {r.doc_id: r.compression_ratio for r in q(spark, SF_SMALL).collect()}
+    out2 = {r.doc_id: r.compression_ratio for r in q(spark, SF_SMALL).collect()}
+    assert out == out2
+    # zlib header overhead can push very short docs slightly above 1.0
+    assert all(0 < v <= 1.5 for v in out.values())
+
+
 def test_sample_rows_deterministic(spark):
     from hive_person_service_spark import plans
 
