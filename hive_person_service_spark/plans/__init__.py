@@ -49,6 +49,7 @@ from . import pipeline11  # noqa: F401,E402  (TWAP, chi-square, power-iteration 
 from . import pipeline12  # noqa: F401,E402  (SQL-registered UDF, step latency, keep-best dedup, Pareto)
 from . import pipeline13  # noqa: F401,E402  (vocab coverage, epoch shuffle, backlog aging)
 from . import pipeline14  # noqa: F401,E402  (grouping_id, JS divergence, audio RMS, compression ratio)
+from . import pipeline15  # noqa: F401,E402  (RFM segments, error-budget burn)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.

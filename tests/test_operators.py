@@ -337,6 +337,38 @@ def test_raw_image_resize_exact(spark):
     assert bytes(same.blob) == src[3][0]
 
 
+def test_winnowing_guarantee(spark):
+    """Winnowing's detection guarantee: any shared token run of length
+    >= w + k - 1 (here 4 + 3 - 1 = 6) must yield at least one shared
+    (fingerprint) between the two documents, regardless of surrounding
+    context. Identical docs share all fingerprints."""
+    from hive_person_service_spark import plans
+
+    import tempfile
+
+    from hive_person_service_spark.plans.pipeline8 import text_winnowing
+
+    common = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {common} four five six seven"),
+            (2, f"red green blue cyan {common} purple orange"),
+            (3, "wholly different words with no overlap at all here now"),
+            (4, "wholly different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        out = text_winnowing(spark, tmp)
+        fps = {}
+        for r in out.collect():
+            fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert fps[3] == fps[4]
+    assert not (fps[3] & fps[1])
+
+
 def test_compression_ratio_invariants(spark):
     """Repetitive text must compress harder than high-entropy text; ratios
     stay in (0, ~1.1]; repeated runs agree (zlib level pinned)."""
