@@ -25,15 +25,29 @@ from ..functions.vectors import cosine_expr, to_double_array
 
 
 def build_ivf(
-    emb: DataFrame, nlist: int = 16, seed: int = 42, id_col: str = "vec_id"
+    emb: DataFrame,
+    nlist: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    max_iter: int = 8,
+    init_mode: str = "k-means||",
 ) -> tuple[DataFrame, np.ndarray]:
     """Assign every vector to an IVF cell. Returns (assigned, centroids):
-    assigned = emb columns + ``cell``; centroids = (nlist, dim) ndarray."""
+    assigned = emb columns + ``cell``; centroids = (nlist, dim) ndarray.
+
+    max_iter=8 default: cell quality plateaus early for ANN partitioning
+    (cells only gate candidate generation; exact scoring happens in-cell).
+    Full-probe callers (nprobe == nlist) are exact under ANY partition, so
+    they can pass max_iter=2 + init_mode='random' and skip most of the
+    index-build jobs (k-means|| init is itself several passes)."""
     feat = emb.withColumn("__features", array_to_vector(to_double_array("embedding")))
-    # maxIter=8: cell quality plateaus early for ANN partitioning (cells
-    # only gate candidate generation; exact scoring happens in-cell).
     model = KMeans(
-        k=nlist, seed=seed, maxIter=8, featuresCol="__features", predictionCol="cell"
+        k=nlist,
+        seed=seed,
+        maxIter=max_iter,
+        initMode=init_mode,
+        featuresCol="__features",
+        predictionCol="cell",
     ).fit(feat)
     assigned = model.transform(feat).drop("__features")
     centroids = np.array(model.clusterCenters(), dtype=np.float64)

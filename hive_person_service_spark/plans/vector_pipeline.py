@@ -82,7 +82,12 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import build_ivf, ivf_knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = build_ivf(emb, nlist=16, seed=42)
+    # Full probe => exact under ANY cell partition: spend the minimum on
+    # the KMeans index build (random init + 2 iterations; k-means|| init
+    # alone is several extra passes).
+    assigned, centroids = build_ivf(
+        emb, nlist=16, seed=42, max_iter=2, init_mode="random"
+    )
     anchors = emb.where(F.col("vec_id") < 50)
     return ivf_knn_join(anchors, assigned, centroids, k=3, nprobe=16)
 
