@@ -50,6 +50,7 @@ from . import pipeline12  # noqa: F401,E402  (SQL-registered UDF, step latency, 
 from . import pipeline13  # noqa: F401,E402  (vocab coverage, epoch shuffle, backlog aging)
 from . import pipeline14  # noqa: F401,E402  (grouping_id, JS divergence, audio RMS, compression ratio)
 from . import pipeline15  # noqa: F401,E402  (RFM segments, error-budget burn)
+from . import streaming_live  # noqa: F401,E402  (true-streaming tumbling, custom Python DataSource)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.

@@ -1,0 +1,86 @@
+"""Batch 17 — true-streaming declared entry + custom Python DataSource
+(round 2):
+
+- stream_live_tumbling: the §2.I tumbling aggregate run through the REAL
+  Structured Streaming engine (readStream -> watermark -> window ->
+  memory sink, trigger(availableNow)) rather than its batch equivalent --
+  the declared surface now carries a genuinely streaming row. Rows-only
+  (a streaming job is not one DuckDB query), but its batch twin
+  (stream_tumbling) is oracle-checked and pytest pins them equal.
+- source_python_datasource: a custom `pyspark.sql.datasource` source
+  (sources/pyds.py) scanned and aggregated -- the §2.A extensibility
+  path; deterministic-arithmetic rows keep it ORACLE-checkable via
+  generate_series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.pyds import MOD, MULT, register_synthetic_source
+from .registry import declare
+
+
+@declare("stream_live_tumbling", oracle=None)  # rows-only: true streaming
+def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts/sums executed by the STREAMING
+    engine end-to-end: file streaming source (maxFilesPerTrigger) ->
+    watermark -> window aggregate -> memory sink, trigger(availableNow)
+    draining the backlog exactly once. Output matches the oracle-checked
+    batch form stream_tumbling (pinned in tests/test_streaming.py); this
+    entry exists so the driver-certified surface includes the real
+    streaming path, not just batch equivalents."""
+    from ..streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_tumbling_agg,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = stream_tumbling_agg(events)
+    out = run_to_memory_sink(agg, spark, output_mode="complete")
+    return out.select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm").alias("ws"),
+        F.date_format("we", "yyyy-MM-dd HH:mm").alias("we"),
+        "event_type",
+        "n",
+        "total",
+    ).orderBy("ws", "event_type")
+
+
+@declare(
+    "source_python_datasource",
+    oracle=f"""
+    WITH rows_src AS (
+      SELECT i AS id, CAST(i // 250 AS INTEGER) AS part,
+             CAST((i * {MULT}) % {MOD} AS DOUBLE) / 100.0 AS val
+      FROM (SELECT unnest(generate_series(0, 1999)) AS i))
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(val), 2) AS total_val,
+           CAST(MIN(id) AS BIGINT) AS first_id,
+           CAST(MAX(id) AS BIGINT) AS last_id
+    FROM rows_src GROUP BY part
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a CUSTOM Python DataSource (Spark 4 datasource API,
+    sources/pyds.py: schema + partition planning + per-partition row
+    generator -- the extensibility contract for bespoke sources) and
+    aggregate per source partition. The source emits deterministic
+    arithmetic rows, so DuckDB re-derives the identical relation from
+    generate_series and the whole custom-source scan stays
+    oracle-checked."""
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("parts", "8")
+        .option("rows_per_part", "250")
+        .load()
+    )
+    return df.groupBy("part").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("val"), 2).alias("total_val"),
+        F.min("id").cast("long").alias("first_id"),
+        F.max("id").cast("long").alias("last_id"),
+    )

@@ -1,0 +1,62 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) --
+SURVEY.md §2.A extensibility: the path a user takes when their source has
+no built-in reader (internal service snapshots, bespoke formats).
+
+`SyntheticRowsDataSource` is deliberately deterministic-arithmetic so the
+declared query over it stays ORACLE-CHECKABLE: DuckDB re-derives every row
+from generate_series. The structure (partitions() -> read(partition)
+generator, schema declared up front) is exactly what a real REST/scan
+source implements; partition planning drives parallelism just like
+parquet splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+#: Formula constants -- mirrored in the DuckDB oracle.
+MULT = 7919
+MOD = 10007
+
+
+class _Part(InputPartition):
+    def __init__(self, part: int, rows: int):
+        self.part = part
+        self.rows = rows
+
+
+class SyntheticRowsReader(DataSourceReader):
+    def __init__(self, options):
+        self.parts = int(options.get("parts", "8"))
+        self.rows_per_part = int(options.get("rows_per_part", "250"))
+
+    def partitions(self):
+        return [_Part(p, self.rows_per_part) for p in range(self.parts)]
+
+    def read(self, partition: _Part):
+        base = partition.part * partition.rows
+        for i in range(partition.rows):
+            rid = base + i
+            yield (rid, partition.part, ((rid * MULT) % MOD) / 100.0)
+
+
+class SyntheticRowsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_rows"
+
+    def schema(self) -> str:
+        return "id long, part int, val double"
+
+    def reader(self, schema: StructType) -> SyntheticRowsReader:
+        return SyntheticRowsReader(self.options)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine)."""
+    spark.dataSource.register(SyntheticRowsDataSource)

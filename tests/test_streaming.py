@@ -162,3 +162,53 @@ def test_kafka_envelope_roundtrip_batch_and_stream(spark, tmp_path):
     stream = spark.readStream.schema(KAFKA_ENVELOPE).parquet(archive)
     got = run_to_memory_sink(parse_kafka_json(stream, payload_schema), spark)
     assert _rows(got, cols) == _rows(ev, cols)
+
+
+def test_stream_live_tumbling_matches_batch(spark):
+    """The declared TRUE-streaming tumbling entry must equal the
+    oracle-checked batch form row-for-row (modulo its string formatting)."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark import plans
+
+    qs = plans.all_queries()
+    live = {
+        (r.ws, r.we, r.event_type, r.n, r.total)
+        for r in qs["stream_live_tumbling"](spark, SF_SMALL).collect()
+    }
+    batch = {
+        (
+            r.ws.strftime("%Y-%m-%d %H:%M"),
+            r.we.strftime("%Y-%m-%d %H:%M"),
+            r.event_type,
+            r.n,
+            r.total,
+        )
+        for r in qs["stream_tumbling"](spark, SF_SMALL).collect()
+    }
+    assert live == batch
+
+
+def test_python_datasource_rows(spark):
+    """Custom Python DataSource: partition planning and per-partition
+    generation produce exactly the declared deterministic relation."""
+    from hive_person_service_spark.sources.pyds import (
+        MOD,
+        MULT,
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("synthetic_rows")
+        .option("parts", "3")
+        .option("rows_per_part", "40")
+        .load()
+    )
+    rows = sorted((r.id, r.part, r.val) for r in df.collect())
+    want = sorted(
+        (p * 40 + i, p, ((p * 40 + i) * MULT) % MOD / 100.0)
+        for p in range(3)
+        for i in range(40)
+    )
+    assert rows == want
