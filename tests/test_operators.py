@@ -337,6 +337,55 @@ def test_raw_image_resize_exact(spark):
     assert bytes(same.blob) == src[3][0]
 
 
+def test_holt_forecast_matches_pandas_reference(spark):
+    """Spark grouped Holt forecast == the same recurrence run in plain
+    pandas on the collected daily series."""
+    from hive_person_service_spark import plans
+    from hive_person_service_spark.plans.pipeline16 import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_STEPS,
+    )
+    from hive_person_service_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.event_type, r.step): r.forecast
+        for r in plans.all_queries()["events_forecast_holt"](
+            spark, SF_SMALL
+        ).collect()
+    }
+
+    ev = load_table(spark, SF_SMALL, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("double").alias("n"))
+        .collect()
+    )
+    series = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.n))
+    for et, pts in series.items():
+        ys = [n for _, n in sorted(pts)]
+        level, trend = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            prev = level
+            level = HOLT_ALPHA * y + (1 - HOLT_ALPHA) * (level + trend)
+            trend = HOLT_BETA * (level - prev) + (1 - HOLT_BETA) * trend
+        for h in range(1, HOLT_STEPS + 1):
+            assert got[(et, h)] == round(level + h * trend, 4)
+
+
+def test_range_bucketed_join_plan_is_equi(spark):
+    """The bucketed range join must carry NO BroadcastNestedLoopJoin --
+    the point of the rewrite is that Catalyst sees pure equi-keys."""
+    from hive_person_service_spark import plans
+
+    df = plans.all_queries()["join_range_bucketed"](spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_winnowing_guarantee(spark):
     """Winnowing's detection guarantee: any shared token run of length
     >= w + k - 1 (here 4 + 3 - 1 = 6) must yield at least one shared
