@@ -53,6 +53,7 @@ from . import pipeline15  # noqa: F401,E402  (RFM segments, error-budget burn)
 from . import streaming_live  # noqa: F401,E402  (true-streaming tumbling, custom Python DataSource)
 from . import pipeline16  # noqa: F401,E402  (bucketed range join, Holt forecast)
 from . import pipeline17  # noqa: F401,E402  (mergeable KMV lifecycle, seasonal anomaly)
+from . import pipeline18  # noqa: F401,E402  (ngram novelty, seasonality index, supplier HHI, burstiness)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
