@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.global_rank import with_global_prefix_sum
 from ..sources import load_table, register_views
 from .registry import declare
 
@@ -161,22 +162,26 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto coverage: the smallest revenue-ranked customer prefix whose
     cumulative share reaches 80% (count + exact share covered). The
-    cumulative window runs on the per-customer aggregate (one corpus
-    groupBy, then customers-sized work); the crossing row is kept via
-    'cumulative share minus own contribution still below threshold'.
-    The prefix-sum window here is global over the customer aggregate --
-    fine to ~1e8 rows; a billion-customer run range-partitions by revenue
-    bucket, prefix-sums the tiny bucket-total relation, and adds the
-    bucket offset in-partition (same two-phase trick as layout.py's
-    quantile z-order)."""
+    cumulative sum over the customer aggregate is the two-phase global
+    prefix sum (operators/global_rank.py: range-partitioned parallel
+    in-partition running sum + broadcast exclusive prefix of the tiny
+    per-partition totals) -- no partition-less window over the
+    customer-cardinality relation, so the plan holds at billions of
+    customers. The crossing row is kept via 'cumulative share minus own
+    contribution still below threshold'."""
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
     tot = rev.agg(F.sum("revenue").alias("total"))
-    w = Window.orderBy(F.col("revenue").desc(), "o_custkey")
-    ranked = rev.crossJoin(F.broadcast(tot)).select(
+    cum = with_global_prefix_sum(
+        rev,
+        [F.col("revenue").desc(), F.col("o_custkey")],
+        "revenue",
+        "cum_rev",
+    )
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
         "revenue",
-        (F.sum("revenue").over(w) / F.col("total")).alias("cum_share"),
+        (F.col("cum_rev") / F.col("total")).alias("cum_share"),
         (F.col("revenue") / F.col("total")).alias("own_share"),
     )
     kept = ranked.where(

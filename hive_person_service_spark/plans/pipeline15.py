@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.global_rank import with_global_ntile
 from ..sources import load_table
 from .registry import declare
 
@@ -49,11 +50,13 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (days since last order vs
     the data horizon), frequency (order count), monetary (revenue), each
     quintiled (best = 1), concatenated into the familiar '111'..'555'
-    segment code. One orders groupBy does the corpus work; the ntile
-    windows run on the customer aggregate with deterministic id
-    tie-breaks. At larger-than-memory customer counts the quintile cuts
-    come from approxQuantile instead of global ntile windows (same
-    two-phase move as layout.py)."""
+    segment code. One orders groupBy does the corpus work; each quintile
+    is an EXACT ntile(5) computed by the two-phase global rank
+    (operators/global_rank.py: range-partitioned parallel sort + local
+    row number + broadcast partition-count offsets) -- no partition-less
+    window touches the customer-cardinality relation, so the plan holds
+    at billions of customers. Deterministic o_custkey tie-breaks make
+    each ntile order total."""
     o = load_table(spark, sf_dir, "orders")
     horizon = o.agg(F.max("o_orderdate").alias("h"))
     cust = (
@@ -66,25 +69,28 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    r = F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))
-    f = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-    scored = cust.select(
+    scored = with_global_ntile(
+        cust, [F.col("recency_days"), F.col("o_custkey")], 5, "r"
+    )
+    scored = with_global_ntile(
+        scored, [F.col("frequency").desc(), F.col("o_custkey")], 5, "f"
+    )
+    scored = with_global_ntile(
+        scored, [F.col("monetary").desc(), F.col("o_custkey")], 5, "m"
+    )
+    return scored.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary",
-        r.cast("long").alias("r"),
-        f.cast("long").alias("f"),
-        m.cast("long").alias("m"),
-    )
-    return scored.withColumn(
-        "segment",
+        "r",
+        "f",
+        "m",
         F.concat(
             F.col("r").cast("string"),
             F.col("f").cast("string"),
             F.col("m").cast("string"),
-        ),
+        ).alias("segment"),
     )
 
 

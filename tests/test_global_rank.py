@@ -1,0 +1,102 @@
+"""Two-phase global rank primitives (operators/global_rank.py): value
+equality against Spark's own single-task global windows, plus plan
+shape -- the customer-cardinality queries they back (orders_rfm_segments,
+sql_pareto_customers) must contain NO partition-less Window over a
+full-cardinality relation (VERDICT r2 item 1)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hive_person_service_spark.operators.global_rank import (
+    with_global_ntile,
+    with_global_prefix_sum,
+    with_global_row_number,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_global_row_number_matches_window(spark):
+    o = _orders(spark).select("o_orderkey", "o_totalprice")
+    got = with_global_row_number(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], out="rn"
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    want = o.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert got.count() == o.count()
+    diff = got.join(want, ["o_orderkey"], "inner").where(
+        got["rn"] != want["rn"]
+    )
+    assert diff.count() == 0
+
+
+def test_global_ntile_matches_window(spark):
+    o = _orders(spark).select("o_orderkey", "o_totalprice")
+    for n in (3, 5, 7):
+        got = with_global_ntile(
+            o, [F.col("o_totalprice"), F.col("o_orderkey")], n, "b"
+        )
+        w = Window.orderBy("o_totalprice", "o_orderkey")
+        want = o.withColumn("b", F.ntile(n).over(w).cast("long"))
+        joined = got.select("o_orderkey", "b").join(
+            want.select("o_orderkey", F.col("b").alias("b2")), "o_orderkey"
+        )
+        assert joined.where(F.col("b") != F.col("b2")).count() == 0
+
+
+def test_global_prefix_sum_matches_window(spark):
+    # Integer-cent values make the comparison exact regardless of
+    # float-summation grouping.
+    o = _orders(spark).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("p")
+    ).withColumn("cents", (F.col("p") * 100).cast("long"))
+    got = with_global_prefix_sum(
+        o, [F.col("o_orderkey")], "cents", "cum"
+    )
+    w = (
+        Window.orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = o.withColumn("cum", F.sum("cents").over(w))
+    joined = got.select("o_orderkey", "cum").join(
+        want.select("o_orderkey", F.col("cum").alias("cum2")), "o_orderkey"
+    )
+    assert joined.where(F.col("cum") != F.col("cum2")).count() == 0
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _assert_no_full_cardinality_global_window(plan: str) -> None:
+    """Every partition-less Window in the plan must be the broadcast-
+    offsets window over the per-shuffle-partition sizes relation
+    (sums __gr_cnt / __gr_psum; <= shuffle-partitions rows)."""
+    for m in re.finditer(r"Arguments: \[(.*?)\], \[\], \[", plan):
+        args = m.group(1)
+        assert "__gr_cnt" in args or "__gr_psum" in args, (
+            "partition-less Window over a non-metadata relation:\n" + args
+        )
+
+
+def test_rfm_and_pareto_plans_have_no_global_window(spark):
+    from hive_person_service_spark.plans.pipeline12 import sql_pareto_customers
+    from hive_person_service_spark.plans.pipeline15 import orders_rfm_segments
+
+    rfm = orders_rfm_segments(spark, SF)
+    plan = _formatted_plan(rfm)
+    assert "ntile" not in plan, plan
+    _assert_no_full_cardinality_global_window(plan)
+
+    pareto = sql_pareto_customers(spark, SF)
+    _assert_no_full_cardinality_global_window(_formatted_plan(pareto))

@@ -69,9 +69,24 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _value_hash(pdf: pd.DataFrame) -> str:
+    """Deterministic digest of a normalized result frame (driver-style)."""
+    import hashlib
+
+    norm = _normalize(pdf)
+    payload = norm.to_csv(index=False).encode()
+    return hashlib.sha256(payload).hexdigest()[:16]
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -91,6 +106,7 @@ def main() -> int:
 
     n_pass = n_fail = n_rows_only = 0
     failures: list[str] = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -100,32 +116,63 @@ def main() -> int:
         except Exception:
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "spark_error", "err": traceback.format_exc(limit=3)}
             print(f"FAIL  {name}: SPARK ERROR\n{traceback.format_exc()}")
             continue
+        secs = round(time.time() - t0, 2)
         if name not in oracles:
             n_rows_only += 1
-            print(f"rows  {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)")
+            report[name] = {
+                "status": "rows_only",
+                "rows": len(sdf),
+                "cols": sorted(sdf.columns),
+                "hash": _value_hash(sdf),
+                "secs": secs,
+            }
+            print(f"rows  {name}: {len(sdf)} rows ({secs:.1f}s)")
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception:
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "duckdb_error", "err": traceback.format_exc(limit=3)}
             print(f"FAIL  {name}: DUCKDB ERROR\n{traceback.format_exc()}")
             continue
         problems = compare(sdf, ddf)
         if problems:
             n_fail += 1
             failures.append(name)
+            report[name] = {"status": "fail", "problems": problems, "secs": secs}
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
             n_pass += 1
-            print(f"ok    {name}: {len(sdf)} rows ({time.time() - t0:.1f}s)")
+            report[name] = {
+                "status": "oracle_pass",
+                "rows": len(sdf),
+                "cols": sorted(sdf.columns),
+                "hash": _value_hash(sdf),
+                "secs": secs,
+            }
+            print(f"ok    {name}: {len(sdf)} rows ({secs:.1f}s)")
 
     print(
         f"\n{n_pass} oracle-pass, {n_rows_only} rows-only, {n_fail} FAIL"
         + (f": {failures}" if failures else "")
     )
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "oracle_pass": n_pass,
+            "rows_only": n_rows_only,
+            "fail": n_fail,
+            "queries": report,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
