@@ -201,6 +201,23 @@ def verify_jaccard(
     )
 
 
+#: Last persisted intermediate per pipeline entry point. The returned
+#: DataFrames are lazy, so the cache must outlive the call -- but a long
+#: session calling these repeatedly would otherwise accumulate cached
+#: blocks forever. Each new call unpersists the previous call's cache,
+#: bounding the leak to one relation per entry point.
+_LAST_PERSISTED: dict[str, DataFrame] = {}
+
+
+def _persist_bounded(slot: str, df: DataFrame) -> DataFrame:
+    prev = _LAST_PERSISTED.get(slot)
+    if prev is not None:
+        prev.unpersist(blocking=False)
+    out = df.persist()
+    _LAST_PERSISTED[slot] = out
+    return out
+
+
 def near_duplicates_minhash(
     df: DataFrame,
     threshold: float = 0.7,
@@ -224,7 +241,7 @@ def near_duplicates_minhash(
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
-    shingled = doc_shingles(df, n=shingle_n).persist()
+    shingled = _persist_bounded("minhash_shingled", doc_shingles(df, n=shingle_n))
     sigs = minhash_signatures(shingled, num_perm=num_perm)
     cands = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands)
     return verify_jaccard(cands, shingled).where(F.col("jaccard") >= threshold)
@@ -256,7 +273,10 @@ def near_duplicates_minhash_inrow(
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
     sigs = minhash_signatures_inrow(df, num_perm=num_perm, shingle_n=shingle_n)
-    cands = lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands).persist()
+    cands = _persist_bounded(
+        "minhash_inrow_cands",
+        lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands),
+    )
     cand_ids = (
         cands.select(F.col("id_a").alias("doc_id"))
         .unionAll(cands.select(F.col("id_b").alias("doc_id")))
@@ -284,7 +304,9 @@ def near_duplicates_incremental(
     corpus side is touched only through band-bucket joins + candidate
     verification -- cost scales with the new batch, not the corpus.
     """
-    new_shingled = doc_shingles(new_docs, n=shingle_n).persist()
+    new_shingled = _persist_bounded(
+        "incremental_new_shingled", doc_shingles(new_docs, n=shingle_n)
+    )
     new_sigs = minhash_signatures(new_shingled, num_perm=num_perm)
     corpus_sigs = minhash_signatures(corpus_shingled, num_perm=num_perm)
 

@@ -110,10 +110,16 @@ def ivf_knn_join(
     cents = np.asarray(centroids, dtype=np.float64)
     n_probe = min(nprobe, len(cents))
 
+    # Rank probe cells by the ASSIGNMENT metric (Euclidean k-means):
+    # nearest cell = argmin ||x-c||^2 = argmax (x.c - ||c||^2/2). Ranking
+    # by raw dot product would skip an anchor's own cell whenever centroid
+    # norms vary, silently costing recall at nprobe < nlist.
+    half_sq = 0.5 * np.sum(cents**2, axis=1)
+
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(col: pd.Series) -> pd.Series:
         m = np.array(list(col), dtype=np.float64)
-        top = np.argsort(-(m @ cents.T), axis=1)[:, :n_probe]
+        top = np.argsort(-(m @ cents.T - half_sq), axis=1)[:, :n_probe]
         return pd.Series(list(top.astype("int32")))
 
     a = anchors.select(
@@ -151,7 +157,10 @@ def ivf_topk(
     cells only. Cell selection is a driver-side numpy dot (centroids are
     tiny); the probed scan is a partition-pruned filter at scale."""
     q = np.asarray(query_vec, dtype=np.float64)
-    cells = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    # Assignment-metric probe ranking (see ivf_knn_join).
+    cells = np.argsort(
+        -(centroids @ q - 0.5 * np.sum(centroids**2, axis=1))
+    )[:nprobe].tolist()
     qlit = F.array(*[F.lit(float(x)) for x in q])
     return (
         assigned.where(F.col("cell").isin(cells))

@@ -194,7 +194,11 @@ def ivfpq_topk(
     from ..functions.vectors import cosine_expr, to_double_array
 
     q = np.asarray(query_vec, dtype=np.float64)
-    cells = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    # Assignment-metric probe ranking (see ivf.ivf_knn_join): nearest
+    # Euclidean cell = argmax (q.c - ||c||^2/2), not argmax q.c.
+    cells = np.argsort(
+        -(centroids @ q - 0.5 * np.sum(centroids**2, axis=1))
+    )[:nprobe].tolist()
     cand = pq_topk(
         coded.where(F.col("cell").isin(cells)),
         codebooks,

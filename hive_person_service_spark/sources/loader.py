@@ -38,24 +38,34 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-#: Physical ts encoding per events path, detected once from the footer.
-_EVENTS_TS_KIND: dict[str, str] = {}
+#: Physical ts encoding, detected from the footer, keyed on
+#: (path, mtime_ns, size) so a fixture regenerated at the same path
+#: (the driver does this between rounds) invalidates the cache.
+_EVENTS_TS_KIND: dict[tuple[str, int, int], str] = {}
 
 
 def _events_ts_kind(spark: SparkSession, path: str) -> str:
     """The fixture generator has shipped events.ts as both TIMESTAMP(NANOS)
     (reads as long under nanosAsLong=true) and timestamp[us]. Detect which
-    from the file footer (one driver-side metadata read, cached per path)
-    instead of pinning either -- forcing a LongType schema onto a
+    from the file footer (one driver-side metadata read, cached per file
+    identity) instead of pinning either -- forcing a LongType schema onto a
     timestamp[us] file silently yields µs longs, and a blind ``div 1000``
     then shifts every event by 1000x."""
-    kind = _EVENTS_TS_KIND.get(path)
-    if kind is None:
-        from pyspark.sql.types import LongType
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # Non-local path (e.g. object store URI): stat is meaningless;
+        # fall through to an uncached footer read each call.
+        key = None
+    if key is not None and key in _EVENTS_TS_KIND:
+        return _EVENTS_TS_KIND[key]
+    from pyspark.sql.types import LongType
 
-        dt = spark.read.parquet(path).schema["ts"].dataType
-        kind = "nanos_long" if isinstance(dt, LongType) else "timestamp"
-        _EVENTS_TS_KIND[path] = kind
+    dt = spark.read.parquet(path).schema["ts"].dataType
+    kind = "nanos_long" if isinstance(dt, LongType) else "timestamp"
+    if key is not None:
+        _EVENTS_TS_KIND[key] = kind
     return kind
 
 
