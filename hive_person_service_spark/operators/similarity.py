@@ -13,7 +13,6 @@ Three tiers, by scale:
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -37,55 +36,96 @@ _PAIR_SCHEMA = StructType(
 )
 
 
-#: Bound on the rows the driver materializes per broadcast tile. At 64
-#: float64 dims this is ~50 MB of matrix per tile -- well inside both the
-#: driver heap and the executor-side broadcast budget.
+#: Bound on the rows either side of one block-pair group materializes in
+#: an executor task. At 64 float64 dims this is ~50 MB of matrix per
+#: side -- well inside executor memory.
 DEFAULT_TILE_ROWS = 100_000
 
+_STRIPE_TAG = 0
+_TILE_TAG = 1
 
-def _broadcast_tiles(
+#: Corpus row counts keyed by the analyzed plan's semantic hash. The
+#: count only SIZES the tiling (any P/T give exact results -- pinned by
+#: test_tiled_blockwise_matches_single_tile), so a stale entry after an
+#: in-place data rewrite costs at most tile granularity, never answers.
+_COUNT_CACHE: dict[int, int] = {}
+
+
+def _cached_count(df: DataFrame) -> int:
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return df.count()
+    if key not in _COUNT_CACHE:
+        if len(_COUNT_CACHE) > 256:
+            _COUNT_CACHE.clear()
+        _COUNT_CACHE[key] = df.count()
+    return _COUNT_CACHE[key]
+
+
+def _block_pair_groups(
     spark: SparkSession,
     emb: DataFrame,
     id_col: str,
     max_tile_rows: int,
-):
-    """Yield ``(b_ids, b_mat)`` broadcast handles covering ``emb`` in tiles
-    of at most ~``max_tile_rows`` rows each.
+) -> DataFrame:
+    """Pair every row-stripe with every tile ENTIRELY executor-side.
 
-    The driver only ever holds ONE tile's rows at a time (the previous
-    tile's local copy is garbage-collected once its broadcast is shipped),
-    so the driver's peak footprint is O(tile), not O(N) -- the full-table
-    ``collect()`` this replaces was the canonical 100x-scale killer. Tiles
-    are assigned by ``pmod(xxhash64(id), n_tiles)``, so sizes are even in
-    expectation (hash-uniform ids), not strictly bounded.
+    Rows are hash-assigned a stripe id ``p`` (>= cluster parallelism, so
+    the matmuls parallelize) and a tile id ``t`` (sized so one tile fits
+    in task memory). The stripe copy is replicated across all T tiles and
+    the tile copy across all P stripes via ``explode(sequence(...))``, so
+    a ``groupBy(p, t)`` shuffle co-locates each (stripe, tile) block pair
+    in one task: the shuffle carries N*(P+T) rows -- the same volume the
+    broadcast formulation ships executor-to-executor -- but NO corpus
+    bytes ever transit the driver (the collect()-and-broadcast loop this
+    replaces streamed the whole corpus through one JVM sequentially).
+    Every unordered pair (a < b) meets in exactly one group -- (p(a),
+    t(b)) with a in the stripe role -- so downstream masking on a < b
+    keeps the union exact with no dedup pass.
     """
-    n = emb.count()
+    n = _cached_count(emb)
     n_tiles = max(1, math.ceil(n / max_tile_rows))
+    par = spark.sparkContext.defaultParallelism
+    # Stripes: enough for full parallelism at scale, but no more than one
+    # per ~256 rows -- a tiny corpus split across `par` Python tasks pays
+    # more in per-task round-trips than the matmuls cost.
+    n_stripes = max(n_tiles, min(par, math.ceil(n / 256)) or 1)
     sel = emb.select(id_col, "embedding")
-    if n_tiles == 1:
-        rows = sel.collect()
-        ids = np.array([r[0] for r in rows], dtype=np.int64)
-        mat = np.array([r[1] for r in rows], dtype=np.float64)
-        del rows
-        yield spark.sparkContext.broadcast(ids), spark.sparkContext.broadcast(mat)
-        return
-    keyed = sel.withColumn(
-        "__tile", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_tiles))
-    ).persist()
-    try:
-        for t in range(n_tiles):
-            rows = keyed.where(F.col("__tile") == t).drop("__tile").collect()
-            if not rows:
-                continue
-            ids = np.array([r[0] for r in rows], dtype=np.int64)
-            mat = np.array([r[1] for r in rows], dtype=np.float64)
-            del rows
-            yield (
-                spark.sparkContext.broadcast(ids),
-                spark.sparkContext.broadcast(mat),
-            )
-    finally:
-        keyed.unpersist()
+    hashed = F.xxhash64(F.col(id_col))
+    stripes = sel.select(
+        F.lit(_STRIPE_TAG).alias("__role"),
+        F.pmod(hashed, F.lit(n_stripes)).alias("__p"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1))).alias("__t"),
+        F.col(id_col),
+        "embedding",
+    )
+    tiles = sel.select(
+        F.lit(_TILE_TAG).alias("__role"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_stripes - 1))).alias("__p"),
+        F.pmod(hashed, F.lit(n_tiles)).alias("__t"),
+        F.col(id_col),
+        "embedding",
+    )
+    # Pre-partition on the exact group key with exactly P*T partitions:
+    # the groupBy's required HashPartitioning is already satisfied, so no
+    # second exchange, and no empty reduce tasks when P*T is far below
+    # spark.sql.shuffle.partitions (the tiny-corpus case).
+    return stripes.unionAll(tiles).repartition(
+        n_stripes * n_tiles, "__p", "__t"
+    )
+
+
+def _split_roles(pdf: pd.DataFrame, id_col: str):
+    stripe = pdf[pdf["__role"] == _STRIPE_TAG]
+    tile = pdf[pdf["__role"] == _TILE_TAG]
+    if stripe.empty or tile.empty:
+        return None
+    a_ids = stripe[id_col].to_numpy(dtype=np.int64)
+    a_mat = np.array(list(stripe["embedding"]), dtype=np.float64)
+    b_ids = tile[id_col].to_numpy(dtype=np.int64)
+    b_mat = np.array(list(tile["embedding"]), dtype=np.float64)
+    return a_ids, a_mat, b_ids, b_mat
 
 
 def exact_topk_pairs_blockwise(
@@ -97,48 +137,40 @@ def exact_topk_pairs_blockwise(
 ) -> DataFrame:
     """Global top-k most-similar pairs (a < b) -- blockwise exact.
 
-    The corpus matrix is broadcast in bounded tiles (``max_tile_rows`` rows
-    each; one tile fits executor memory regardless of N); each partition
-    multiplies its row-stripe against the tile with one numpy matmul and
-    emits only its local top-k, so the shuffle carries
-    partitions * tiles * k rows, never N^2. The global top-k is the top-k of
-    the union of per-tile top-ks (every true pair lives in exactly the tile
-    holding its b side), so tiling is exact, not approximate.
+    Block-pair equi-join regime (see _block_pair_groups): each (stripe,
+    tile) group does ONE numpy matmul in its own task and emits only its
+    local top-k, so the post-matmul shuffle carries P * T * k rows, never
+    N^2, and nothing routes through the driver. The global top-k is the
+    top-k of the union of per-group top-ks (every true pair lives in
+    exactly one group), so blocking is exact, not approximate.
     """
-    sel = emb.select(id_col, "embedding")
-    per_tile = []
-    for b_ids, b_mat in _broadcast_tiles(spark, emb, id_col, max_tile_rows):
+    grouped = _block_pair_groups(spark, emb, id_col, max_tile_rows)
 
-        def topk_block(
-            batches: Iterator[pd.DataFrame], b_ids=b_ids, b_mat=b_mat
-        ) -> Iterator[pd.DataFrame]:
-            tile_ids, tile_mat = b_ids.value, b_mat.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                block_ids = pdf[id_col].to_numpy(dtype=np.int64)
-                block = np.array(list(pdf["embedding"]), dtype=np.float64)
-                sims = block @ tile_mat.T  # (rows_in_block, tile_n)
-                # keep a < b only: mask columns with id <= row id
-                mask = tile_ids[None, :] <= block_ids[:, None]
-                sims[mask] = -np.inf
-                flat = sims.ravel()
-                take = min(k, flat.size)
-                idx = np.argpartition(flat, -take)[-take:]
-                r, c = np.unravel_index(idx, sims.shape)
-                out = pd.DataFrame(
-                    {
-                        "a_id": block_ids[r],
-                        "b_id": tile_ids[c],
-                        "cos": flat[idx],
-                    }
-                )
-                yield out[np.isfinite(out["cos"])]
+    def topk_block(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = _split_roles(pdf, id_col)
+        if parts is None:
+            return pd.DataFrame(
+                {
+                    "a_id": pd.Series([], dtype="int64"),
+                    "b_id": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        a_ids, a_mat, b_ids, b_mat = parts
+        sims = a_mat @ b_mat.T  # (stripe_n, tile_n)
+        # keep a < b only: mask columns with id <= row id
+        mask = b_ids[None, :] <= a_ids[:, None]
+        sims[mask] = -np.inf
+        flat = sims.ravel()
+        take = min(k, flat.size)
+        idx = np.argpartition(flat, -take)[-take:]
+        r, c = np.unravel_index(idx, sims.shape)
+        out = pd.DataFrame(
+            {"a_id": a_ids[r], "b_id": b_ids[c], "cos": flat[idx]}
+        )
+        return out[np.isfinite(out["cos"])]
 
-        per_tile.append(sel.mapInPandas(topk_block, _PAIR_SCHEMA))
-    local = per_tile[0]
-    for t in per_tile[1:]:
-        local = local.unionAll(t)
+    local = grouped.groupBy("__p", "__t").applyInPandas(topk_block, _PAIR_SCHEMA)
     return local.orderBy(F.col("cos").desc(), "a_id", "b_id").limit(k)
 
 
@@ -151,43 +183,37 @@ def cosine_pairs_blockwise(
 ) -> DataFrame:
     """All pairs (a < b) with round(cos, 6) >= threshold -- blockwise exact.
 
-    Same tiling regime as exact_topk_pairs_blockwise: the corpus matrix is
-    broadcast in bounded tiles and each partition does one numpy matmul per
-    (row-stripe, tile), so the N^2 dot products never materialize as rows --
-    only the (sparse) pairs above threshold are emitted. Each qualifying
-    pair (a, b) is emitted by exactly one tile (the one holding b), so the
-    tile union is the exact answer with no dedup pass. Replaces the
-    non-equi-join formulation, whose zip_with/aggregate expression is
-    evaluated per pair (~50x slower). Past the all-tiles-resident regime
-    (N * stripes worth of matmuls), drop to the LSH tier (ann_pairs_lsh).
+    Same block-pair equi-join regime as exact_topk_pairs_blockwise: one
+    numpy matmul per (stripe, tile) group, so the N^2 dot products never
+    materialize as rows -- only the (sparse) pairs above threshold are
+    emitted, and no corpus bytes transit the driver. Each qualifying pair
+    (a, b) is emitted by exactly one group, so the union is the exact
+    answer with no dedup pass. Replaces the non-equi-join formulation,
+    whose zip_with/aggregate expression is evaluated per pair (~50x
+    slower). Past the all-pairs-of-blocks regime (P * T matmuls), drop to
+    the LSH tier (ann_pairs_lsh).
     """
-    sel = emb.select(id_col, "embedding")
-    per_tile = []
-    for b_ids, b_mat in _broadcast_tiles(spark, emb, id_col, max_tile_rows):
+    grouped = _block_pair_groups(spark, emb, id_col, max_tile_rows)
 
-        def block_pairs(
-            batches: Iterator[pd.DataFrame], b_ids=b_ids, b_mat=b_mat
-        ) -> Iterator[pd.DataFrame]:
-            tile_ids, tile_mat = b_ids.value, b_mat.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                block_ids = pdf[id_col].to_numpy(dtype=np.int64)
-                block = np.array(list(pdf["embedding"]), dtype=np.float64)
-                sims = np.round(block @ tile_mat.T, 6)
-                keep = (sims >= threshold) & (
-                    tile_ids[None, :] > block_ids[:, None]
-                )
-                r, c = np.nonzero(keep)
-                yield pd.DataFrame(
-                    {"a_id": block_ids[r], "b_id": tile_ids[c], "cos": sims[r, c]}
-                )
+    def block_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        parts = _split_roles(pdf, id_col)
+        if parts is None:
+            return pd.DataFrame(
+                {
+                    "a_id": pd.Series([], dtype="int64"),
+                    "b_id": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        a_ids, a_mat, b_ids, b_mat = parts
+        sims = np.round(a_mat @ b_mat.T, 6)
+        keep = (sims >= threshold) & (b_ids[None, :] > a_ids[:, None])
+        r, c = np.nonzero(keep)
+        return pd.DataFrame(
+            {"a_id": a_ids[r], "b_id": b_ids[c], "cos": sims[r, c]}
+        )
 
-        per_tile.append(sel.mapInPandas(block_pairs, _PAIR_SCHEMA))
-    out = per_tile[0]
-    for t in per_tile[1:]:
-        out = out.unionAll(t)
-    return out
+    return grouped.groupBy("__p", "__t").applyInPandas(block_pairs, _PAIR_SCHEMA)
 
 
 def knn_join_exact(

@@ -108,9 +108,11 @@ def emb_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1e-4 quantile of this corpus, whose max off-diagonal cosine is ~0.6; a
     corpus with verbatim dups would threshold at 0.9+), exact all-pairs
     form (oracle-checkable) via the blockwise matmul operator -- one numpy
-    matmul per partition against the broadcast corpus instead of a non-equi
+    matmul per (stripe, tile) block pair met through an executor-side
+    equi-join (no corpus bytes through the driver) instead of a non-equi
     join evaluating the dot-product expression per pair. sim_ann_pairs is
-    the bucketed path once the corpus outgrows broadcast."""
+    the bucketed path once the corpus outgrows the all-block-pairs
+    budget."""
     from ..operators.similarity import cosine_pairs_blockwise
 
     emb = load_table(spark, sf_dir, "embeddings")
