@@ -74,3 +74,93 @@ def test_wav_parser_rejects_garbage(spark):
     rows = {r.asset_id: r for r in wav_meta(bad).collect()}
     assert rows[1].sample_rate == -1  # flagged, not crashed
     assert rows[2].sample_rate == 16000 and rows[2].n_samples == 100
+
+
+def test_image_codecs_round_trip():
+    """PGM and BMP encoders/decoders are mutually consistent, including
+    odd widths (BMP 4-byte row padding) and bottom-up row order."""
+    import numpy as np
+
+    from hive_person_service_spark.operators.multimodal import (
+        decode_image,
+        make_bmp_gray8,
+        make_pgm,
+    )
+
+    rng = np.random.RandomState(3)
+    for w, h in [(16, 16), (17, 5), (1, 1), (21, 3)]:
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        assert np.array_equal(decode_image(make_pgm(px)), px), (w, h)
+        assert np.array_equal(decode_image(make_bmp_gray8(px)), px), (w, h)
+
+
+def test_decode_image_ppm_and_bmp24_luma():
+    """P6 PPM and 24-bit BMP reduce RGB with the integer luma formula."""
+    import struct
+
+    import numpy as np
+
+    from hive_person_service_spark.operators.multimodal import decode_image
+
+    rgb = np.array([[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]],
+                   dtype=np.uint8)
+    h, w = 2, 2
+    want = (
+        299 * rgb[..., 0].astype(np.int64)
+        + 587 * rgb[..., 1].astype(np.int64)
+        + 114 * rgb[..., 2].astype(np.int64)
+    ) // 1000
+    ppm = b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+    assert np.array_equal(decode_image(ppm), want)
+
+    # hand-rolled 24-bit BMP: BGR order, bottom-up, rows padded to 4 bytes
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = rgb[::-1, :, ::-1].reshape(h, w * 3)
+    pixel_offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pixel_offset + row_bytes * h, 0, 0,
+                                 pixel_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h,
+                       2835, 2835, 0, 0)
+    assert np.array_equal(decode_image(header + info + rows.tobytes()), want)
+
+
+def test_decode_image_codec_gate():
+    """Entropy-coded formats stay behind a clear NotImplementedError; junk
+    raises ValueError."""
+    import pytest
+
+    from hive_person_service_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_image,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(PNG_MAGIC + b"\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        decode_image(b"GARBAGE!")
+
+
+def test_resize_images_decodes_both_containers(spark):
+    """resize_images over mixed PGM/BMP assets equals resize_raw_images
+    over the raw pixels -- the decode step is lossless for gray8."""
+    from hive_person_service_spark.operators.multimodal import (
+        resize_images,
+        resize_raw_images,
+        synth_encoded_images,
+        synth_raw_images,
+    )
+
+    ids = spark.range(0, 40).selectExpr("id AS asset_id")
+    via_codec = {
+        r.asset_id: bytes(r.blob)
+        for r in resize_images(synth_encoded_images(ids), 8, 8).collect()
+    }
+    via_raw = {
+        r.asset_id: bytes(r.blob)
+        for r in resize_raw_images(synth_raw_images(ids), 8, 8).collect()
+    }
+    assert via_codec == via_raw
+    assert len(via_codec) == 40
