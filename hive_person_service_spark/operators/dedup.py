@@ -204,17 +204,23 @@ def verify_jaccard(
 #: Last persisted intermediate per pipeline entry point. The returned
 #: DataFrames are lazy, so the cache must outlive the call -- but a long
 #: session calling these repeatedly would otherwise accumulate cached
-#: blocks forever. Each new call unpersists the previous call's cache,
-#: bounding the leak to one relation per entry point.
-_LAST_PERSISTED: dict[str, DataFrame] = {}
+#: blocks forever. Each new call unpersists the previous call's cache IF
+#: the plan changed, bounding the leak to one relation per entry point;
+#: an identical plan keeps the cache so repeated identical queries still
+#: hit it (CacheManager matches canonicalized plans).
+_LAST_PERSISTED: dict[str, tuple[int, DataFrame]] = {}
 
 
 def _persist_bounded(slot: str, df: DataFrame) -> DataFrame:
+    try:
+        key = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        key = id(df)
     prev = _LAST_PERSISTED.get(slot)
-    if prev is not None:
-        prev.unpersist(blocking=False)
+    if prev is not None and prev[0] != key:
+        prev[1].unpersist(blocking=False)
     out = df.persist()
-    _LAST_PERSISTED[slot] = out
+    _LAST_PERSISTED[slot] = (key, out)
     return out
 
 
