@@ -111,6 +111,19 @@ def main() -> int:
     # BASELINE.md's methodology and prior rounds.
     timings = run(headline(sf_dir))
 
+    # Co-bucketed fact-fact join (setup cost excluded -- at 100 TB the
+    # bucketed layout is how the tables are STORED, not per-query work):
+    # the orders x lineitem SMJ runs with no Exchange under the join.
+    from hive_person_service_spark.plans.joins import (
+        join3_revenue_bucketed,
+        setup_bucketed_join3,
+    )
+
+    setup_bucketed_join3(spark, sf_dir)
+    extras = run(
+        {"q_join3_revenue_bucketed": lambda: join3_revenue_bucketed(spark, sf_dir)}
+    )
+
     # Lake-realistic layout: same tables rewritten as 32 files/table
     # (results are layout-invariant -- tests/test_multifile.py). Opt out
     # with SPARK_GRAFT_MULTIFILE=0; any N>1 overrides the file count.
@@ -137,6 +150,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
         "layout": "single-file",
+        # not in `value`: no BASELINE counterpart (layout demo, not a query)
+        "extras": extras,
     }
     if multifile is not None:
         result["multifile"] = multifile

