@@ -1,0 +1,202 @@
+"""Batch 22 (round 3) -- three training-data-pipeline quality operators:
+
+- text_pii_redact: regex PII redaction (emails + US-style phone numbers)
+  with per-doc hit counts. PII is injected deterministically in-query so
+  the fixture stays PII-free while the redaction machinery is proven on
+  real positives AND real negatives.
+- text_unigram_logprob: corpus unigram language model -> per-document
+  mean token log-probability (the classic perplexity-proxy quality
+  filter, e.g. CCNet-style): one corpus pass builds the vocab, a
+  token-level equi-join scores documents. No driver state; the vocab
+  relation is the only broadcast-sized artifact.
+- text_repetition_ratio: intra-document trigram repetition (1 -
+  distinct/total trigrams) -- the standard boilerplate/degenerate-text
+  signal over a single projection pass (no shuffle beyond the scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import declare
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@declare(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com now'
+                     ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0
+                     THEN ' call 555-' || LPAD(CAST(doc_id % 1000 AS VARCHAR),
+                                               3, '0') || '-0199'
+                     ELSE '' END AS t
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+             regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+      FROM seeded)
+    SELECT doc_id, n_emails, n_phones,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           substr(redacted, length(redacted) - 14) AS tail15
+    FROM hits
+    WHERE n_emails > 0 OR n_phones > 0
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents: count + replace emails and phone
+    numbers (expression-level regexp_replace/regexp_count -- JVM codegen,
+    no UDF). Deterministic PII is appended in-query to doc_id % 7 / % 11
+    documents so both engines see identical inputs; output pins the hit
+    counts, the redacted length, and the redacted tail (proving the
+    replacement text itself, not just counts). Patterns stay in the
+    RE2/Java common subset so Spark and DuckDB agree byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    hits = seeded.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("t", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+    return hits.where((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.length("redacted").cast("long").alias("redacted_len"),
+        F.substring(F.col("redacted"), F.length("redacted") - 14, 15).alias(
+            "tail15"
+        ),
+    )
+
+
+@declare(
+    "text_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      FROM documents),
+    toks_f AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    vocab AS (
+      SELECT tok,
+             ROUND(ln(COUNT(*) / (SELECT COUNT(*) FROM toks_f)), 6) AS logp
+      FROM toks_f GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id, ROUND(AVG(v.logp), 4) AS mean_logp,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM toks_f t JOIN vocab v USING (tok) GROUP BY t.doc_id)
+    SELECT doc_id, mean_logp, n_tokens FROM scored
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: train a corpus unigram LM (one
+    token-explode + groupBy), score each document by its mean token
+    log-probability via a token-level equi-join against the vocab
+    relation. The classic cheap LM filter for pretraining corpora. Per
+    registry discipline, ln is rounded 6 in-query (transcendental) and
+    the order-dependent AVG to 4. At 100 TB the vocab aggregate is
+    Zipf-bounded (vocab << corpus) and the join is broadcast-able."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    total = toks.agg(F.count("*").alias("n_total"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select("tok", F.round(F.log(F.col("c") / F.col("n_total")), 6).alias("logp"))
+    )
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("logp"), 4).alias("mean_logp"),
+            F.count("*").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@declare(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(ts) - 2),
+                            i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+               AS gs
+      FROM toks WHERE len(ts) >= 3)
+    SELECT doc_id,
+           CAST(len(gs) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE), 6)
+             AS repetition
+    FROM grams
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document trigram repetition ratio (1 - distinct/total) -- the
+    standard degenerate-text / boilerplate signal. Pure expression work:
+    token array -> in-row trigram array (transform over an index
+    sequence) -> array_distinct; no shuffle beyond the scan, so the plan
+    is a single projection pass at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split(F.lower("text"), " ")
+    docs = d.select("doc_id", ts.alias("ts")).where(F.size("ts") >= 3)
+    gs = F.transform(
+        F.sequence(F.lit(0), F.size("ts") - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("ts", i + 1),
+            F.element_at("ts", i + 2),
+            F.element_at("ts", i + 3),
+        ),
+    )
+    grams = docs.select("doc_id", gs.alias("gs"))
+    return grams.select(
+        "doc_id",
+        F.size("gs").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("gs")).cast("long").alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("gs")) / F.size("gs").cast("double"), 6
+        ).alias("repetition"),
+    )
