@@ -100,3 +100,31 @@ def test_rfm_and_pareto_plans_have_no_global_window(spark):
 
     pareto = sql_pareto_customers(spark, SF)
     _assert_no_full_cardinality_global_window(_formatted_plan(pareto))
+
+
+def test_global_rank_edge_cases(spark):
+    """Exactness across awkward sizes: N < n buckets, N == 1, N == 0, and
+    bucket counts that don't divide N. Compared against Spark's own
+    single-task global window on the same data."""
+    for n_rows, n_buckets in [(1, 5), (4, 7), (7, 3), (100, 7), (11, 11)]:
+        df = spark.range(n_rows).select(
+            F.col("id"), (F.col("id") * 37 % 13).alias("v")
+        )
+        got = with_global_ntile(
+            df, [F.col("v"), F.col("id")], n_buckets, "b", num_partitions=3
+        )
+        w = Window.orderBy("v", "id")
+        want = df.withColumn("b", F.ntile(n_buckets).over(w).cast("long"))
+        j = got.select("id", "b").join(
+            want.select("id", F.col("b").alias("b2")), "id"
+        )
+        assert j.where(F.col("b") != F.col("b2")).count() == 0, (
+            n_rows, n_buckets,
+        )
+
+    empty = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
+    assert with_global_ntile(empty, [F.col("v"), F.col("id")], 5, "b").count() == 0
+    assert with_global_row_number(empty, [F.col("id")], out="rn").count() == 0
+    assert (
+        with_global_prefix_sum(empty, [F.col("id")], "v", "cum").count() == 0
+    )
