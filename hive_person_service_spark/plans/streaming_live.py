@@ -84,3 +84,20 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("id").cast("long").alias("first_id"),
         F.max("id").cast("long").alias("last_id"),
     )
+
+
+@declare("stream_dedup_ingest", oracle=None)  # rows-only: true streaming
+def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest near-dup THROUGH the streaming engine: odd
+    doc_ids land as files and stream in one-file micro-batches; each
+    micro-batch is checked against the persisted even-doc_id corpus
+    shingle index via foreachBatch -> near_duplicates_incremental (corpus
+    never re-hashed, per-batch cost scales with the batch). Rows-only (a
+    multi-batch streaming job is not one DuckDB query); pytest pins the
+    drained pair set equal to the batch twin run of
+    near_duplicates_incremental on the same split."""
+    from ..streaming.jobs import stream_incremental_dedup
+
+    return stream_incremental_dedup(spark, sf_dir, threshold=0.7).orderBy(
+        "id_a", "id_b"
+    )

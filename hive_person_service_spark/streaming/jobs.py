@@ -293,3 +293,80 @@ def stream_quality_gate(docs: DataFrame) -> DataFrame:
     from ..plans.pipeline5 import gopher_keep
 
     return docs.where(gopher_keep()).select("doc_id", "lang", "source", "n_chars")
+
+
+def stream_incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.7,
+    n_files: int = 4,
+) -> DataFrame:
+    """Continuous-ingest near-dup: stream NEW documents (landing-zone file
+    source, one file per micro-batch) and check each micro-batch against a
+    PERSISTED corpus shingle index via foreachBatch ->
+    near_duplicates_incremental -- the corpus is never re-hashed; per-batch
+    cost scales with the batch. Pairs append to a parquet sink; the drained
+    result returns as a batch DataFrame.
+
+    This is the production shape for training-corpus ingest dedup: the
+    corpus side is a maintained staging table (here: even doc_ids,
+    shingled once and persisted), the stream side is whatever the crawler
+    lands. trigger(availableNow) drains the backlog exactly once;
+    checkpointing makes re-runs idempotent per landing file."""
+    import os
+
+    from ..operators.dedup import doc_shingles, near_duplicates_incremental
+    from ..sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_shingled = doc_shingles(
+        docs.where(F.col("doc_id") % 2 == 0), n=3
+    ).persist()
+    corpus_shingled.count()
+
+    land = tempfile.mkdtemp(prefix="dedup_land_")
+    out = tempfile.mkdtemp(prefix="dedup_out_")
+    ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    new.repartition(n_files).write.mode("overwrite").parquet(land)
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        pairs = near_duplicates_incremental(
+            batch_df, corpus_shingled, threshold=threshold
+        )
+        pairs.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    corpus_shingled.unpersist()
+
+    if not any(f.endswith(".parquet") for f in os.listdir(out)):
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id_a", LongType()),
+                    StructField("id_b", LongType()),
+                    StructField("jaccard", DoubleType()),
+                ]
+            ),
+        )
+    return spark.read.parquet(out).select("id_a", "id_b", "jaccard")

@@ -212,3 +212,32 @@ def test_python_datasource_rows(spark):
         for i in range(40)
     )
     assert rows == want
+
+
+def test_stream_dedup_ingest_equals_batch_twin(spark):
+    """The foreachBatch streaming ingest dedup finds EXACTLY the pairs the
+    batch run of near_duplicates_incremental finds on the same
+    corpus/new split (micro-batching must not change the answer)."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.operators.dedup import (
+        doc_shingles,
+        near_duplicates_incremental,
+    )
+    from hive_person_service_spark.sources import load_table
+    from hive_person_service_spark.streaming.jobs import stream_incremental_dedup
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in stream_incremental_dedup(spark, sf, threshold=0.5).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    corpus_sh = doc_shingles(docs.where(F.col("doc_id") % 2 == 0), n=3)
+    batch = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in near_duplicates_incremental(
+            docs.where(F.col("doc_id") % 2 == 1), corpus_sh, threshold=0.5
+        ).collect()
+    }
+    assert streamed == batch
