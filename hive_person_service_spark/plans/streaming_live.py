@@ -101,3 +101,37 @@ def stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_incremental_dedup(spark, sf_dir, threshold=0.7).orderBy(
         "id_a", "id_b"
     )
+
+
+@declare("stream_python_datasource", oracle=None)  # rows-only: streaming run
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING scan of the custom Python DataSource (Spark 4
+    SimpleDataSourceStreamReader: initialOffset -> read(start) ->
+    micro-batch rows + next offset), drained until the source goes idle
+    (the Python micro-batch stream does not support availableNow -- it
+    silently falls back to ONE batch, so the drain loop watches for the
+    first empty progress instead) and aggregated per source partition.
+    Rows-only (a multi-batch streaming run is not one DuckDB query), but
+    the relation is the same deterministic arithmetic as
+    source_python_datasource, so pytest pins the drained aggregate equal
+    to that oracle-checked batch query."""
+    from ..streaming.jobs import run_stream_until_idle
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_rows")
+        .option("rows_per_batch", "1000")
+        .option("max_rows", "2000")
+        .load()
+    )
+    drained = run_stream_until_idle(stream, spark, output_mode="append")
+    return (
+        drained.groupBy("part")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("val"), 2).alias("total_val"),
+            F.min("id").cast("long").alias("first_id"),
+            F.max("id").cast("long").alias("last_id"),
+        )
+        .orderBy("part")
+    )

@@ -16,6 +16,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -45,6 +46,40 @@ class SyntheticRowsReader(DataSourceReader):
             yield (rid, partition.part, ((rid * MULT) % MOD) / 100.0)
 
 
+class SyntheticRowsStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING read of the same deterministic relation: each micro-batch
+    advances the offset by ``rows_per_batch`` ids until ``max_rows`` is
+    exhausted -- the Spark 4 `SimpleDataSourceStreamReader` contract
+    (initialOffset/read(start) -> (rows, nextOffset)) that a real
+    tail-a-service source implements. Deterministic rows keep the drained
+    result pinnable against the batch form."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", "500"))
+        self.max_rows = int(options.get("max_rows", "2000"))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        first = start["next"]
+        if first >= self.max_rows:
+            return iter([]), start
+        last = min(first + self.rows_per_batch, self.max_rows)
+        rows = [
+            (rid, rid // 250, ((rid * MULT) % MOD) / 100.0)
+            for rid in range(first, last)
+        ]
+        return iter(rows), {"next": last}
+
+    def readBetweenOffsets(self, start, end):
+        rows = [
+            (rid, rid // 250, ((rid * MULT) % MOD) / 100.0)
+            for rid in range(start["next"], end["next"])
+        ]
+        return iter(rows)
+
+
 class SyntheticRowsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -55,6 +90,9 @@ class SyntheticRowsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SyntheticRowsReader:
         return SyntheticRowsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> SyntheticRowsStreamReader:
+        return SyntheticRowsStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

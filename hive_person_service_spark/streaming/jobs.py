@@ -370,3 +370,42 @@ def stream_incremental_dedup(
             ),
         )
     return spark.read.parquet(out).select("id_a", "id_b", "jaccard")
+
+
+def run_stream_until_idle(
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+    timeout_s: int = 90,
+) -> DataFrame:
+    """Drain a streaming DataFrame whose source does NOT support
+    Trigger.AvailableNow (e.g. Python SimpleDataSourceStreamReader, which
+    falls back to ONE batch under availableNow): run with a tight
+    processing-time trigger and stop after the first EMPTY micro-batch --
+    the source's offset has stopped advancing, so the backlog is drained.
+    Returns the memory-sink relation as a batch DataFrame."""
+    import time
+
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + timeout_s
+    drained = False
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] == 0 and p["batchId"] > 0:
+            drained = True
+            break
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    if not drained:
+        raise TimeoutError(f"stream did not go idle within {timeout_s}s")
+    return spark.table(name)

@@ -241,3 +241,28 @@ def test_stream_dedup_ingest_equals_batch_twin(spark):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_python_datasource_equals_batch(spark):
+    """The Spark 4 Python streaming DataSource (SimpleDataSourceStreamReader)
+    drains the same deterministic relation the batch reader scans: the
+    per-part aggregate of the drained stream equals the oracle-checked
+    batch query's output exactly."""
+    from hive_person_service_spark.plans.streaming_live import (
+        stream_python_datasource,
+    )
+    from hive_person_service_spark.plans.streaming_live import (
+        source_python_datasource,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r.part, r.n, r.total_val, r.first_id, r.last_id)
+        for r in stream_python_datasource(spark, sf).collect()
+    }
+    batch = {
+        (r.part, r.n, r.total_val, r.first_id, r.last_id)
+        for r in source_python_datasource(spark, sf).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 8
