@@ -132,6 +132,134 @@ def with_global_ntile(
     )
 
 
+def with_grouped_row_number(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY group ORDER BY order)`` for the
+    FEW-GROUPS x HUGE-GROUPS regime (a handful of sources/priorities/
+    epochs over a fact table), where a plain partitioned window funnels
+    each group through ONE task. Range-sorting on (group, order) makes
+    group rows contiguous inside each shuffle partition, so the
+    mono-id-decoded local rank restarts per group via ``lrn -
+    min(lrn over the (pid, group) cell) + 1``, and the broadcast offsets
+    relation is (partitions x groups)-sized -- metadata for few groups.
+    With MANY small groups use a plain partitioned window instead (it is
+    already parallel there and this offsets relation would grow)."""
+    gcols = [F.col(g) for g in group]
+    d = _range_sorted_with_local_rank(df, [*gcols, *order], num_partitions)
+    sizes = d.groupBy(_PID, *group).agg(
+        F.count("*").alias("__gr_cnt"), F.min(_LRN).alias("__gr_first")
+    )
+    off_w = (
+        Window.partitionBy(*group)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        _PID,
+        *group,
+        F.coalesce(F.sum("__gr_cnt").over(off_w), F.lit(0)).alias("__gr_off"),
+        "__gr_first",
+    )
+    return (
+        d.join(F.broadcast(offsets), [_PID, *group])
+        .withColumn(
+            out,
+            (
+                F.col("__gr_off") + F.col(_LRN) - F.col("__gr_first") + 1
+            ).cast("long"),
+        )
+        .drop(_PID, _LRN, "__gr_off", "__gr_first")
+    )
+
+
+def with_grouped_ntile(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[Column],
+    n: int,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(n) OVER (PARTITION BY group ORDER BY order)`` for the
+    few-groups x huge-groups regime (see with_grouped_row_number). Group
+    totals ride the same tiny sizes relation as the offsets."""
+    gcols = [F.col(g) for g in group]
+    d = _range_sorted_with_local_rank(df, [*gcols, *order], num_partitions)
+    sizes = d.groupBy(_PID, *group).agg(
+        F.count("*").alias("__gr_cnt"), F.min(_LRN).alias("__gr_first")
+    )
+    off_w = (
+        Window.partitionBy(*group)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot_w = Window.partitionBy(*group).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = sizes.select(
+        _PID,
+        *group,
+        F.coalesce(F.sum("__gr_cnt").over(off_w), F.lit(0)).alias("__gr_off"),
+        F.sum("__gr_cnt").over(tot_w).alias("__gr_n"),
+        "__gr_first",
+    )
+    joined = d.join(F.broadcast(offsets), [_PID, *group])
+    rn = F.col("__gr_off") + F.col(_LRN) - F.col("__gr_first") + 1
+    q = F.floor(F.col("__gr_n") / n)
+    r = F.col("__gr_n") - q * n
+    cut = r * (q + 1)
+    bucket = F.when(rn <= cut, F.floor((rn + q) / (q + 1))).otherwise(
+        r + F.ceil((rn - cut) / q)
+    )
+    return joined.withColumn(out, bucket.cast("long")).drop(
+        _PID, _LRN, "__gr_off", "__gr_n", "__gr_first"
+    )
+
+
+def with_grouped_prefix_sum(
+    df: DataFrame,
+    group: Sequence[str],
+    order: Sequence[Column],
+    value: str,
+    out: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive ``SUM(value) OVER (PARTITION BY group ORDER BY order)``
+    for the few-groups x huge-groups regime: in-partition running sum
+    windowed by (shuffle partition, group) -- parallel across the range
+    partitions -- plus broadcast exclusive prefix of the (partitions x
+    groups)-sized per-cell totals."""
+    gcols = [F.col(g) for g in group]
+    d = _range_sorted_with_local_rank(df, [*gcols, *order], num_partitions)
+    local_w = (
+        Window.partitionBy(_PID, *group)
+        .orderBy(_LRN)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("__gr_lcum", F.sum(value).over(local_w))
+    sums = d.groupBy(_PID, *group).agg(F.sum(value).alias("__gr_psum"))
+    off_w = (
+        Window.partitionBy(*group)
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        _PID,
+        *group,
+        F.coalesce(F.sum("__gr_psum").over(off_w), F.lit(0)).alias("__gr_off"),
+    )
+    return (
+        d.join(F.broadcast(offsets), [_PID, *group])
+        .withColumn(out, F.col("__gr_off") + F.col("__gr_lcum"))
+        .drop(_PID, _LRN, "__gr_off", "__gr_lcum")
+    )
+
+
 def with_global_prefix_sum(
     df: DataFrame,
     order: Sequence[Column],

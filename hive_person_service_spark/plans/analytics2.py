@@ -63,11 +63,18 @@ def dataset_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_src = ranked_src.count()
+    # Per-source rank via the grouped two-phase operator: only ~5 sources
+    # exist, so a window PARTITIONed by source would push corpus/5 rows
+    # through single tasks at scale (operators/global_rank.py).
+    from ..operators.global_rank import with_grouped_row_number
+
     shuffle_key = F.md5(F.concat(F.lit("ep1:"), F.col("doc_id").cast("string")))
-    rn = F.row_number().over(
-        Window.partitionBy("source").orderBy(shuffle_key, "doc_id")
-    )
-    shuffled = docs.select("doc_id", "source", rn.cast("long").alias("rn"))
+    shuffled = with_grouped_row_number(
+        docs.select("doc_id", "source", shuffle_key.alias("__sk")),
+        ["source"],
+        [F.col("__sk"), F.col("doc_id")],
+        out="rn",
+    ).drop("__sk")
     return shuffled.join(F.broadcast(ranked_src), "source").select(
         "doc_id",
         "source",

@@ -303,11 +303,15 @@ def docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     never globally; a 100 TB run derives the cuts from approxQuantile and
     writes one file set per bucket so downstream loaders stream buckets in
     order."""
+    from ..operators.global_rank import with_grouped_row_number
+
     d = load_table(spark, sf_dir, "documents")
     bucket = F.least(F.floor(F.col("n_chars") / F.lit(64)), F.lit(8)).cast("long")
-    w = Window.partitionBy("bucket").orderBy("n_chars", "doc_id")
-    return (
-        d.select("doc_id", "n_chars", bucket.alias("bucket"))
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .select("doc_id", "bucket", "pos")
-    )
+    # ~9 buckets over the whole corpus: per-bucket sequence via the
+    # grouped two-phase rank, not a 9-task partitioned window.
+    return with_grouped_row_number(
+        d.select("doc_id", "n_chars", bucket.alias("bucket")),
+        ["bucket"],
+        [F.col("n_chars"), F.col("doc_id")],
+        out="pos",
+    ).select("doc_id", "bucket", "pos")

@@ -195,27 +195,31 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth histogram per order priority: ntile(8) splits each group
-    into equal-count bands, then min/max per band gives the boundaries --
-    the quantile-sketch view of a distribution as a query (CBO histograms
-    and data-skipping zone maps are this shape). The window partitions by
-    the group key (never a global sort), ties broken by o_orderkey for
-    cross-engine determinism; boundary values are untouched fixture doubles,
-    so no rounding discipline is needed."""
+    """Equi-depth histogram per order priority: exact ntile(8) splits each
+    group into equal-count bands, then min/max per band gives the
+    boundaries -- the quantile-sketch view of a distribution as a query
+    (CBO histograms and data-skipping zone maps are this shape). Only ~5
+    priorities exist, so a plain partitioned window would funnel N/5 fact
+    rows through single tasks at scale; the grouped two-phase rank
+    (operators/global_rank.py) range-partitions (group, value) instead --
+    every task holds one shuffle partition, groups restart via the tiny
+    per-(partition, group) offsets. Ties break on o_orderkey; boundary
+    values are untouched fixture doubles, so no rounding discipline is
+    needed."""
+    from ..operators.global_rank import with_grouped_ntile
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select(
-            "o_orderpriority",
-            "o_totalprice",
-            F.ntile(8).over(w).cast("bigint").alias("tile"),
-        )
-        .groupBy("o_orderpriority", "tile")
-        .agg(
-            F.count("*").alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    tiled = with_grouped_ntile(
+        o.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        8,
+        "tile",
+    )
+    return tiled.groupBy("o_orderpriority", "tile").agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )
 
 

@@ -113,12 +113,14 @@ def dataset_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hk"
         ),
     )
-    w = Window.partitionBy("epoch").orderBy("hk", "doc_id")
-    return keyed.select(
-        "epoch",
-        "doc_id",
-        F.row_number().over(w).cast("long").alias("pos"),
-    )
+    # EPOCHS (=3) partitions over corpus x epochs rows: per-epoch position
+    # via the grouped two-phase rank (operators/global_rank.py), not an
+    # EPOCHS-task partitioned window.
+    from ..operators.global_rank import with_grouped_row_number
+
+    return with_grouped_row_number(
+        keyed, ["epoch"], [F.col("hk"), F.col("doc_id")], out="pos"
+    ).select("epoch", "doc_id", "pos")
 
 
 @declare(

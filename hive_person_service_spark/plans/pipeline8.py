@@ -241,22 +241,31 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median (l_extendedprice weighted by l_quantity) per return
-    flag: cumulative-weight window over the value order, first value whose
-    cumulative weight crosses half the total. Neither engine has an exact
-    weighted percentile built in; the windows partition by group only."""
+    flag: cumulative-weight prefix sum over the value order, first value
+    whose cumulative weight crosses half the total. Neither engine has an
+    exact weighted percentile built in. Only 3 return flags exist, so a
+    window PARTITIONed by flag funnels a third of the fact table through
+    one task at scale -- the grouped two-phase prefix sum
+    (operators/global_rank.py) keeps every task at one range partition
+    instead; group totals are a 3-row broadcast. Quantities are integer-
+    valued doubles, so the regrouped summation stays bit-exact."""
+    from ..operators.global_rank import with_grouped_prefix_sum
+
     li = load_table(spark, sf_dir, "lineitem")
-    w_cum = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    cum = with_grouped_prefix_sum(
+        li.select(
+            "l_returnflag", "l_extendedprice", "l_orderkey",
+            "l_linenumber", "l_quantity",
+        ),
+        ["l_returnflag"],
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "l_quantity",
+        "cw",
     )
-    w_tot = Window.partitionBy("l_returnflag")
-    cum = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("l_quantity").over(w_cum).alias("cw"),
-        F.sum("l_quantity").over(w_tot).alias("tw"),
-    )
+    totals = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))
     return (
-        cum.where(F.col("cw") >= F.col("tw") / 2)
+        cum.join(F.broadcast(totals), "l_returnflag")
+        .where(F.col("cw") >= F.col("tw") / 2)
         .groupBy("l_returnflag")
         .agg(F.round(F.min("l_extendedprice"), 2).alias("wmedian"))
     )

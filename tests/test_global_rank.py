@@ -128,3 +128,66 @@ def test_global_rank_edge_cases(spark):
     assert (
         with_global_prefix_sum(empty, [F.col("id")], "v", "cum").count() == 0
     )
+
+
+def test_grouped_variants_match_partitioned_windows(spark):
+    """Grouped two-phase rank/ntile/prefix-sum equal Spark's partitioned
+    windows exactly (the few-groups x huge-groups scale path)."""
+    o = _orders(spark).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        (F.col("o_orderkey") % 7).alias("qty"),
+    )
+    from hive_person_service_spark.operators.global_rank import (
+        with_grouped_ntile,
+        with_grouped_prefix_sum,
+        with_grouped_row_number,
+    )
+
+    order = [F.col("o_totalprice"), F.col("o_orderkey")]
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+
+    got_rn = with_grouped_row_number(o, ["o_orderpriority"], order, out="rn")
+    want_rn = o.withColumn("rn", F.row_number().over(w).cast("long"))
+    j = got_rn.select("o_orderkey", "rn").join(
+        want_rn.select("o_orderkey", F.col("rn").alias("rn2")), "o_orderkey"
+    )
+    assert j.where(F.col("rn") != F.col("rn2")).count() == 0
+
+    got_nt = with_grouped_ntile(o, ["o_orderpriority"], order, 8, "t")
+    want_nt = o.withColumn("t", F.ntile(8).over(w).cast("long"))
+    j = got_nt.select("o_orderkey", "t").join(
+        want_nt.select("o_orderkey", F.col("t").alias("t2")), "o_orderkey"
+    )
+    assert j.where(F.col("t") != F.col("t2")).count() == 0
+
+    got_ps = with_grouped_prefix_sum(
+        o, ["o_orderpriority"], order, "qty", "cum"
+    )
+    want_ps = o.withColumn(
+        "cum", F.sum("qty").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    j = got_ps.select("o_orderkey", "cum").join(
+        want_ps.select("o_orderkey", F.col("cum").alias("cum2")), "o_orderkey"
+    )
+    assert j.where(F.col("cum") != F.col("cum2")).count() == 0
+
+
+def test_rewritten_grouped_queries_have_no_fact_windows(spark):
+    """agg_equidepth_hist / agg_weighted_median plans: every Window left
+    operates on the tiny per-(partition, group) offsets relation (its
+    expressions mention __gr_ columns), never the fact table."""
+    import re
+
+    from hive_person_service_spark.plans.extras5 import agg_equidepth_hist
+    from hive_person_service_spark.plans.pipeline8 import agg_weighted_median
+
+    for q in (agg_equidepth_hist(spark, SF), agg_weighted_median(spark, SF)):
+        plan = _formatted_plan(q)
+        blocks = re.findall(
+            r"\(\d+\) Window\n(?:.*\n)*?Arguments: (.*)", plan
+        )
+        assert blocks, plan
+        for args in blocks:
+            assert "__gr_" in args, args
