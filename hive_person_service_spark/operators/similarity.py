@@ -44,16 +44,45 @@ DEFAULT_TILE_ROWS = 100_000
 _STRIPE_TAG = 0
 _TILE_TAG = 1
 
-#: Corpus row counts keyed by the analyzed plan's semantic hash. The
-#: count only SIZES the tiling (any P/T give exact results -- pinned by
-#: test_tiled_blockwise_matches_single_tile), so a stale entry after an
-#: in-place data rewrite costs at most tile granularity, never answers.
-_COUNT_CACHE: dict[int, int] = {}
+#: Corpus row counts keyed by the analyzed plan's semantic hash PLUS the
+#: identity (path, mtime_ns, size) of the backing files -- a fixture
+#: regenerated in place at the same path (known driver behavior; see
+#: loader._events_ts_kind, which is keyed the same way) must not reuse a
+#: stale N: if the data GREW, tiles sized from the old count could exceed
+#: max_tile_rows and blow task memory. The count only SIZES the tiling
+#: (any P/T give exact results -- pinned by
+#: test_tiled_blockwise_matches_single_tile), so residual staleness from
+#: an unstat-able source costs at most tile granularity, never answers.
+_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _file_identity(df: DataFrame) -> tuple:
+    """Best-effort (path, mtime_ns, size) fingerprint of the plan's input
+    files (empty for non-file-backed plans, e.g. in-memory relations)."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return ()
+    ident = []
+    for f in sorted(files)[:64]:  # bounded stat cost on many-file layouts
+        p = urlparse(f).path or f
+        try:
+            st = os.stat(p)
+            ident.append((p, st.st_mtime_ns, st.st_size))
+        except OSError:
+            ident.append((p, -1, -1))
+    return tuple(ident)
 
 
 def _cached_count(df: DataFrame) -> int:
     try:
-        key = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            _file_identity(df),
+        )
     except Exception:
         return df.count()
     if key not in _COUNT_CACHE:

@@ -51,7 +51,9 @@ _PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
       FROM seeded)
     SELECT doc_id, n_emails, n_phones,
            CAST(length(redacted) AS BIGINT) AS redacted_len,
-           substr(redacted, length(redacted) - 14) AS tail15
+           -- clamp: a redacted string shorter than 15 chars would push the
+           -- start non-positive, where Spark/DuckDB semantics diverge
+           substr(redacted, greatest(1, length(redacted) - 14)) AS tail15
     FROM hits
     WHERE n_emails > 0 OR n_phones > 0
     """,
@@ -100,9 +102,9 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_emails",
         "n_phones",
         F.length("redacted").cast("long").alias("redacted_len"),
-        F.substring(F.col("redacted"), F.length("redacted") - 14, 15).alias(
-            "tail15"
-        ),
+        F.col("redacted")
+        .substr(F.greatest(F.lit(1), F.length("redacted") - 14), F.lit(15))
+        .alias("tail15"),
     )
 
 

@@ -150,16 +150,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare("sim_pq_topk", oracle=None)  # rows-only: quantized scores
 def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized top-10 neighbors of vec_id 0 (operators/pq.py):
-    vectors compressed to 8 byte-codes, scored via ADC lookup tables --
-    the memory-bound regime where the float corpus can't be resident.
-    pytest pins the ADC identity (score == dot with the reconstruction)
-    and candidate recall vs the exact query."""
+    vectors compressed to 16 byte-codes (m=16, ksub=128 -- 4-dim subspaces
+    at full signed-byte resolution), scored via ADC lookup tables -- the
+    memory-bound regime where the float corpus can't be resident. pytest
+    pins the ADC identity (score == dot with the reconstruction) and
+    candidate recall vs the exact query."""
     import numpy as np
 
     from ..operators.pq import encode_pq, pq_topk, train_pq
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codebooks = train_pq(emb, m=8, ksub=16, seed=42)
+    codebooks = train_pq(emb, m=16, ksub=128, seed=42)
     encoded = encode_pq(emb.where(F.col("vec_id") != 0), codebooks)
     qv = np.array(
         emb.where(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
@@ -170,14 +171,19 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare("sim_ivfpq_topk", oracle=None)  # rows-only: composed ANN index
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF+PQ top-10 for vec_id 0: probe cells (IO bound), ADC on
-    byte codes (memory bound), exact re-rank of the candidate short-list.
-    pytest pins recall vs exact; full-probe + wide refine == exact."""
+    residual byte codes (memory bound; q.centroid offset added per cell),
+    exact re-rank of the candidate short-list. Vectors are multi-assigned
+    to their 2 nearest cells (replica dedup by best ADC score), codebooks
+    trained on residuals: recall@10 at nprobe=8 is pinned >= 0.9 by
+    pytest, monotone in nprobe; full-probe + wide refine == exact."""
     import numpy as np
 
     from ..operators.pq import build_ivfpq, ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    coded, centroids, codebooks = build_ivfpq(emb, nlist=16, m=8, ksub=16, seed=42)
+    coded, centroids, codebooks = build_ivfpq(
+        emb, nlist=16, m=16, ksub=128, seed=42, assign=2
+    )
     qv = np.array(
         emb.where(F.col("vec_id") == 0).first()["embedding"], dtype=np.float64
     )
@@ -190,7 +196,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         qv,
         k=10,
         nprobe=8,
-        refine=5,
+        refine=20,
     )
 
 

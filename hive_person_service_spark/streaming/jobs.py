@@ -186,7 +186,9 @@ def stream_scd2_profiles(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream_scd2_profiles did not drain within 180s")
 
 
 def run_to_memory_sink(
@@ -209,7 +211,9 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("run_to_memory_sink did not drain within 120s")
     return spark.table(name)
 
 
@@ -268,7 +272,9 @@ def stream_cms_maintenance(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("stream_cms_maintenance did not drain within 180s")
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,52 +330,72 @@ def stream_incremental_dedup(
     ).persist()
     corpus_shingled.count()
 
+    import shutil
+
     land = tempfile.mkdtemp(prefix="dedup_land_")
     out = tempfile.mkdtemp(prefix="dedup_out_")
     ckpt = tempfile.mkdtemp(prefix="dedup_ckpt_")
-    new = docs.where(F.col("doc_id") % 2 == 1)
-    new.repartition(n_files).write.mode("overwrite").parquet(land)
+    try:
+        new = docs.where(F.col("doc_id") % 2 == 1)
+        new.repartition(n_files).write.mode("overwrite").parquet(land)
 
-    stream = (
-        spark.readStream.schema(new.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(land)
-    )
-
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
-        pairs = near_duplicates_incremental(
-            batch_df, corpus_shingled, threshold=threshold
-        )
-        pairs.write.mode("append").parquet(out)
-
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    corpus_shingled.unpersist()
-
-    if not any(f.endswith(".parquet") for f in os.listdir(out)):
-        from pyspark.sql.types import (
-            DoubleType,
-            LongType,
-            StructField,
-            StructType,
+        stream = (
+            spark.readStream.schema(new.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
         )
 
-        return spark.createDataFrame(
-            [],
-            StructType(
-                [
-                    StructField("id_a", LongType()),
-                    StructField("id_b", LongType()),
-                    StructField("jaccard", DoubleType()),
-                ]
-            ),
+        def handle(batch_df: DataFrame, _batch_id: int) -> None:
+            pairs = near_duplicates_incremental(
+                batch_df, corpus_shingled, threshold=threshold
+            )
+            pairs.write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-    return spark.read.parquet(out).select("id_a", "id_b", "jaccard")
+        # availableNow drains a FIXED backlog; a False return means the
+        # drain did not finish -- the parquet sink would hold a silently
+        # partial pair set, so fail loudly instead of returning it.
+        if not q.awaitTermination(180):
+            q.stop()
+            raise TimeoutError(
+                "stream_incremental_dedup did not drain within 180s"
+            )
+
+        if not any(f.endswith(".parquet") for f in os.listdir(out)):
+            from pyspark.sql.types import (
+                DoubleType,
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("id_a", LongType()),
+                        StructField("id_b", LongType()),
+                        StructField("jaccard", DoubleType()),
+                    ]
+                ),
+            )
+        # Materialize off the temp sink (eager localCheckpoint: block-
+        # manager-backed, executor-side) so the directories can be removed
+        # in finally without breaking the returned lazy plan.
+        return (
+            spark.read.parquet(out)
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        corpus_shingled.unpersist()
+        for d in (land, out, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def run_stream_until_idle(

@@ -145,8 +145,8 @@ def test_pq_adc_identity_and_recall(spark):
     )
 
     emb = load_table(spark, SF_SMALL, "embeddings")
-    cb = train_pq(emb, m=8, ksub=16, seed=42)
-    assert cb.shape == (8, 16, 8)
+    cb = train_pq(emb, m=16, ksub=128, seed=42)
+    assert cb.shape == (16, 128, 4)
     enc = encode_pq(emb, cb)
 
     rows = emb.select("vec_id", "embedding").collect()
@@ -157,8 +157,8 @@ def test_pq_adc_identity_and_recall(spark):
     crows = enc.collect()
     codes = np.array([r["codes"] for r in crows], dtype=np.int64)
     rec = decode_pq(codes, cb)
-    lut = np.stack([cb[j] @ q[j * 8 : (j + 1) * 8] for j in range(8)])
-    adc = lut[np.arange(8)[None, :], codes].sum(axis=1)
+    lut = np.stack([cb[j] @ q[j * 4 : (j + 1) * 4] for j in range(16)])
+    adc = lut[np.arange(16)[None, :], codes].sum(axis=1)
     assert np.abs(adc - rec @ q).max() < 1e-9
 
     exact = set(ids[ids != 0][np.argsort(-(mat[ids != 0] @ q))[:10]])
@@ -166,18 +166,21 @@ def test_pq_adc_identity_and_recall(spark):
         r["vec_id"]
         for r in pq_topk(enc.where(F.col("vec_id") != 0), cb, q, k=50).collect()
     }
-    assert len(exact & cand) >= 6  # measured 7/10 recall@50 on the fixture
+    assert len(exact & cand) >= 9  # m=16/ksub=128: near-lossless at this n
 
 
 def test_ivfpq_recall_and_fullprobe(spark):
-    """Composed IVF+PQ: (a) recall@10 vs exact at nprobe=8/refine=5; (b)
-    probing ALL cells with a corpus-wide refine reduces to the exact search
-    (the approximation comes only from cell pruning + candidate cut)."""
+    """Composed IVF+PQ (residual codes, multi-assign=2): (a) recall@10 vs
+    exact at nprobe=8/refine=20 >= 0.9; (b) probing ALL cells with a
+    corpus-wide refine reduces to the exact search (the approximation
+    comes only from cell pruning + candidate cut)."""
     from hive_person_service_spark.operators.pq import build_ivfpq, ivfpq_topk
 
     emb = load_table(spark, SF_SMALL, "embeddings")
     corpus = emb.where(F.col("vec_id") != 0)
-    coded, centroids, codebooks = build_ivfpq(emb, nlist=16, m=8, ksub=16, seed=42)
+    coded, centroids, codebooks = build_ivfpq(
+        emb, nlist=16, m=16, ksub=128, seed=42, assign=2
+    )
     coded = coded.where(F.col("vec_id") != 0)
 
     rows = emb.select("vec_id", "embedding").collect()
@@ -190,10 +193,10 @@ def test_ivfpq_recall_and_fullprobe(spark):
         r.vec_id
         for r in ivfpq_topk(
             spark, coded, corpus, centroids, codebooks, q,
-            k=10, nprobe=8, refine=5,
+            k=10, nprobe=8, refine=20,
         ).collect()
     }
-    assert len(exact & got) >= 5  # uniform-sphere fixture: hard ANN case
+    assert len(exact & got) >= 9  # floor 0.9 (VERDICT r3 item 1)
 
     full = {
         r.vec_id
@@ -203,3 +206,58 @@ def test_ivfpq_recall_and_fullprobe(spark):
         ).collect()
     }
     assert full == exact
+
+
+def test_ivfpq_recall_floor_and_monotone(spark):
+    """The round-4 quality pin (VERDICT r3 item 1): on the sf0.01 fixture
+    (500 near-random unit vectors -- the hard ANN case), mean recall@10
+    over 8 spread query vectors must be >= 0.9 at nprobe=8/refine=20 and
+    non-decreasing in nprobe. Residual codebooks + multi-assignment are
+    what buys this; the round-3 raw-vector codebooks topped out at 0.43
+    and wobbled with nprobe."""
+    from hive_person_service_spark.operators.pq import build_ivfpq, ivfpq_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    coded, centroids, codebooks = build_ivfpq(
+        emb, nlist=16, m=16, ksub=128, seed=42, assign=2
+    )
+    coded = coded.persist()
+    coded.count()
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    n = len(ids)
+    q_idx = np.arange(0, n, n // 8)[:8]
+    truths = {}
+    for i in q_idx:
+        mask = ids != ids[i]
+        truths[int(ids[i])] = set(
+            ids[mask][np.argsort(-(mat[mask] @ mat[i]))[:10]].tolist()
+        )
+
+    curve = []
+    for nprobe in (1, 2, 4, 8):
+        recs = []
+        for i in q_idx:
+            qid = int(ids[i])
+            got = {
+                r.vec_id
+                for r in ivfpq_topk(
+                    spark,
+                    coded.where(F.col("vec_id") != qid),
+                    emb.where(F.col("vec_id") != qid),
+                    centroids,
+                    codebooks,
+                    mat[i],
+                    k=10,
+                    nprobe=nprobe,
+                    refine=20,
+                ).collect()
+            }
+            recs.append(len(got & truths[qid]) / 10)
+        curve.append(float(np.mean(recs)))
+    coded.unpersist()
+    assert curve[-1] >= 0.9, f"recall@10 floor broken at nprobe=8: {curve}"
+    for lo, hi in zip(curve, curve[1:]):
+        assert hi >= lo - 1e-9, f"recall not monotone in nprobe: {curve}"

@@ -62,8 +62,8 @@ def main() -> int:
     assigned, centroids = build_ivf(emb, nlist=nlist, seed=42)
     assigned = assigned.persist()
     assigned.count()
-    coded, pq_cents, codebooks = build_ivfpq(emb, nlist=nlist, m=8, ksub=16,
-                                             seed=42)
+    coded, pq_cents, codebooks = build_ivfpq(emb, nlist=nlist, m=16, ksub=128,
+                                             seed=42, assign=2)
     coded = coded.persist()
     coded.count()
 
@@ -90,9 +90,14 @@ def main() -> int:
             )
         )
         print(f"| IVF | {nprobe} | {rec:.3f} | {sec:.3f} |")
+    from hive_person_service_spark.operators.pq import encode_pq, train_pq
+
+    cb_flat = train_pq(emb, m=16, ksub=128, seed=42)
+    enc_flat = encode_pq(emb, cb_flat).persist()
+    enc_flat.count()
     rec, sec = sweep(
         lambda qv, qid: pq_topk(
-            coded.where(F.col("vec_id") != qid), codebooks, qv, k=k
+            enc_flat.where(F.col("vec_id") != qid), cb_flat, qv, k=k
         )
     )
     print(f"| PQ (ADC, full scan) | — | {rec:.3f} | {sec:.3f} |")
@@ -107,10 +112,10 @@ def main() -> int:
                 qv,
                 k=k,
                 nprobe=np_,
-                refine=5,
+                refine=20,
             )
         )
-        print(f"| IVF-PQ (refine=5) | {nprobe} | {rec:.3f} | {sec:.3f} |")
+        print(f"| IVF-PQ (residual, assign=2, refine=20) | {nprobe} | {rec:.3f} | {sec:.3f} |")
     return 0
 
 
