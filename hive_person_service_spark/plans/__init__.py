@@ -58,6 +58,7 @@ from . import pipeline19  # noqa: F401,E402  (dedup impact report, power users)
 from . import pipeline20  # noqa: F401,E402  (bot detection, template families, YoY customer flows)
 from . import pipeline21  # noqa: F401,E402  (cohort LTV, embedding norm audit)
 from . import pipeline22  # noqa: F401,E402  (PII redaction, unigram logprob, repetition ratio)
+from . import partitioned  # noqa: F401,E402  (date-partitioned layout + pruned scan)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.

@@ -1,0 +1,95 @@
+"""Date-partitioned table surface (SURVEY.md §2.A partitioned scan +
+pruning; VERDICT r3 item 3): the Hive-core idiom -- a fact table laid out
+as one directory per day, queries carrying a date predicate that becomes
+PartitionFilters and skips whole directories at file-listing time.
+
+Round 3 proved pruning only inside writer tests; this module puts a
+date-partitioned layout behind a DECLARED, oracle-checked query so the
+driver exercises it every round, and tests/test_partitioned_scan.py pins
+the physical evidence (PartitionFilters in the plan + the scan's numFiles
+metric strictly below the unpruned count).
+
+At 100 TB: events is written partitioned by event_date (30 dirs/month,
+low cardinality -- never a key); a 3-day query then lists and reads 3
+directories regardless of corpus size. The layout is built once per
+fixture generation (cache keyed on the source parquet's path+mtime+size,
+same identity discipline as loader._events_ts_kind) under /tmp, standing
+in for the warehouse table a real deployment maintains.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import declare
+
+_LAYOUT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_layouts")
+
+
+def events_by_day_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the date-partitioned events layout for sf_dir;
+    returns its path. Cache key includes the source file identity so a
+    regenerated fixture rebuilds instead of serving stale partitions."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"events_by_day_{digest}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..sinks.writers import write_partitioned_parquet
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date("ts")
+        )
+        write_partitioned_parquet(ev, path, ["event_date"])
+    return path
+
+
+@declare(
+    "scan_partition_pruned",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    WHERE CAST(ts AS DATE) <=
+          (SELECT CAST(MIN(ts) AS DATE) + INTERVAL 2 DAY FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup over the FIRST THREE DAYS of a date-partitioned events
+    layout. The date cutoff is resolved driver-side from parquet min
+    statistics (a metadata-cheap scalar), then applied as a LITERAL
+    partition predicate -- static pruning, so the file listing itself
+    skips every other day's directory. The oracle computes the same
+    cutoff with a scalar subquery over the raw events table: agreement
+    proves the partitioned layout holds exactly the source rows.
+    Physical pruning evidence (PartitionFilters + numFiles) is pinned by
+    tests/test_partitioned_scan.py."""
+    path = events_by_day_layout(spark, sf_dir)
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.date_add(F.to_date(F.min("ts")), 2).alias("d"))
+        .first()["d"]
+    )
+    part = spark.read.parquet(path).where(F.col("event_date") <= F.lit(cutoff))
+    return part.groupBy(
+        F.col("event_date").cast("string").alias("event_date"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )

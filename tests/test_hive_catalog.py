@@ -80,3 +80,109 @@ def test_hive_metastore_save_and_read(tmp_path):
     assert "HIVE_OK" in out.stdout, (
         f"stdout tail: {out.stdout[-2000:]}\nstderr tail: {out.stderr[-2000:]}"
     )
+
+
+def test_hive_partition_ddl(tmp_path):
+    """Partitioned-table DDL against the real HMS (VERDICT r3 item 3): a
+    date-partitioned saveAsTable, SHOW PARTITIONS listing one entry per
+    day, partition-predicate reads resolved through the catalog, ALTER
+    TABLE ADD/DROP PARTITION, and MSCK REPAIR picking up a directory
+    dropped in from outside the catalog -- the day-to-day Hive idioms a
+    reference user would exercise first."""
+    script = textwrap.dedent(
+        f"""
+        import os
+        from pyspark.sql import SparkSession, functions as F
+
+        d = {str(tmp_path)!r}
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName("hive-partition-ddl-test")
+            .config("spark.sql.catalogImplementation", "hive")
+            .config("spark.sql.warehouse.dir", os.path.join(d, "wh"))
+            .config(
+                "spark.driver.extraJavaOptions",
+                "-Dderby.system.home=" + os.path.join(d, "derby"),
+            )
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "4")
+            .enableHiveSupport()
+            .getOrCreate()
+        )
+        from hive_person_service_spark.sources import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        ev = ev.withColumn("event_date", F.to_date("ts").cast("string"))
+        (
+            ev.write.mode("overwrite")
+            .partitionBy("event_date")
+            .format("parquet")
+            .saveAsTable("events_part")
+        )
+
+        parts = [r[0] for r in spark.sql("SHOW PARTITIONS events_part").collect()]
+        n_days = ev.select("event_date").distinct().count()
+        assert len(parts) == n_days, (len(parts), n_days)
+        assert all(p.startswith("event_date=") for p in parts)
+
+        # catalog-resolved partition-predicate read
+        first_day = sorted(parts)[0].split("=", 1)[1]
+        got = spark.sql(
+            "SELECT COUNT(*) AS c FROM events_part WHERE event_date = '"
+            + first_day + "'"
+        ).first()["c"]
+        want = ev.where(F.col("event_date") == first_day).count()
+        assert got == want > 0
+
+        # ADD PARTITION: empty partition registered in HMS
+        spark.sql(
+            "ALTER TABLE events_part ADD PARTITION (event_date='2099-01-01')"
+        )
+        parts2 = [r[0] for r in spark.sql("SHOW PARTITIONS events_part").collect()]
+        assert "event_date=2099-01-01" in parts2
+        assert spark.table("events_part").count() == ev.count()
+
+        # DROP PARTITION: rows of that day disappear from the table
+        spark.sql(
+            "ALTER TABLE events_part DROP PARTITION (event_date='"
+            + first_day + "')"
+        )
+        assert spark.table("events_part").count() == ev.count() - want
+
+        # MSCK REPAIR: a directory landed outside the catalog becomes a
+        # partition after repair (the crawler-landing recovery idiom)
+        detail = spark.sql("DESCRIBE FORMATTED events_part").collect()
+        location = next(
+            r.data_type for r in detail if r.col_name.strip() == "Location"
+        )
+        path = location.replace("file:", "")
+        stray = os.path.join(path, "event_date=2098-12-31")
+        os.makedirs(stray, exist_ok=True)
+        ev.where(F.col("event_date") == first_day).drop(
+            "event_date"
+        ).limit(5).write.mode("overwrite").parquet(stray)
+        spark.sql("MSCK REPAIR TABLE events_part")
+        parts3 = [r[0] for r in spark.sql("SHOW PARTITIONS events_part").collect()]
+        assert "event_date=2098-12-31" in parts3
+        assert spark.sql(
+            "SELECT COUNT(*) AS c FROM events_part "
+            "WHERE event_date = '2098-12-31'"
+        ).first()["c"] == 5
+
+        spark.stop()
+        print("HIVE_DDL_OK")
+        """
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+        env=env,
+    )
+    assert "HIVE_DDL_OK" in out.stdout, (
+        f"stdout tail: {out.stdout[-2000:]}\nstderr tail: {out.stderr[-2000:]}"
+    )

@@ -81,9 +81,17 @@ def _value_hash(pdf: pd.DataFrame) -> str:
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
+    fuzz_n = 0
     if "--json" in argv:
         i = argv.index("--json")
         json_out = argv[i + 1]
+        del argv[i : i + 2]
+    if "--fuzz" in argv:
+        # append a randomized differential pass (tools/fuzz.py) after the
+        # registry sweep -- attacks the shared-blind-spot risk of the
+        # fixed query set (VERDICT r3 item 2)
+        i = argv.index("--fuzz")
+        fuzz_n = int(argv[i + 1])
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
@@ -173,6 +181,11 @@ def main() -> int:
         with open(json_out, "w") as fh:
             json.dump(summary, fh, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
+    if fuzz_n:
+        from tools.fuzz import run_fuzz
+
+        fr = run_fuzz(sf_dir, fuzz_n, seed=4, spark=spark)
+        n_fail += fr["fail"]
     return 1 if n_fail else 0
 
 
