@@ -2,13 +2,15 @@
 as opaque BinaryType blobs with typed metadata, processed via Arrow-batched
 mapInPandas.
 
-Decode status: PGM/PPM and uncompressed BMP DECODE FOR REAL here (pure
-numpy/struct -- see decode_image), and ``resize_images`` runs a true
-decode -> nearest-neighbor resize over them. Entropy-coded formats
-(PNG/JPEG) still require a codec library absent from this container;
-``decode_image`` gates those magics behind a clear NotImplementedError.
-``decode_image_features`` keeps a deterministic fake featurizer so the
-embedding-shaped plumbing stays testable without a vision model.
+Decode status: PGM/PPM, uncompressed BMP, AND non-interlaced 8-bit PNG
+(gray / gray+alpha / RGB / RGBA -- stdlib zlib inflate + numpy scanline
+unfilter, all five PNG filter types) DECODE FOR REAL here (see
+decode_image), and ``resize_images`` runs a true decode ->
+nearest-neighbor resize over them. Only JPEG still requires a codec
+library absent from this container; ``decode_image`` gates that magic
+behind a clear NotImplementedError. ``decode_image_features`` keeps a
+deterministic fake featurizer so the embedding-shaped plumbing stays
+testable without a vision model.
 """
 
 from __future__ import annotations
@@ -91,11 +93,12 @@ def decode_image_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     return assets.mapInPandas(extract, FEATURE_SCHEMA)
 
 
-# --- Real image codecs: PGM (netpbm P5) and BMP (gray8), pure numpy. ------
-# These are REAL container formats any image tool can open -- the decode
-# step is no longer a stub for them. JPEG/PNG entropy coding still needs a
+# --- Real image codecs: PGM (netpbm P5), BMP (gray8), and PNG (stdlib ----
+# zlib + numpy unfilter -- see make_png/_decode_png further down). These
+# are REAL container formats any image tool can open -- the decode step is
+# no longer a stub for them. Only JPEG's entropy coding still needs a
 # codec library (PIL/opencv) absent from this container; decode_image
-# raises a clear error for those magics only.
+# raises a clear error for that magic only.
 
 
 def make_pgm(px: np.ndarray) -> bytes:
@@ -194,20 +197,148 @@ def _decode_bmp(raw: bytes) -> np.ndarray:
     raise ValueError(f"unsupported BMP bit depth {bits}")
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def make_png(px: np.ndarray, color_type: int = 0) -> bytes:
+    """Encode a real, spec-complete PNG (stdlib zlib, correct CRCs):
+    8-bit, non-interlaced. ``px`` is (h, w) for gray (color_type 0) or
+    (h, w, 3) for RGB (color_type 2). Rows use filter 0; any PNG reader
+    (including _decode_png) round-trips the pixels exactly."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    if color_type == 0:
+        h, w = px.shape
+        body = px.astype(np.uint8)
+    elif color_type == 2:
+        h, w, _ = px.shape
+        body = px.astype(np.uint8).reshape(h, w * 3)
+    else:
+        raise ValueError(f"unsupported encode color type {color_type}")
+    ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), body], axis=1
+    )  # filter byte 0 per row
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(flt: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering. flt: (h, 1+stride) raw rows (first
+    byte per row = filter type). Returns (h, stride) reconstructed bytes.
+
+    Filter 2 (Up) is whole-row vectorized; 1 (Sub) is an exact per-channel
+    cumulative sum mod 256 (recon[x] = filt[x] + recon[x-bpp]); 3/4
+    (Average/Paeth) are inherently sequential in x and fall back to a
+    per-byte loop -- correctness over speed, and encoders we emit use
+    filter 0 anyway."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = int(flt[y, 0])
+        row = flt[y, 1:].astype(np.int64)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: cumsum within each channel residue class
+            rec = row.copy()
+            for c in range(bpp):
+                rec[c::bpp] = np.cumsum(rec[c::bpp]) % 256
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(raw: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA)
+    to gray8: chunk walk -> concatenated-IDAT zlib inflate -> scanline
+    unfilter -> channel reduction (alpha dropped, RGB via the same integer
+    luma as the other codecs). Interlaced, paletted, or 16-bit PNGs raise
+    ValueError (not produced by any writer in this repo)."""
+    import struct
+    import zlib
+
+    w, h = struct.unpack_from(">II", raw, 16)
+    bit_depth, color_type, _comp, _filt, interlace = raw[24:29]
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    ch = _PNG_CHANNELS[color_type]
+
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(raw):
+        (length,) = struct.unpack_from(">I", raw, i)
+        tag = raw[i + 4 : i + 8]
+        if tag == b"IDAT":
+            idat += raw[i + 8 : i + 8 + length]
+        if tag == b"IEND":
+            break
+        i += 12 + length
+    stride = w * ch
+    flt = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    flt = flt.reshape(h, 1 + stride)
+    rec = _png_unfilter(flt, h, stride, bpp=ch)
+    px = rec.reshape(h, w, ch)
+    if color_type == 0:
+        return px[..., 0]
+    if color_type == 4:  # gray + alpha: drop alpha
+        return px[..., 0]
+    r, g, b = (px[..., k].astype(np.int64) for k in range(3))
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode an image blob to a gray8 numpy array, dispatching on magic
-    bytes. PGM/PPM and uncompressed BMP decode here with no external
-    library; entropy-coded formats (PNG/JPEG) raise with a clear message
-    since no codec library ships in this container."""
+    bytes. PGM/PPM, uncompressed BMP, and non-interlaced 8-bit PNG decode
+    here with no external library (PNG: stdlib zlib + numpy unfilter);
+    only JPEG's entropy coding still needs a codec library this container
+    doesn't ship, and raises with a clear message."""
     raw = bytes(blob)
     if raw[:2] in (b"P5", b"P6"):
         return _decode_pnm(raw)
     if raw[:2] == b"BM":
         return _decode_bmp(raw)
-    if raw[:8] == PNG_MAGIC or raw[:3] == b"\xff\xd8\xff":
+    if raw[:8] == PNG_MAGIC:
+        return _decode_png(raw)
+    if raw[:3] == b"\xff\xd8\xff":
         raise NotImplementedError(
-            "PNG/JPEG decode needs a codec library (PIL/opencv) not present "
-            "in this container; supply PGM/PPM/BMP or pre-decoded gray8."
+            "JPEG decode needs a codec library (PIL/opencv) not present "
+            "in this container; supply PGM/PPM/BMP/PNG or pre-decoded gray8."
         )
     raise ValueError(f"unrecognized image magic {raw[:8]!r}")
 
@@ -277,9 +408,10 @@ def synth_raw_images(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
 def synth_encoded_images(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """Deterministic ENCODED test images -- same dims/pixel arithmetic as
     synth_raw_images ((3x + 7y + id) mod 256), but wrapped in a real
-    container: even ids as binary PGM, odd ids as 8-bit BMP. Because both
-    codecs round-trip gray8 losslessly, any oracle written against the
-    raw pixel formula also checks the DECODE path end-to-end."""
+    container rotating by id mod 3: binary PGM, 8-bit BMP, or
+    zlib-compressed PNG (make_png -- real IDAT + CRCs). All three codecs
+    round-trip gray8 losslessly, so any oracle written against the raw
+    pixel formula also checks each DECODE path end-to-end."""
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -290,8 +422,13 @@ def synth_encoded_images(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]
                 px = ((3 * x + 7 * y + int(aid)) % 256).astype(np.uint8)
-                blob = make_pgm(px) if aid % 2 == 0 else make_bmp_gray8(px)
-                mt = "image/x-portable-graymap" if aid % 2 == 0 else "image/bmp"
+                form = int(aid) % 3
+                if form == 0:
+                    blob, mt = make_pgm(px), "image/x-portable-graymap"
+                elif form == 1:
+                    blob, mt = make_bmp_gray8(px), "image/bmp"
+                else:
+                    blob, mt = make_png(px), "image/png"
                 out.append((int(aid), blob, mt))
             yield pd.DataFrame(out, columns=["asset_id", "blob", "media_type"])
 

@@ -126,25 +126,104 @@ def test_decode_image_ppm_and_bmp24_luma():
 
 
 def test_decode_image_codec_gate():
-    """Entropy-coded formats stay behind a clear NotImplementedError; junk
-    raises ValueError."""
+    """Only JPEG stays behind a clear NotImplementedError now (PNG decodes
+    for real, r4); junk raises ValueError."""
     import pytest
 
-    from hive_person_service_spark.operators.multimodal import (
-        PNG_MAGIC,
-        decode_image,
-    )
+    from hive_person_service_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(PNG_MAGIC + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with pytest.raises(ValueError):
         decode_image(b"GARBAGE!")
 
 
+def test_png_roundtrip_gray_and_rgb():
+    """make_png -> _decode_png round-trips gray exactly; RGB reduces with
+    the shared integer luma (same formula as PPM/BMP24)."""
+    import numpy as np
+
+    from hive_person_service_spark.operators.multimodal import (
+        decode_image,
+        make_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (5, 3), (17, 11), (64, 48)]:
+        px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+        assert np.array_equal(decode_image(make_png(px)), px), (w, h)
+    rgb = rng.randint(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    r, g, b = (rgb[..., k].astype(np.int64) for k in range(3))
+    want = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+    assert np.array_equal(decode_image(make_png(rgb, color_type=2)), want)
+
+
+def test_png_all_filter_types_unfilter():
+    """Hand-construct a PNG whose rows use filters 0..4 (our encoder only
+    emits 0; external PNGs use all five) and check exact reconstruction
+    against a reference per-byte unfilter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hive_person_service_spark.operators.multimodal import (
+        PNG_MAGIC,
+        decode_image,
+    )
+
+    rng = np.random.RandomState(11)
+    h, w = 5, 16
+    px = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+
+    # forward-filter each row with its row-index filter type (bpp=1)
+    lines = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        row = px[y].astype(np.int64)
+        f = y % 5
+        out = np.empty(w, dtype=np.int64)
+        for x in range(w):
+            a = row[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[x] = (row[x] - pred) % 256
+        lines.append(f)
+        lines += out.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(tag, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II", w, h) + bytes([8, 0, 0, 0, 0])
+    blob = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(blob), px)
+
+
 def test_resize_images_decodes_both_containers(spark):
-    """resize_images over mixed PGM/BMP assets equals resize_raw_images
+    """resize_images over mixed PGM/BMP/PNG assets equals resize_raw_images
     over the raw pixels -- the decode step is lossless for gray8."""
     from hive_person_service_spark.operators.multimodal import (
         resize_images,
