@@ -24,10 +24,14 @@ def salted_join(
     left_unique_col: str,
     n_salts: int = 16,
     how: str = "inner",
+    merge_hint: bool = False,
 ) -> DataFrame:
     """Equi-join with salted keys. ``left_unique_col`` seeds the salt
     deterministically (reruns produce identical partitioning -- F.rand would
-    not survive task retries at scale)."""
+    not survive task retries at scale). ``merge_hint=True`` pins the
+    shuffle-join plan shape (SMJ on (key, salt)) even when the replicated
+    right side would auto-broadcast at test scale -- the plan under test
+    is the one a 100 TB run gets."""
     keys = [on] if isinstance(on, str) else list(on)
     salted_left = left.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(left_unique_col)), F.lit(n_salts))
@@ -35,5 +39,8 @@ def salted_join(
     salted_right = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
     )
+    if merge_hint:
+        salted_left = salted_left.hint("merge")
+        salted_right = salted_right.hint("merge")
     out = salted_left.join(salted_right, on=keys + ["__salt"], how=how)
     return out.drop("__salt")

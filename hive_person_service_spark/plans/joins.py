@@ -325,3 +325,56 @@ def join3_revenue_bucketed(
             ).alias("revenue")
         )
     )
+
+
+@declare(
+    "join_skew_salted",
+    oracle="""
+    WITH fact AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 < 9 THEN 0
+                  ELSE event_id % 97 END AS hot_key
+      FROM events),
+    dim AS (
+      SELECT CAST(k AS BIGINT) AS hot_key, CAST(k % 7 AS BIGINT) AS bucket
+      FROM (SELECT unnest(generate_series(0, 96)) AS k))
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM fact JOIN dim USING (hot_key)
+    GROUP BY bucket
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key equi-join through explicit salting (VERDICT r3 item 7): 90%
+    of the fact rows share ONE key (a synthesized zipf-extreme, the shape
+    AQE skew-split cannot fix when the hot key's build rows exceed one
+    executor), so the join runs on (key, salt) with the dim replicated
+    n_salts ways -- the hot key spreads over 16 partitions instead of
+    hammering one. merge_hint pins the SMJ plan a 100 TB run would pick
+    (the replicated dim would auto-broadcast at fixture scale). The oracle
+    is the PLAIN join -- salting must be invisible in the result; the
+    bounded-task property is pinned by
+    tests/test_stateful_and_skew.py::test_declared_skew_join_bounds_tasks."""
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(0).cast("long"))
+        .otherwise(F.col("event_id") % 97)
+        .alias("hot_key"),
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("hot_key"), (F.col("id") % 7).alias("bucket")
+    )
+    from ..operators.skew import salted_join
+
+    joined = salted_join(
+        fact, dim, on="hot_key", left_unique_col="event_id",
+        n_salts=16, merge_hint=True,
+    )
+    return joined.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -221,3 +221,79 @@ def test_salted_join_bounds_hot_key_spread(spark):
     total = sum(counts.values())
     assert len(counts) == n_salts
     assert max(counts.values()) <= 2 * total / n_salts
+
+
+def test_declared_skew_join_bounds_tasks(spark):
+    """join_skew_salted (plans/joins.py): the salted intermediate must (a)
+    plan as a shuffle join on (hot_key, __salt) -- no broadcast of the
+    replicated dim, so the hot key genuinely spreads over partitions --
+    and (b) bound every (key, salt) group to ~1/n_salts of the hot key's
+    rows; and the declared result must equal the plain unsalted join."""
+    import io
+    import contextlib
+
+    from hive_person_service_spark.operators.skew import salted_join
+    from hive_person_service_spark.sources import load_table
+
+    n_salts = 16
+    ev = load_table(spark, SF_SMALL, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 9, F.lit(0).cast("long"))
+        .otherwise(F.col("event_id") % 97)
+        .alias("hot_key"),
+    )
+    dim = spark.range(0, 97).select(
+        F.col("id").alias("hot_key"), (F.col("id") % 7).alias("bucket")
+    )
+    joined = salted_join(
+        fact, dim, on="hot_key", left_unique_col="event_id",
+        n_salts=n_salts, merge_hint=True,
+    )
+
+    # (a) plan shape: SortMergeJoin, not BroadcastHashJoin
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain()
+    plan = buf.getvalue()
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+
+    # (b) per-(key, salt) group bound on the hot key
+    hot_total = fact.where(F.col("hot_key") == 0).count()
+    spread = (
+        fact.where(F.col("hot_key") == 0)
+        .withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(n_salts))
+        )
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    counts = {r.salt: r["count"] for r in spread}
+    assert len(counts) == n_salts
+    assert max(counts.values()) <= 2 * hot_total / n_salts
+
+    # (c) salting invisible in the result
+    got = sorted(
+        (r.bucket, r.n_rows, r.min_id, r.max_id)
+        for r in joined.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .collect()
+    )
+    want = sorted(
+        (r.bucket, r.n_rows, r.min_id, r.max_id)
+        for r in fact.join(dim, "hot_key")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .collect()
+    )
+    assert got == want and got
