@@ -15,6 +15,7 @@ partitioned parquet sink -- only the ``format(...)`` lines change.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -338,64 +339,95 @@ def stream_incremental_dedup(
     try:
         new = docs.where(F.col("doc_id") % 2 == 1)
         new.repartition(n_files).write.mode("overwrite").parquet(land)
-
-        stream = (
-            spark.readStream.schema(new.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(land)
+        ingest_dedup_drain(
+            spark, corpus_shingled, new.schema, land, out, ckpt,
+            threshold=threshold,
         )
-
-        def handle(batch_df: DataFrame, _batch_id: int) -> None:
-            pairs = near_duplicates_incremental(
-                batch_df, corpus_shingled, threshold=threshold
-            )
-            pairs.write.mode("append").parquet(out)
-
-        q = (
-            stream.writeStream.foreachBatch(handle)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # availableNow drains a FIXED backlog; a False return means the
-        # drain did not finish -- the parquet sink would hold a silently
-        # partial pair set, so fail loudly instead of returning it.
-        if not q.awaitTermination(180):
-            q.stop()
-            raise TimeoutError(
-                "stream_incremental_dedup did not drain within 180s"
-            )
-
-        if not any(f.endswith(".parquet") for f in os.listdir(out)):
-            from pyspark.sql.types import (
-                DoubleType,
-                LongType,
-                StructField,
-                StructType,
-            )
-
-            return spark.createDataFrame(
-                [],
-                StructType(
-                    [
-                        StructField("id_a", LongType()),
-                        StructField("id_b", LongType()),
-                        StructField("jaccard", DoubleType()),
-                    ]
-                ),
-            )
+        result = read_ingest_dedup_pairs(spark, out)
         # Materialize off the temp sink (eager localCheckpoint: block-
         # manager-backed, executor-side) so the directories can be removed
         # in finally without breaking the returned lazy plan.
-        return (
-            spark.read.parquet(out)
-            .select("id_a", "id_b", "jaccard")
-            .localCheckpoint(eager=True)
-        )
+        return result.localCheckpoint(eager=True)
     finally:
         corpus_shingled.unpersist()
         for d in (land, out, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def ingest_dedup_drain(
+    spark: SparkSession,
+    corpus_shingled: DataFrame,
+    schema,
+    landing: str,
+    out: str,
+    ckpt: str,
+    threshold: float = 0.7,
+    fail_at_batch: int | None = None,
+) -> None:
+    """One availableNow drain of the ingest-dedup stream over an existing
+    landing dir. The foreachBatch sink is IDEMPOTENT: each micro-batch
+    OVERWRITES its own ``batch=<id>`` directory, so an at-least-once
+    replay after a crash between sink write and checkpoint commit lands
+    on the same path instead of appending duplicates -- that replay
+    window is exactly what ``fail_at_batch`` injects (raise AFTER the
+    batch's output is written, BEFORE its offset commits) and what
+    tests/test_streaming.py::test_stream_dedup_ingest_crash_resume pins.
+    """
+    from ..operators.dedup import near_duplicates_incremental
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = near_duplicates_incremental(
+            batch_df, corpus_shingled, threshold=threshold
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            raise RuntimeError(
+                f"injected crash in batch {batch_id} (post-sink, pre-commit)"
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    # availableNow drains a FIXED backlog; a False return means the drain
+    # did not finish -- the parquet sink would hold a silently partial
+    # pair set, so fail loudly instead of returning it.
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("ingest_dedup_drain did not drain within 180s")
+
+
+def read_ingest_dedup_pairs(spark: SparkSession, out: str) -> DataFrame:
+    """Collect the pair set from the per-batch sink directories."""
+    if not any(d.startswith("batch=") for d in os.listdir(out)):
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("id_a", LongType()),
+                    StructField("id_b", LongType()),
+                    StructField("jaccard", DoubleType()),
+                ]
+            ),
+        )
+    return spark.read.parquet(out).select("id_a", "id_b", "jaccard")
 
 
 def run_stream_until_idle(
