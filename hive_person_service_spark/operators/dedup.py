@@ -436,10 +436,27 @@ def jaccard_prefix_candidates(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     )
     pa = prefix.select(
-        F.col(id_col).alias("id_a"), "shingle", F.col("n").alias("n_a")
+        F.col(id_col).alias("id_a"), "shingle",
+        F.col("n").alias("n_a"), F.col("pos").alias("pos_a"),
     )
     pb = prefix.select(
-        F.col(id_col).alias("id_b"), "shingle", F.col("n").alias("n_b")
+        F.col(id_col).alias("id_b"), "shingle",
+        F.col("n").alias("n_b"), F.col("pos").alias("pos_b"),
+    )
+    # PPJoin positional filter (Xiao et al., WWW'08 §3.2): a pair meeting
+    # at prefix positions (pos_a, pos_b) can share at most
+    # 1 + min(n_a - pos_a, n_b - pos_b) shingles, and Jaccard >= t needs
+    # overlap >= t/(1+t) * (n_a + n_b). Keeping the pair if ANY meeting
+    # passes is a superset of PPJoin's candidate set => still exact, but
+    # it prunes INSIDE the bucket join, before the distinct shuffle --
+    # on the sf1 degenerate-vocab corpus this is the difference between
+    # a quadratic candidate blow-up and a bounded one (637s -> measured
+    # below; see SCALE.md).
+    min_overlap = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("n_a") + F.col("n_b"))
+    )
+    ubound = 1 + F.least(
+        F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
     )
     return (
         pa.join(pb, "shingle")
@@ -448,6 +465,7 @@ def jaccard_prefix_candidates(
             # length filter: Jaccard >= t forces t*|A| <= |B| <= |A|/t
             & (F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
             & (F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+            & (ubound >= min_overlap)
         )
         .select("id_a", "id_b")
         .distinct()

@@ -35,8 +35,11 @@ def main() -> int:
         load_table(spark, sf_dir, t).count()
 
     mode = sys.argv[3] if len(sys.argv) > 3 else "collect"
+    only = set(sys.argv[4:])  # optional subset of query names
     timings: dict[str, float] = {}
     for name, fn in plans.all_queries().items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         df = fn(spark, sf_dir)
         if mode == "noop":
@@ -44,6 +47,7 @@ def main() -> int:
         else:
             df.collect()
         timings[name] = round(time.time() - t0, 3)
+        print(f"done {name}: {timings[name]}s", flush=True)
 
     ordered = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
     json.dump(
