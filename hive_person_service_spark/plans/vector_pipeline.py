@@ -222,3 +222,77 @@ def multimodal_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(blob).alias("blob_md5"),
         "lang",
     )
+
+
+def _ivf_index_path(sf_dir: str) -> str:
+    """Cache location for the persisted IVF index over sf_dir's embeddings,
+    keyed on the source parquet's identity (same discipline as
+    plans/partitioned.events_by_day_layout)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_layouts", f"ivf_idx_{digest}"
+    )
+
+
+def ivf_persisted_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the PERSISTED IVF index: vectors written
+    partitioned by cell (`vectors/cell=N/`) + centroids JSON. A probe then
+    reads only its nprobe cell directories -- partition pruning IS the
+    index lookup (operators/ivf.write_ivf_index)."""
+    import os
+
+    from ..operators.ivf import write_ivf_index
+
+    root = _ivf_index_path(sf_dir)
+    if not os.path.exists(os.path.join(root, "centroids.json")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        write_ivf_index(emb, root, nlist=16, seed=42)
+    return root
+
+
+@declare(
+    "sim_ivf_persisted_topk",
+    oracle="""
+    SELECT vec_id,
+           ROUND(list_dot_product(
+             CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+             AS cos
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors served from the PERSISTED IVF index (the
+    deployment shape: index built once, probed per query; probe IO =
+    nprobe/nlist of the corpus via `cell=N/` partition pruning, pinned by
+    tests/test_partitioned_scan.py::test_ivf_persisted_probe_prunes_files).
+    Declared at FULL probe so the result is exact and shares sim_topk's
+    oracle -- agreement proves the persisted layout holds exactly the
+    corpus (no rows lost or duplicated across cell directories)."""
+    import numpy as np
+
+    from ..operators.ivf import ivf_topk, read_ivf_index
+
+    root = ivf_persisted_index(spark, sf_dir)
+    vectors, centroids = read_ivf_index(spark, root)
+    qv = np.array(
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") == 0)
+        .first()["embedding"],
+        dtype=np.float64,
+    )
+    return ivf_topk(
+        vectors.where(F.col("vec_id") != 0), centroids, qv,
+        k=10, nprobe=len(centroids),
+    )

@@ -323,15 +323,18 @@ def test_multimodal_decode_plumbing(spark):
         assert r.blob_len > 0
         assert len(r.feature) == 8
         assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-9  # unit norm
-    # resize_images now decodes for real (PGM/PPM/BMP); the codec gate
-    # moved into decode_image and fires at EXECUTION, per blob: entropy-
-    # coded magics raise NotImplementedError, non-image bytes ValueError.
+    # resize_images now decodes for real (PGM/PPM/BMP/PNG); the codec gate
+    # moved into decode_image and fires at EXECUTION, per blob: JPEG (the
+    # one remaining entropy-coded gate) raises NotImplementedError,
+    # malformed/non-image bytes raise.
     from hive_person_service_spark.operators.multimodal import (
         PNG_MAGIC,
         decode_image,
     )
 
     with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(Exception):  # valid PNG magic, garbage body
         decode_image(PNG_MAGIC + b"\x00" * 16)
     with pytest.raises(Exception):  # text/plain blobs are not images
         resize_images(assets, 224, 224).collect()

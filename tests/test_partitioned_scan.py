@@ -68,3 +68,27 @@ def test_declared_query_matches_raw_events(spark):
         for r in want.collect()
     }
     assert got_counts == want_counts and got_counts
+
+
+def test_ivf_persisted_probe_prunes_files(spark):
+    """The persisted IVF index (vectors written partitioned by cell): a
+    cell-filtered probe must show cell in PartitionFilters and execute a
+    scan over strictly fewer files than the full index -- partition
+    pruning IS the index lookup (operators/ivf.write_ivf_index)."""
+    from hive_person_service_spark.plans.vector_pipeline import (
+        ivf_persisted_index,
+    )
+
+    root = ivf_persisted_index(spark, SF_SMALL)
+    full = spark.read.parquet(f"{root}/vectors")
+    pruned = full.where(F.col("cell").isin([0, 1]))
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    m = re.search(r"PartitionFilters: \[(.+?)\]", buf.getvalue())
+    assert m and "cell" in m.group(1), buf.getvalue()
+
+    total_files = _scan_num_files(full)
+    pruned_files = _scan_num_files(pruned)
+    assert 0 < pruned_files < total_files, (pruned_files, total_files)

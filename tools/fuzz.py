@@ -417,14 +417,93 @@ def q_exists(rng, metas):
     )
 
 
+def q_cte(rng, metas):
+    m = metas[rng.choice(TABLES)]
+    gcols = _group_cols(rng, m)
+    gsel = [f"{c} AS g{i}" for i, c in enumerate(gcols)]
+    aggs = _aggs(rng, m)
+    return (
+        f"WITH base AS (SELECT * FROM {m.name} WHERE {_where(rng, m)}) "
+        f"SELECT {', '.join(gsel + aggs)} FROM base "
+        f"GROUP BY {', '.join(gcols)}"
+    )
+
+
+def q_in_subquery(rng, metas):
+    child, fk, parent, pk = rng.choice(_FKS)
+    cm, pm = metas[child], metas[parent]
+    neg = "NOT " if rng.random() < 0.25 else ""
+    proj = _proj_cols(rng, cm)
+    return (
+        f"SELECT {', '.join(proj)} FROM {child} "
+        f"WHERE ({_where(rng, cm)}) AND {fk} {neg}IN "
+        f"(SELECT {pk} FROM {parent} WHERE {_where(rng, pm)})"
+    )
+
+
+def q_scalar_subquery(rng, metas):
+    m = metas[rng.choice(TABLES)]
+    ints = [c for c in m.of_kind("int") if c in m.samples]
+    if not ints:
+        return q_filter_project(rng, metas)
+    c = rng.choice(ints)
+    fn = rng.choice(["MIN", "MAX"])
+    op = rng.choice(["<", ">=", ">"])
+    proj = _proj_cols(rng, m)
+    return (
+        f"SELECT {', '.join(proj)} FROM {m.name} "
+        f"WHERE {c} {op} (SELECT {fn}({c}) FROM {m.name} "
+        f"WHERE {_where(rng, m)})"
+    )
+
+
+def q_join3(rng, metas):
+    # chained FK path: lineitem -> orders -> customer (the TPC-H spine)
+    lm, om, cm = metas["lineitem"], metas["orders"], metas["customer"]
+    gcols = _group_cols(rng, cm, "c.")
+    gsel = [f"{c} AS g{i}" for i, c in enumerate(gcols)]
+    aggs = _aggs(rng, lm, "l.")
+    return (
+        f"SELECT {', '.join(gsel + aggs)} "
+        f"FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        f"JOIN customer c ON o.o_custkey = c.c_custkey "
+        f"WHERE ({_where(rng, lm, 'l.')}) AND ({_where(rng, om, 'o.')}) "
+        f"GROUP BY {', '.join(gcols)}"
+    )
+
+
+def q_case_group(rng, metas):
+    m = metas[rng.choice(TABLES)]
+    ints = [c for c in m.of_kind("int") if c in m.samples]
+    if not ints:
+        return q_groupby(rng, metas)
+    c = rng.choice(ints)
+    pivot = rng.choice(m.samples[c])
+    case = (
+        f"CASE WHEN {c} < {int(pivot)} THEN 'lo' "
+        f"WHEN {c} = {int(pivot)} THEN 'mid' ELSE 'hi' END"
+    )
+    aggs = _aggs(rng, m)
+    where = f" WHERE {_where(rng, m)}" if rng.random() < 0.5 else ""
+    return (
+        f"SELECT {case} AS g0, {', '.join(aggs)} FROM {m.name}{where} "
+        f"GROUP BY {case}"
+    )
+
+
 _TEMPLATES = [
-    (q_filter_project, 22),
-    (q_groupby, 26),
-    (q_join, 20),
-    (q_window, 12),
-    (q_setop, 8),
-    (q_order_limit, 6),
-    (q_exists, 6),
+    (q_filter_project, 18),
+    (q_groupby, 20),
+    (q_join, 16),
+    (q_window, 11),
+    (q_setop, 7),
+    (q_order_limit, 5),
+    (q_exists, 5),
+    (q_cte, 5),
+    (q_in_subquery, 5),
+    (q_scalar_subquery, 4),
+    (q_join3, 2),
+    (q_case_group, 2),
 ]
 
 
