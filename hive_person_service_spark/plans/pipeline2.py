@@ -272,3 +272,50 @@ def quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+@declare(
+    "graph_degrees",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    outd AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    ind AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst)
+    SELECT 'out' AS side, CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM outd GROUP BY d
+    UNION ALL
+    SELECT 'in' AS side, CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM ind GROUP BY d
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the customer->supplier shipment graph (the
+    oracle-checked face of the graph family: pagerank/components are
+    iterative and rows-only, but the degree histogram -- the first thing
+    anyone asks of a graph -- is two groupBys). One edges CTE feeds both
+    sides; at scale this is a single shuffle per direction over the
+    deduped edge list."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    outd = (
+        edges.groupBy("src").agg(F.count("*").alias("d"))
+        .groupBy("d").agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("out").alias("side"), F.col("d").alias("degree"), "n_nodes")
+    )
+    ind = (
+        edges.groupBy("dst").agg(F.count("*").alias("d"))
+        .groupBy("d").agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("in").alias("side"), F.col("d").alias("degree"), "n_nodes")
+    )
+    return outd.unionByName(ind)
