@@ -186,3 +186,82 @@ def test_hive_partition_ddl(tmp_path):
     assert "HIVE_DDL_OK" in out.stdout, (
         f"stdout tail: {out.stdout[-2000:]}\nstderr tail: {out.stderr[-2000:]}"
     )
+
+
+def test_hive_ctas_and_views(tmp_path):
+    """CTAS + view DDL through the metastore: CREATE TABLE AS SELECT,
+    CREATE VIEW over it, SHOW TABLES listing both, DESCRIBE resolving the
+    schema, DROP cascading correctly -- the remaining everyday Hive DDL
+    beyond save/read/partitions."""
+    script = textwrap.dedent(
+        f"""
+        import os
+        from pyspark.sql import SparkSession
+
+        d = {str(tmp_path)!r}
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName("hive-ctas-test")
+            .config("spark.sql.catalogImplementation", "hive")
+            .config("spark.sql.warehouse.dir", os.path.join(d, "wh"))
+            .config(
+                "spark.driver.extraJavaOptions",
+                "-Dderby.system.home=" + os.path.join(d, "derby"),
+            )
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "4")
+            .enableHiveSupport()
+            .getOrCreate()
+        )
+        from hive_person_service_spark.sources import load_table
+
+        load_table(spark, "/root/testdata/sf0.001", "nation") \\
+            .createOrReplaceTempView("nation_src")
+
+        # CTAS through the metastore
+        spark.sql(
+            "CREATE TABLE nations_eu USING parquet AS "
+            "SELECT n_nationkey, n_name FROM nation_src WHERE n_regionkey = 3"
+        )
+        want = spark.table("nation_src").where("n_regionkey = 3").count()
+        assert spark.table("nations_eu").count() == want > 0
+
+        # persistent VIEW over the CTAS table
+        spark.sql(
+            "CREATE VIEW nations_eu_upper AS "
+            "SELECT n_nationkey, UPPER(n_name) AS n_name FROM nations_eu"
+        )
+        names = {{r.n_name for r in spark.table("nations_eu_upper").collect()}}
+        assert names and all(n == n.upper() for n in names)
+
+        tables = {{t.name: t.tableType for t in spark.catalog.listTables()}}
+        assert tables.get("nations_eu") in ("MANAGED", "EXTERNAL")
+        assert tables.get("nations_eu_upper") == "VIEW"
+
+        cols = {{r.col_name for r in spark.sql("DESCRIBE nations_eu").collect()}}
+        assert {{"n_nationkey", "n_name"}} <= cols
+
+        # dropping the view leaves the table; dropping the table works
+        spark.sql("DROP VIEW nations_eu_upper")
+        assert spark.table("nations_eu").count() == want
+        spark.sql("DROP TABLE nations_eu")
+        remaining = [t.name for t in spark.catalog.listTables()]
+        assert "nations_eu" not in remaining
+
+        spark.stop()
+        print("HIVE_CTAS_OK")
+        """
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+        env=env,
+    )
+    assert "HIVE_CTAS_OK" in out.stdout, (
+        f"stdout tail: {out.stdout[-2000:]}\nstderr tail: {out.stderr[-2000:]}"
+    )
