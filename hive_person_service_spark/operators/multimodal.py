@@ -2,15 +2,17 @@
 as opaque BinaryType blobs with typed metadata, processed via Arrow-batched
 mapInPandas.
 
-Decode status: PGM/PPM, uncompressed BMP, AND non-interlaced 8-bit PNG
-(gray / gray+alpha / RGB / RGBA -- stdlib zlib inflate + numpy scanline
-unfilter, all five PNG filter types) DECODE FOR REAL here (see
-decode_image), and ``resize_images`` runs a true decode ->
-nearest-neighbor resize over them. Only JPEG still requires a codec
-library absent from this container; ``decode_image`` gates that magic
-behind a clear NotImplementedError. ``decode_image_features`` keeps a
-deterministic fake featurizer so the embedding-shaped plumbing stays
-testable without a vision model.
+Decode status: EVERY container decodes for real with no external library
+-- PGM/PPM, uncompressed BMP, non-interlaced 8-bit PNG (stdlib zlib
+inflate + numpy scanline unfilter, all five filter types), and baseline
+grayscale JPEG (operators/jpeg.py: T.81 Huffman entropy decode + IDCT in
+numpy; encoder included, round-trip error pytest-pinned). The former
+codec gate is CLOSED; only JPEG variants outside baseline grayscale
+(progressive, subsampled color) raise ValueError with a precise message.
+``resize_images`` runs a true decode -> nearest-neighbor resize over all
+containers. ``decode_image_features`` keeps a deterministic fake
+featurizer so the embedding-shaped plumbing stays testable without a
+vision model.
 """
 
 from __future__ import annotations
@@ -93,12 +95,10 @@ def decode_image_features(assets: DataFrame, dim: int = 8) -> DataFrame:
     return assets.mapInPandas(extract, FEATURE_SCHEMA)
 
 
-# --- Real image codecs: PGM (netpbm P5), BMP (gray8), and PNG (stdlib ----
-# zlib + numpy unfilter -- see make_png/_decode_png further down). These
-# are REAL container formats any image tool can open -- the decode step is
-# no longer a stub for them. Only JPEG's entropy coding still needs a
-# codec library (PIL/opencv) absent from this container; decode_image
-# raises a clear error for that magic only.
+# --- Real image codecs: PGM (netpbm P5), BMP (gray8), PNG (stdlib zlib --
+# + numpy unfilter -- see make_png/_decode_png further down), and baseline
+# grayscale JPEG (operators/jpeg.py). These are REAL container formats any
+# image tool can open -- the decode step is not a stub for any of them.
 
 
 def make_pgm(px: np.ndarray) -> bytes:
@@ -324,10 +324,12 @@ def _decode_png(raw: bytes) -> np.ndarray:
 
 def decode_image(blob: bytes) -> np.ndarray:
     """Decode an image blob to a gray8 numpy array, dispatching on magic
-    bytes. PGM/PPM, uncompressed BMP, and non-interlaced 8-bit PNG decode
-    here with no external library (PNG: stdlib zlib + numpy unfilter);
-    only JPEG's entropy coding still needs a codec library this container
-    doesn't ship, and raises with a clear message."""
+    bytes. Every container decodes here with no external library: PGM/PPM,
+    uncompressed BMP, non-interlaced 8-bit PNG (stdlib zlib + numpy
+    unfilter), and baseline grayscale JPEG (operators/jpeg.py -- T.81
+    Huffman + IDCT in numpy). JPEG variants outside baseline grayscale
+    (progressive, chroma-subsampled color) raise ValueError with a precise
+    message -- recognized, deliberately unimplemented."""
     raw = bytes(blob)
     if raw[:2] in (b"P5", b"P6"):
         return _decode_pnm(raw)
@@ -336,10 +338,9 @@ def decode_image(blob: bytes) -> np.ndarray:
     if raw[:8] == PNG_MAGIC:
         return _decode_png(raw)
     if raw[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError(
-            "JPEG decode needs a codec library (PIL/opencv) not present "
-            "in this container; supply PGM/PPM/BMP/PNG or pre-decoded gray8."
-        )
+        from .jpeg import decode_jpeg_gray
+
+        return decode_jpeg_gray(raw)
     raise ValueError(f"unrecognized image magic {raw[:8]!r}")
 
 

@@ -240,3 +240,61 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return resized.mapInPandas(checksum, ck_schema)
+
+
+@declare("multimodal_jpeg_roundtrip", oracle=None)  # rows-only: DCT not SQL
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSY codec through the engine: per document, synthesize the
+    deterministic pixel pattern, encode baseline grayscale JPEG
+    (operators/jpeg.py -- T.81 DCT + Annex-K Huffman in pure numpy),
+    decode it back, and report (asset_id, width, height, encoded bytes,
+    mean-abs-error x100). Deterministic end to end (integer/float math,
+    no RNG), but the DCT makes the values non-SQL-expressible => rows-only
+    here; the error bound itself is pinned by
+    tests/test_tokenize_wav.py::test_jpeg_roundtrip_and_variant_errors.
+    Arrow-batched mapInPandas, one Python pass per blob -- the declared
+    multimodal extension-point shape."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id")
+    )
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("jpeg_bytes", LongType()),
+            StructField("mae_x100", LongType()),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid in pdf["asset_id"].astype("int64"):
+                w = 16 + int(aid) % 8
+                h = 16 + int(aid) % 5
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((3 * x + 7 * y + int(aid)) % 256).astype(np.uint8)
+                blob = encode_jpeg_gray(px, quality=90)
+                dec = decode_jpeg_gray(blob)
+                mae = float(
+                    np.abs(dec.astype(np.int64) - px.astype(np.int64)).mean()
+                )
+                out.append(
+                    (int(aid), w, h, len(blob), int(round(mae * 100)))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "jpeg_bytes",
+                         "mae_x100"],
+            )
+
+    return d.mapInPandas(work, schema)

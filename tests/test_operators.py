@@ -323,16 +323,14 @@ def test_multimodal_decode_plumbing(spark):
         assert r.blob_len > 0
         assert len(r.feature) == 8
         assert abs(sum(x * x for x in r.feature) - 1.0) < 1e-9  # unit norm
-    # resize_images now decodes for real (PGM/PPM/BMP/PNG); the codec gate
-    # moved into decode_image and fires at EXECUTION, per blob: JPEG (the
-    # one remaining entropy-coded gate) raises NotImplementedError,
-    # malformed/non-image bytes raise.
+    # resize_images decodes for real (PGM/PPM/BMP/PNG/baseline-gray JPEG);
+    # errors fire at EXECUTION, per blob: malformed bodies raise ValueError.
     from hive_person_service_spark.operators.multimodal import (
         PNG_MAGIC,
         decode_image,
     )
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception):  # valid JPEG magic, garbage body
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with pytest.raises(Exception):  # valid PNG magic, garbage body
         decode_image(PNG_MAGIC + b"\x00" * 16)

@@ -126,16 +126,53 @@ def test_decode_image_ppm_and_bmp24_luma():
 
 
 def test_decode_image_codec_gate():
-    """Only JPEG stays behind a clear NotImplementedError now (PNG decodes
-    for real, r4); junk raises ValueError."""
+    """The codec gate is CLOSED (r4): all four containers decode for
+    real. Malformed streams and recognized-but-unsupported JPEG variants
+    raise ValueError with precise messages; junk raises ValueError."""
     import pytest
 
     from hive_person_service_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # JPEG magic, garbage body
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with pytest.raises(ValueError):
         decode_image(b"GARBAGE!")
+
+
+def test_jpeg_roundtrip_and_variant_errors():
+    """Baseline grayscale JPEG codec (operators/jpeg.py): uniform image
+    round-trips exactly (DC-only), smooth images stay within a tight
+    error bound across sizes/qualities, the stream opens through
+    decode_image's magic dispatch, and non-baseline variants raise
+    precisely."""
+    import numpy as np
+    import pytest
+
+    from hive_person_service_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+    from hive_person_service_spark.operators.multimodal import decode_image
+
+    flat = np.full((16, 24), 77, dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_jpeg_gray(flat, 90)), flat)
+
+    for h, w, q, bound in [(8, 8, 90, 4), (17, 23, 85, 6), (64, 48, 75, 9),
+                           (33, 41, 95, 3)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = (128 + 100 * np.sin(xx / 7.0) * np.cos(yy / 5.0)).clip(
+            0, 255
+        ).astype(np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_gray(px, q))
+        assert dec.shape == (h, w)
+        err = np.abs(dec.astype(int) - px.astype(int))
+        assert err.max() <= bound, (h, w, q, err.max())
+
+    good = encode_jpeg_gray(flat, 90)
+    with pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x00\x01" + good[2:])
 
 
 def test_png_roundtrip_gray_and_rgb():
