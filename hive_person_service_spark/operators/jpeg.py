@@ -1,18 +1,22 @@
-"""Baseline JPEG codec (grayscale, 8-bit, no subsampling) in pure
-numpy/stdlib -- closes the repo's last image-codec gate (VERDICT r3
-"What's missing" #2: PNG landed in r4; JPEG's entropy coding is the one
-piece that previously still required PIL/opencv).
+"""Baseline JPEG codec in pure numpy/stdlib -- closes the repo's last
+image-codec gate (VERDICT r3 "What's missing" #2: PNG landed in r4;
+JPEG's entropy coding is the one piece that previously still required
+PIL/opencv).
 
-Scope, deliberately bounded to what the multimodal pipeline needs:
-  * encode_jpeg_gray: SOI/APP0/DQT/SOF0/DHT/SOS/EOI baseline stream --
-    8x8 block DCT-II (orthonormal matrix form), quality-scaled Annex-K
-    luminance quantization, zigzag, DC-differential + AC run-length
-    Huffman with the standard Annex-K tables, 0xFF byte stuffing;
-  * decode_jpeg_gray: marker walk, DQT/DHT/SOF0 parse, entropy decode
-    (bit reader with stuffing removal), dezigzag, dequantize, IDCT,
-    level shift + clamp. Restart markers honored (DC predictor reset).
-    Progressive (SOF2), arithmetic coding, and chroma-subsampled color
-    raise ValueError -- the formats are recognized, the error is precise.
+Scope:
+  * encode_jpeg_gray: SOI/APP0/DQT/SOF0/DHT/SOS/EOI baseline grayscale
+    stream -- 8x8 block DCT-II (orthonormal matrix form), quality-scaled
+    Annex-K luminance quantization, zigzag, DC-differential + AC
+    run-length Huffman with the standard Annex-K tables, 0xFF stuffing;
+  * encode_jpeg_color: baseline 4:2:0 YCbCr (BT.601, 2x2 chroma
+    averaging, Annex-K chroma tables) -- mainly so the decoder's
+    interleaved-MCU walk is testable without an external codec;
+  * decode_jpeg_gray: decodes ANY baseline JPEG's LUMA -- grayscale
+    directly; interleaved color (4:4:4 / 4:2:2 / 4:2:0) via the full MCU
+    walk, entropy-decoding every component's blocks to keep the
+    bitstream in sync and reconstructing Y only (gray = luma). Restart
+    markers honored (DC predictor reset). Progressive (SOF2) and
+    arithmetic coding raise ValueError -- recognized, error precise.
 
 Everything here is the public JPEG baseline process (ITU-T T.81 / ISO
 10918-1; quantization + Huffman tables from its Annex K). JPEG is LOSSY:
@@ -74,9 +78,46 @@ _ZIGZAG = np.array(
     ]
 )
 
+# Chrominance quantization (Annex K.2)
+_Q_CHR = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int32,
+)
+
 # DC luminance (Annex K.3.1): BITS (count of codes per length 1..16), HUFFVAL
 _DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _DC_VALS = list(range(12))
+# DC chrominance (Annex K.3.2-numbering: table K.4)
+_DC_C_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_C_VALS = list(range(12))
+# AC chrominance (Annex K table K.6)
+_AC_C_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_C_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
 # AC luminance (Annex K.3.2)
 _AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 _AC_VALS = [
@@ -298,16 +339,52 @@ def _extend(amp: int, size: int) -> int:
     return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
 
 
+def _decode_block(
+    rd: _BitReader,
+    dc_map: dict[tuple[int, int], int],
+    ac_map: dict[tuple[int, int], int],
+    prev_dc: int,
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode one 8x8 block; returns (zigzag coeffs, new DC)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = _read_huff(rd, dc_map)
+    prev_dc += _extend(rd.bits(size), size)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_huff(rd, ac_map)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0xF
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        zz[k] = _extend(rd.bits(size), size)
+        k += 1
+    return zz, prev_dc
+
+
 def decode_jpeg_gray(raw: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG to an (h, w) uint8 array."""
+    """Decode ANY baseline JPEG's LUMA to an (h, w) uint8 array.
+
+    Grayscale streams decode directly; interleaved color streams (4:4:4,
+    4:2:2, 4:2:0 -- any sampling where Y carries the max factors, which is
+    every JPEG in practice) walk the full MCU structure, entropy-decoding
+    all components' blocks to keep the bitstream in sync, and reconstruct
+    the Y plane only (gray = luma; chroma coefficients are decoded and
+    discarded). Progressive (SOF2) and other non-baseline frames raise
+    ValueError."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     h = w = 0
-    comp_qt = 0
-    comp_dc = comp_ac = 0
+    comps: list[dict] = []  # SOF order: {id, hs, vs, tq}
+    scan_tabs: dict[int, tuple[int, int]] = {}  # comp id -> (dc, ac)
     restart_interval = 0
     scan_data = b""
     while pos + 4 <= len(raw):
@@ -343,60 +420,199 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise ValueError("only 8-bit baseline JPEG supported")
-            if ncomp != 1:
-                raise ValueError(
-                    "only grayscale JPEG supported (got "
-                    f"{ncomp}-component; color needs subsampled-MCU logic)"
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "tq": tq}
                 )
-            # per-component fields: [id, sampling, qtable_id]
-            comp_qt = payload[8]
         elif marker in (0xFFC2, 0xFFC1, 0xFFC3):
             raise ValueError("only baseline (SOF0) JPEG supported")
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xFFDA:
-            comp_dc = payload[2] >> 4
-            comp_ac = payload[2] & 0xF
+            ns = payload[0]
+            for c in range(ns):
+                cid = payload[1 + 2 * c]
+                tabs = payload[2 + 2 * c]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0xF)
             scan_data = raw[pos + 2 + length :]
             break
         pos += 2 + length
-    if not scan_data or h == 0:
+    if not scan_data or h == 0 or not comps:
         raise ValueError("truncated JPEG (no scan data)")
+    if len(scan_tabs) != len(comps):
+        raise ValueError("non-interleaved multi-scan JPEG unsupported")
 
-    qt = qtables[comp_qt]
-    dc_map = htables[(0, comp_dc)]
-    ac_map = htables[(1, comp_ac)]
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    y = comps[0]
+    if (y["hs"], y["vs"]) != (hmax, vmax):
+        raise ValueError("first (luma) component must carry max sampling")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    qt_y = qtables[y["tq"]]
+    dc_y = htables[(0, scan_tabs[y["id"]][0])]
+    ac_y = htables[(1, scan_tabs[y["id"]][1])]
+    others = [
+        (
+            c,
+            htables[(0, scan_tabs[c["id"]][0])],
+            htables[(1, scan_tabs[c["id"]][1])],
+        )
+        for c in comps[1:]
+    ]
+
+    out = np.zeros((mcus_y * mcu_h, mcus_x * mcu_w), dtype=np.float64)
     rd = _BitReader(scan_data)
-    prev_dc = 0
+    dc_pred = {c["id"]: 0 for c in comps}
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 rd.sync_restart()
-                prev_dc = 0
+                dc_pred = {c["id"]: 0 for c in comps}
             mcu += 1
-            zz = np.zeros(64, dtype=np.int64)
-            size = _read_huff(rd, dc_map)
-            prev_dc += _extend(rd.bits(size), size)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_huff(rd, ac_map)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0xF
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[k] = _extend(rd.bits(size), size)
-                k += 1
-            coef = np.zeros(64, dtype=np.float64)
-            coef[_ZIGZAG] = zz
-            block = _idct2(coef.reshape(8, 8) * qt) + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+            # luma blocks, raster order within the MCU
+            for v in range(y["vs"]):
+                for u in range(y["hs"]):
+                    zz, dc_pred[y["id"]] = _decode_block(
+                        rd, dc_y, ac_y, dc_pred[y["id"]]
+                    )
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_ZIGZAG] = zz
+                    block = _idct2(coef.reshape(8, 8) * qt_y) + 128.0
+                    oy = my * mcu_h + v * 8
+                    ox = mx * mcu_w + u * 8
+                    out[oy : oy + 8, ox : ox + 8] = block
+            # chroma (or extra) blocks: decode to stay in sync, discard
+            for c, dc_m, ac_m in others:
+                for _ in range(c["vs"] * c["hs"]):
+                    _zz, dc_pred[c["id"]] = _decode_block(
+                        rd, dc_m, ac_m, dc_pred[c["id"]]
+                    )
     return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+_DC_C_CODES = _build_codes(_DC_C_BITS, _DC_C_VALS)
+_AC_C_CODES = _build_codes(_AC_C_BITS, _AC_C_VALS)
+
+
+def _encode_block(
+    wr: _BitWriter,
+    block: np.ndarray,
+    qt: np.ndarray,
+    prev_dc: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """DCT + quantize + Huffman one 8x8 level-shifted block; returns DC."""
+    coef = np.round(_dct2(block) / qt).astype(np.int64)
+    zz = coef.reshape(64)[_ZIGZAG]
+    diff = int(zz[0]) - prev_dc
+    size, amp = _magnitude(diff)
+    c, ln = dc_codes[size]
+    wr.put(c, ln)
+    if size:
+        wr.put(amp, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            wr.put(c, ln)
+            run -= 16
+        size, amp = _magnitude(v)
+        c, ln = ac_codes[(run << 4) | size]
+        wr.put(c, ln)
+        wr.put(amp, size)
+        run = 0
+    if run:
+        c, ln = ac_codes[0x00]
+        wr.put(c, ln)
+    return int(zz[0])
+
+
+def encode_jpeg_color(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:2:0 YCbCr JFIF
+    stream (BT.601 full-range conversion, 2x2 chroma averaging, Annex-K
+    chroma quant/Huffman tables). Exists mainly so the decoder's
+    interleaved-MCU walk is testable without an external codec; the
+    multimodal pipeline itself reduces to luma."""
+    h, w, _ = rgb.shape
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    qt_y = _quant_table(quality)
+    qt_c = np.clip(
+        (_Q_CHR * (5000 // max(1, min(100, quality)) if quality < 50
+                   else 200 - 2 * quality) + 50) // 100,
+        1, 255,
+    ).astype(np.int32)
+
+    mcus_x, mcus_y = (w + 15) // 16, (h + 15) // 16
+    pw, ph = mcus_x * 16, mcus_y * 16
+    pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+    yy, cb, cr = pad(yy), pad(cb), pad(cr)
+    # 2x2 chroma subsample
+    cb2 = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    wr = _BitWriter()
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for v in range(2):
+                for u in range(2):
+                    oy, ox = my * 16 + v * 8, mx * 16 + u * 8
+                    dc["y"] = _encode_block(
+                        wr, yy[oy : oy + 8, ox : ox + 8] - 128.0, qt_y,
+                        dc["y"], _DC_CODES, _AC_CODES,
+                    )
+            oy, ox = my * 8, mx * 8
+            dc["cb"] = _encode_block(
+                wr, cb2[oy : oy + 8, ox : ox + 8] - 128.0, qt_c,
+                dc["cb"], _DC_C_CODES, _AC_C_CODES,
+            )
+            dc["cr"] = _encode_block(
+                wr, cr2[oy : oy + 8, ox : ox + 8] - 128.0, qt_c,
+                dc["cr"], _DC_C_CODES, _AC_C_CODES,
+            )
+    wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(
+        0xFFDB,
+        b"\x00" + qt_y.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
+        + b"\x01" + qt_c.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes(),
+    )
+    sof0 = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y: 2x2 sampling, qtable 0
+        + bytes([2, 0x11, 1])  # Cb
+        + bytes([3, 0x11, 1]),  # Cr
+    )
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_C_BITS) + bytes(_DC_C_VALS)
+        + b"\x11" + bytes(_AC_C_BITS) + bytes(_AC_C_VALS),
+    )
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht + sos
+        + bytes(wr.out) + b"\xff\xd9"
+    )

@@ -280,3 +280,35 @@ def test_resize_images_decodes_both_containers(spark):
     }
     assert via_codec == via_raw
     assert len(via_codec) == 40
+
+
+def test_jpeg_color_mcu_walk_extracts_luma():
+    """A baseline 4:2:0 COLOR JPEG (interleaved MCUs, chroma tables)
+    decodes through the same decode_jpeg_gray entry point: the MCU walk
+    must keep the bitstream in sync across Y/Cb/Cr blocks and return the
+    luma plane within a tight bound of the direct BT.601 luma."""
+    import numpy as np
+
+    from hive_person_service_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_color,
+    )
+    from hive_person_service_spark.operators.multimodal import decode_image
+
+    for h, w in [(16, 16), (24, 40), (33, 41)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        rgb = np.stack(
+            [
+                (128 + 100 * np.sin(xx / 6.0)).clip(0, 255),
+                (128 + 90 * np.cos(yy / 5.0)).clip(0, 255),
+                (xx * 3 + yy * 2) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        blob = encode_jpeg_color(rgb, 90)
+        dec = decode_image(blob)  # magic dispatch
+        r, g, b = (rgb[..., k].astype(np.float64) for k in range(3))
+        want = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        err = np.abs(dec.astype(np.float64) - want)
+        assert dec.shape == (h, w)
+        assert err.max() <= 4, (h, w, err.max())
