@@ -93,3 +93,48 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event_id"),
         F.max("event_id").alias("max_event_id"),
     )
+
+
+@declare(
+    "scan_partition_dpp",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    WHERE EXTRACT(DAY FROM CAST(ts AS DATE)) % 5 = 1
+    GROUP BY event_type
+    """,
+)
+def scan_partition_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the date-partitioned fact is joined to a
+    dimension whose filter (day-of-month % 5 == 1) is only known at run
+    time -- no static date literal exists for the fact side, so Catalyst
+    installs a dynamicpruningexpression in the fact scan's
+    PartitionFilters (the dim's qualifying dates are broadcast and the
+    file listing prunes to exactly those directories). This is THE
+    mechanism that makes star-schema date-dim joins read days, not years,
+    at warehouse scale. The dim here derives from the RAW events table
+    (distinct dates), so the partitioned fact genuinely cannot see the
+    predicate statically; the oracle is the equivalent plain filter.
+    Plan evidence pinned by tests/test_partitioned_scan.py."""
+    path = events_by_day_layout(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("event_date"))
+        .distinct()
+        .where(F.dayofmonth("event_date") % 5 == 1)
+    )
+    return (
+        fact.join(dim, "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )

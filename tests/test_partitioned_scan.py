@@ -92,3 +92,31 @@ def test_ivf_persisted_probe_prunes_files(spark):
     total_files = _scan_num_files(full)
     pruned_files = _scan_num_files(pruned)
     assert 0 < pruned_files < total_files, (pruned_files, total_files)
+
+
+def test_dpp_expression_in_fact_scan(spark):
+    """scan_partition_dpp: the partitioned fact's scan must carry a
+    dynamicpruningexpression PartitionFilter (runtime pruning from the
+    dim's broadcast values) -- the predicate does not exist statically on
+    the fact side."""
+    from hive_person_service_spark.plans.partitioned import scan_partition_dpp
+
+    df = scan_partition_dpp(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan, plan
+    # and the result equals the plain (unpartitioned) filter computed in Spark
+    from hive_person_service_spark.sources import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    want = {
+        (r["event_type"], r["n_events"])
+        for r in ev.where(F.dayofmonth(F.to_date("ts")) % 5 == 1)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    got = {(r["event_type"], r["n_events"]) for r in df.collect()}
+    assert got == want and got
