@@ -135,3 +135,69 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part")
     )
+
+
+@declare(
+    "source_kafka_envelope",
+    oracle=f"""
+    WITH msgs AS (
+      SELECT p, o,
+             p * 1000000 + o AS event_id,
+             (o * 13 + p * 7) % 50 AS user_id,
+             CAST(((p * 1000000 + o) * {MULT}) % {MOD} AS DOUBLE) / 100.0
+               AS value
+      FROM (SELECT unnest(generate_series(0, 2)) AS p)
+      CROSS JOIN (SELECT unnest(generate_series(0, 399)) AS o))
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(MIN(o) AS BIGINT) AS min_offset,
+           CAST(MAX(o) AS BIGINT) AS max_offset,
+           MIN(value) AS min_value
+    FROM msgs GROUP BY user_id
+    """,
+)
+def source_kafka_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka ingest path minus only the connector jar: scan a source
+    that yields the EXACT Kafka record envelope (key/value binary +
+    topic/partition/offset/timestamp -- sources/pyds.py, one Spark
+    partition per topic-partition like the real connector), decode the
+    JSON payloads with the production parse_kafka_json transform
+    (streaming/kafka.py -- the same function a real format('kafka')
+    stream feeds), and aggregate per user. The envelope rows are
+    deterministic arithmetic, so DuckDB re-derives the identical relation
+    and the whole envelope-decode path is oracle-checked;
+    format('kafka') construction itself stays env-gated
+    (_require_kafka_connector)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.pyds import register_kafka_envelope_source
+    from ..streaming.kafka import parse_kafka_json
+
+    register_kafka_envelope_source(spark)
+    env = (
+        spark.read.format("kafka_envelope_synthetic")
+        .option("topic_partitions", "3")
+        .option("offsets_per_partition", "400")
+        .load()
+    )
+    payload = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    parsed = parse_kafka_json(env, payload, keep_metadata=True)
+    return parsed.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_msgs"),
+        F.sum("event_id").cast("long").alias("sum_event_id"),
+        F.min("offset").cast("long").alias("min_offset"),
+        F.max("offset").cast("long").alias("max_offset"),
+        F.min("value").alias("min_value"),
+    )

@@ -98,3 +98,107 @@ class SyntheticRowsDataSource(DataSource):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
     spark.dataSource.register(SyntheticRowsDataSource)
+
+
+# --- Kafka-envelope-shaped source ----------------------------------------
+# The environment has no broker or connector jar (streaming/kafka.py
+# env-gates real construction), but the RECORD SHAPE a Kafka source yields
+# is fixed (key/value binary + topic/partition/offset/timestamp). This
+# source emits that exact envelope deterministically, so the entire
+# downstream Kafka path -- envelope parse (parse_kafka_json), typed
+# payload, per-partition offsets, event-time aggregation -- runs and is
+# ORACLE-CHECKED end-to-end; only format("kafka") itself stays env-gated.
+
+import datetime as _dt
+import json as _json
+
+_KAFKA_BASE_TS = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _kafka_record(part: int, offset: int):
+    event_id = part * 1_000_000 + offset
+    user_id = (offset * 13 + part * 7) % 50
+    val = ((event_id * MULT) % MOD) / 100.0
+    payload = _json.dumps(
+        {"event_id": event_id, "user_id": user_id, "value": val},
+        separators=(",", ":"),
+    ).encode()
+    return (
+        str(user_id).encode(),  # key: partition-by-user producer
+        payload,
+        "events",
+        part,
+        offset,
+        _KAFKA_BASE_TS + _dt.timedelta(seconds=offset),
+        0,
+    )
+
+
+class KafkaEnvelopeReader(DataSourceReader):
+    def __init__(self, options):
+        self.nparts = int(options.get("topic_partitions", "3"))
+        self.offsets = int(options.get("offsets_per_partition", "400"))
+
+    def partitions(self):
+        # one Spark partition per topic-partition -- the real connector's
+        # parallelism contract
+        return [_Part(p, self.offsets) for p in range(self.nparts)]
+
+    def read(self, partition: _Part):
+        for o in range(partition.rows):
+            yield _kafka_record(partition.part, o)
+
+
+class KafkaEnvelopeStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched tail of the same topic: each batch advances every
+    topic-partition's offset by ``offsets_per_batch`` until
+    ``offsets_per_partition`` is exhausted (mirrors maxOffsetsPerTrigger)."""
+
+    def __init__(self, options):
+        self.nparts = int(options.get("topic_partitions", "3"))
+        self.offsets = int(options.get("offsets_per_partition", "400"))
+        self.per_batch = int(options.get("offsets_per_batch", "100"))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def _rows(self, first: int, last: int):
+        # materialized list, not a generator: the engine's prefetch cache
+        # copy.copy()s the iterator between read() and commit
+        return [
+            _kafka_record(p, o)
+            for p in range(self.nparts)
+            for o in range(first, last)
+        ]
+
+    def read(self, start):
+        first = start["next"]
+        if first >= self.offsets:
+            return iter([]), start
+        last = min(first + self.per_batch, self.offsets)
+        return iter(self._rows(first, last)), {"next": last}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["next"], end["next"]))
+
+
+class KafkaEnvelopeDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_envelope_synthetic"
+
+    def schema(self) -> str:
+        return (
+            "key binary, value binary, topic string, partition int, "
+            "offset long, timestamp timestamp, timestampType int"
+        )
+
+    def reader(self, schema: StructType) -> KafkaEnvelopeReader:
+        return KafkaEnvelopeReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> KafkaEnvelopeStreamReader:
+        return KafkaEnvelopeStreamReader(self.options)
+
+
+def register_kafka_envelope_source(spark) -> None:
+    spark.dataSource.register(KafkaEnvelopeDataSource)

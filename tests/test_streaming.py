@@ -322,3 +322,53 @@ def test_stream_dedup_ingest_crash_resume(spark, tmp_path):
     }
     corpus_sh.unpersist()
     assert got == want and want
+
+
+def test_kafka_envelope_stream_equals_batch(spark):
+    """The Kafka-shaped streaming path end-to-end (minus only the
+    connector jar): micro-batched envelope stream -> parse_kafka_json ->
+    drained sink must equal the batch scan of the same synthetic topic --
+    per-partition offsets and payload decode survive micro-batching."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from hive_person_service_spark.sources.pyds import (
+        register_kafka_envelope_source,
+    )
+    from hive_person_service_spark.streaming.jobs import run_stream_until_idle
+    from hive_person_service_spark.streaming.kafka import parse_kafka_json
+
+    register_kafka_envelope_source(spark)
+    payload = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    opts = {"topic_partitions": "2", "offsets_per_partition": "120",
+            "offsets_per_batch": "40"}
+
+    stream = spark.readStream.format("kafka_envelope_synthetic")
+    for k, v in opts.items():
+        stream = stream.option(k, v)
+    got_df = run_stream_until_idle(
+        parse_kafka_json(stream.load(), payload), spark
+    )
+    got = sorted(
+        (r.event_id, r.user_id, r.value, r.partition, r.offset)
+        for r in got_df.collect()
+    )
+
+    batch = spark.read.format("kafka_envelope_synthetic")
+    for k, v in opts.items():
+        batch = batch.option(k, v)
+    want = sorted(
+        (r.event_id, r.user_id, r.value, r.partition, r.offset)
+        for r in parse_kafka_json(batch.load(), payload).collect()
+    )
+    assert got == want and len(want) == 240
