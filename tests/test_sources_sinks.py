@@ -139,3 +139,54 @@ def test_dynamic_partition_pruning(spark):
         assert "dynamicpruning" in plan.lower(), plan
         want = ev.where(F.col("event_type") == "purchase").count()
         assert q.collect()[0]["n"] == want
+
+
+def test_csv_malformed_row_policies(spark, tmp_path):
+    """Landing-zone breakage policy (sources/io_formats.read_csv_tolerant):
+    PERMISSIVE quarantines raw bad lines in _corrupt_record, DROPMALFORMED
+    skips them, FAILFAST raises -- and good rows parse identically under
+    all three."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from hive_person_service_spark.sources.io_formats import read_csv_tolerant
+
+    p = tmp_path / "landing.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,1.5\n"
+        "not_a_long,beta,2.5\n"      # type breakage in id
+        "3,gamma,xyz\n"              # type breakage in score
+        "4,delta,4.5\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    perm = read_csv_tolerant(spark, str(p), schema).cache()
+    assert perm.count() == 4
+    bad = perm.where(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 2
+    assert {r.name for r in bad.collect()} == {"beta", "gamma"}
+    good_ids = {
+        r.id for r in perm.where(F.col("_corrupt_record").isNull()).collect()
+    }
+    assert good_ids == {1, 4}
+    perm.unpersist()
+
+    dropped = read_csv_tolerant(spark, str(p), schema, mode="DROPMALFORMED")
+    assert {r.id for r in dropped.collect()} == {1, 4}
+
+    with pytest.raises(Exception):
+        read_csv_tolerant(spark, str(p), schema, mode="FAILFAST").collect()

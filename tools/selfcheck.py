@@ -104,12 +104,17 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    import os
+
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # multi-file layouts (e.g. the sf1 synth)
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
 
     n_pass = n_fail = n_rows_only = 0
