@@ -138,3 +138,96 @@ def scan_partition_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").alias("max_event_id"),
         )
     )
+
+
+@declare(
+    "table_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT 10000000 + k,
+             'NewCust#' || CAST(k AS VARCHAR),
+             CAST(k % 25 AS INTEGER),
+             CAST(k AS DOUBLE),
+             'NEWSEG'
+      FROM (SELECT unnest(generate_series(1, 50)) AS k)),
+    merged AS (
+      SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+             COALESCE(u.c_name, t.c_name) AS c_name,
+             COALESCE(u.c_nationkey, t.c_nationkey) AS c_nationkey,
+             CASE WHEN u.c_custkey IS NOT NULL
+                  THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+             COALESCE(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+      FROM customer t FULL OUTER JOIN updates u USING (c_custkey))
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(c_acctbal), 2) AS total_bal,
+           MIN(c_custkey) AS min_key,
+           MAX(c_custkey) AS max_key
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive ACID MERGE INTO analog over plain parquet
+    (operators/maintenance.merge_upsert -- one full-outer join on the
+    key, staged write, atomic directory swap): matched customers get an
+    updated balance, unmatched update rows insert, everyone else carries
+    over. The query materializes a FRESH copy of the target each call
+    (merge mutates its target; a declared query must be idempotent),
+    merges a deterministic updates relation, and aggregates the merged
+    table -- the oracle replays the same MERGE semantics as a FULL OUTER
+    JOIN, so the staged-swap write path itself is what the comparison
+    proves. At scale the merge touches only key-partitioned slices; the
+    atomic swap is the same primitive the CMS/SCD2 maintenance jobs use."""
+    import shutil
+    import tempfile
+
+    from ..operators.maintenance import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    work = tempfile.mkdtemp(prefix="merge_target_")
+    try:
+        return _merge_and_aggregate(spark, c, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _merge_and_aggregate(spark, c, work):
+    from ..operators.maintenance import merge_upsert
+
+    c.write.mode("overwrite").parquet(work)
+
+    updates = c.where(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        spark.range(1, 51).select(
+            (F.col("id") + 10_000_000).alias("c_custkey"),
+            F.concat(F.lit("NewCust#"), F.col("id").cast("string")).alias(
+                "c_name"
+            ),
+            (F.col("id") % 25).cast("int").alias("c_nationkey"),
+            F.col("id").cast("double").alias("c_acctbal"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+        )
+    )
+    merge_upsert(spark, work, updates, ["c_custkey"])
+    merged = spark.read.parquet(work)
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        # materialize before returning: the temp target would otherwise
+        # need to outlive the lazy plan
+        .localCheckpoint(eager=True)
+    )
