@@ -221,3 +221,56 @@ def sql_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 25
         """
     )
+
+
+@declare(
+    "sql_market_share_exact",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name, year(o_orderdate) AS yr,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, year(o_orderdate))
+    SELECT r_name, CAST(yr AS BIGINT) AS yr, ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER (PARTITION BY yr), 6) AS share
+    FROM rev
+    """,
+)
+def sql_market_share_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sql_market_share with SCALE-INVARIANT digits: the money sum
+    accumulates as DECIMAL(18,6) (exact, order-independent addition --
+    the per-row product has <= 4 true decimal digits, so the 6-digit cast
+    is tie-free) instead of double. The plain-double variant's last
+    ROUND digit can flip between engines once partial-sum order diverges
+    (observed at sf1: 3 rows off by one cent, SELFCHECK_sf1_r4.json);
+    this form is bit-identical at EVERY scale -- the exemplar for any
+    contract that demands scale-invariant money digits. Cost: decimal
+    aggregation is modestly slower than double (no SIMD), which is why
+    both variants exist."""
+    li = _view(spark, sf_dir, "lineitem")
+    o = _view(spark, sf_dir, "orders")
+    c = _view(spark, sf_dir, "customer")
+    n = _view(spark, sf_dir, "nation")
+    r = _view(spark, sf_dir, "region")
+    return spark.sql(
+        f"""
+        WITH rev AS (
+          SELECT r_name, year(o_orderdate) AS yr,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+          FROM {li}
+          JOIN {o} ON l_orderkey = o_orderkey
+          JOIN {c} ON o_custkey = c_custkey
+          JOIN {n} ON c_nationkey = n_nationkey
+          JOIN {r} ON n_regionkey = r_regionkey
+          GROUP BY r_name, year(o_orderdate))
+        SELECT r_name, CAST(yr AS BIGINT) AS yr, ROUND(revenue, 2) AS revenue,
+               ROUND(revenue / SUM(revenue) OVER (PARTITION BY yr), 6) AS share
+        FROM rev
+        """
+    )
