@@ -378,3 +378,59 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+def _bucketed_tables_for(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotent per-session bucketed layout: orders + lineitem CLUSTERED
+    BY the order key INTO 16 BUCKETS, table names keyed on the source
+    files' identity (path+mtime+size, the loader._events_ts_kind
+    discipline) so a regenerated fixture rebuilds instead of serving
+    stale buckets. First call in a session pays the write; every later
+    call resolves from the catalog."""
+    import hashlib
+    import os
+
+    ident = []
+    for t in ("orders", "lineitem"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        ident.append(f"{sf_dir}/{t}:{st.st_mtime_ns}:{st.st_size}")
+    digest = hashlib.sha1(";".join(ident).encode()).hexdigest()[:10]
+    o_table = f"orders_b16_{digest}"
+    li_table = f"lineitem_b16_{digest}"
+    if not (
+        spark.catalog.tableExists(o_table)
+        and spark.catalog.tableExists(li_table)
+    ):
+        setup_bucketed_join3(
+            spark, sf_dir, n_buckets=16, o_table=o_table, li_table=li_table
+        )
+    return o_table, li_table
+
+
+@declare(
+    "join_bucketed_smb",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_bucketed_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join3_revenue served from CO-BUCKETED fact tables (Hive CLUSTERED BY
+    ... SORTED BY ... INTO 16 BUCKETS; §4's sort-merge-bucket row): the
+    orders x lineitem SMJ reads both sides' buckets directly -- no
+    Exchange under the join (plan pinned by
+    tests/test_sources_sinks.py::test_bucketed_join3_plan; measured
+    0.354s vs 0.738s unbucketed at sf0.1). Oracle is the PLAIN 4-table
+    join -- the bucketed layout must be invisible in the result, proving
+    the layout holds exactly the source rows. This is the 100 TB shape
+    join3_revenue's docstring promises; here it is executed and
+    oracle-checked every round. Setup is cached per fixture identity
+    (one write per session, never per call)."""
+    o_table, li_table = _bucketed_tables_for(spark, sf_dir)
+    return join3_revenue_bucketed(
+        spark, sf_dir, o_table=o_table, li_table=li_table
+    )

@@ -319,3 +319,63 @@ def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("in").alias("side"), F.col("d").alias("degree"), "n_nodes")
     )
     return outd.unionByName(ind)
+
+
+@declare(
+    "graph_components",
+    oracle="""
+    WITH RECURSIVE tok AS (SELECT doc_id, str_split(text, ' ') AS tokens
+                           FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(tokens[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(tokens) - 1, 1))]) AS shingle
+      FROM tok),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    p0 AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2) p
+      JOIN cnt ca ON id_a = ca.doc_id
+      JOIN cnt cb ON id_b = cb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= 0.5),
+    sym AS (SELECT id_a AS a, id_b AS b FROM p0
+            UNION SELECT id_b, id_a FROM p0),
+    reach(node, r) AS (
+      SELECT DISTINCT a, a FROM sym
+      UNION
+      SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.node),
+    comp AS (SELECT node, MIN(r) AS comp FROM reach GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(comp AS BIGINT) AS comp,
+           CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS comp_size
+    FROM comp
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components, ORACLE-CHECKED end to end: the iterative
+    min-label propagation the dedup pipeline runs (operators/clustering.py
+    -- one groupBy-shuffle per round, lineage cut by localCheckpoint)
+    over an exactly-SQL-expressible candidate graph (the word-3-gram
+    Jaccard >= 0.5 pair set of dedup_ngram_jaccard), diffed against a
+    DuckDB WITH RECURSIVE reachability closure. dedup_cluster runs the
+    SAME labeler over LSH pairs (rows-only because LSH isn't
+    DuckDB-expressible); this query certifies the labeler itself --
+    including multi-hop transitivity (the fixtures contain a size-3
+    chain) -- against an independent engine. At 100 TB the recursive
+    closure is oracle-side only; the Spark path stays O(rounds) shuffles
+    over the candidate edge list, which LSH has already bounded."""
+    from ..operators.clustering import connected_components
+    from .text_pipeline import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    labels = connected_components(pairs, "id_a", "id_b")
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("comp_size"))
+    return (
+        labels.join(sizes, "comp")
+        .select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.col("comp").cast("long").alias("comp"),
+            F.col("comp_size").cast("long").alias("comp_size"),
+        )
+    )

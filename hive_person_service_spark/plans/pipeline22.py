@@ -120,7 +120,9 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND(ln(COUNT(*) / (SELECT COUNT(*) FROM toks_f)), 6) AS logp
       FROM toks_f GROUP BY tok),
     scored AS (
-      SELECT t.doc_id, ROUND(AVG(v.logp), 4) AS mean_logp,
+      SELECT t.doc_id,
+             ROUND(CAST(SUM(CAST(v.logp AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 4) AS mean_logp,
              CAST(COUNT(*) AS BIGINT) AS n_tokens
       FROM toks_f t JOIN vocab v USING (tok) GROUP BY t.doc_id)
     SELECT doc_id, mean_logp, n_tokens FROM scored
@@ -131,9 +133,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-explode + groupBy), score each document by its mean token
     log-probability via a token-level equi-join against the vocab
     relation. The classic cheap LM filter for pretraining corpora. Per
-    registry discipline, ln is rounded 6 in-query (transcendental) and
-    the order-dependent AVG to 4. At 100 TB the vocab aggregate is
-    Zipf-bounded (vocab << corpus) and the join is broadcast-able."""
+    registry discipline, ln is rounded 6 in-query (transcendental); the
+    per-doc mean then accumulates those 6-decimal quanta as
+    DECIMAL(18,6) (exact, order-independent) and divides once in double
+    -- bit-identical at every scale (the plain double AVG flipped a 4th
+    decimal at sf1, SELFCHECK_sf1_r4.json). At 100 TB the vocab
+    aggregate is Zipf-bounded (vocab << corpus), the join broadcast-able,
+    and the decimal sum costs nothing measurable at doc granularity."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
@@ -149,7 +155,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
-            F.round(F.avg("logp"), 4).alias("mean_logp"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_logp"),
             F.count("*").cast("long").alias("n_tokens"),
         )
     )

@@ -24,10 +24,17 @@ Determinism discipline (what keeps a mismatch a BUG, not noise):
     predicates hit real selectivities instead of always-empty ranges.
 
 Known engine divergence (recorded as known_divergence_rollup_empty, not a
-failure): GROUP BY ROLLUP on an EMPTY input -- the standard (DuckDB,
-Postgres) emits the grand-total grouping-set row with COUNT 0; Spark's
-Expand-based rollup yields zero rows. First surfaced by seed=4 queries
-66/169/su on the sf0.01 fixtures.
+failure): GROUP BY ROLLUP / CUBE / GROUPING SETS on an EMPTY input -- the
+standard (DuckDB, Postgres) emits the grand-total grouping-set row with
+COUNT 0; Spark's Expand-based multi-grain grouping yields zero rows. First
+surfaced by seed=4 queries 66/169/su on the sf0.01 fixtures.
+
+Template families (round-4 extended set): filter/project, group-by
+(+HAVING/ROLLUP), FK joins (inner/left, 2- and 3-way), ranking windows,
+set ops, ORDER/LIMIT(+OFFSET), EXISTS / IN / scalar subqueries, CTE,
+CASE-bucketed group-by, NTILE/FIRST_VALUE/LAST_VALUE + RANGE frames,
+CUBE/GROUPING SETS with GROUPING() flags, aggregate FILTER clauses,
+FULL OUTER self-joins, string-function projections, DATE_TRUNC grains.
 
 Usage:
     python tools/fuzz.py [sf_dir] [--n 500] [--seed 4] [--json FUZZ_r4.json]
@@ -491,19 +498,178 @@ def q_case_group(rng, metas):
     )
 
 
+def q_window_frames(rng, metas):
+    # NTILE / FIRST_VALUE / LAST_VALUE / RANGE frames -- all deterministic:
+    # ranking orders by the unique key (total order); FIRST/LAST carry an
+    # explicit full frame; the RANGE sum is over ints (ties included
+    # value-wise, so partial order is fine).
+    t = rng.choice([x for x in TABLES if x in _UNIQUE_KEY])
+    m = metas[t]
+    uniq = _UNIQUE_KEY[t]
+    part = _group_cols(rng, m)[0]
+    ints = m.of_kind("int")
+    strs = [c for c in m.of_kind("str") if (m.name, c) not in _NO_LITERAL]
+    sel = [f"{uniq} AS c0", f"{part} AS c1",
+           f"NTILE({rng.choice([2, 3, 4, 7])}) OVER "
+           f"(PARTITION BY {part} ORDER BY {uniq}) AS nt"]
+    if strs and rng.random() < 0.7:
+        s = rng.choice(strs)
+        fn = rng.choice(["FIRST_VALUE", "LAST_VALUE"])
+        sel.append(
+            f"{fn}({s}) OVER (PARTITION BY {part} ORDER BY {uniq} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            f"AS fv"
+        )
+    if ints and rng.random() < 0.7:
+        s, o = rng.choice(ints), rng.choice(ints)
+        k = rng.choice([1, 2, 5])
+        sel.append(
+            f"CAST(SUM({s}) OVER (PARTITION BY {part} ORDER BY {o} "
+            f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW) AS BIGINT) "
+            f"AS rs"
+        )
+    where = f" WHERE {_where(rng, m)}" if rng.random() < 0.5 else ""
+    return f"SELECT {', '.join(sel)} FROM {t}{where}"
+
+
+def q_grouping_multi(rng, metas):
+    # CUBE / GROUPING SETS with GROUPING() flags (the multi-grain surface
+    # beyond plain ROLLUP that q_groupby already samples)
+    m = metas[rng.choice(TABLES)]
+    gcols = _group_cols(rng, m)
+    if len(gcols) < 2:
+        extra = [c for c, k in m.cols
+                 if k == "int" and c not in gcols and c in m.samples]
+        if extra:
+            gcols.append(rng.choice(extra))
+    gsel = [f"{c} AS g{i}" for i, c in enumerate(gcols)]
+    flags = [f"CAST(GROUPING({c}) AS BIGINT) AS gf{i}"
+             for i, c in enumerate(gcols)]
+    aggs = _aggs(rng, m)
+    if len(gcols) >= 2 and rng.random() < 0.5:
+        group = (f"GROUPING SETS (({gcols[0]}, {gcols[1]}), "
+                 f"({gcols[0]}), ())")
+    else:
+        group = f"CUBE({', '.join(gcols)})"
+    where = f" WHERE {_where(rng, m)}" if rng.random() < 0.6 else ""
+    return (
+        f"SELECT {', '.join(gsel + flags + aggs)} FROM {m.name}{where} "
+        f"GROUP BY {group}"
+    )
+
+
+def q_agg_filter(rng, metas):
+    # aggregate FILTER (WHERE ...) clauses -- int-only accumulators
+    m = metas[rng.choice(TABLES)]
+    gcols = _group_cols(rng, m)
+    gsel = [f"{c} AS g{i}" for i, c in enumerate(gcols)]
+    ints = m.of_kind("int")
+    aggs = [f"CAST(COUNT(*) AS BIGINT) AS agg_cnt",
+            f"CAST(COUNT(*) FILTER (WHERE {_pred(rng, m)}) AS BIGINT) "
+            f"AS agg_f0"]
+    if ints:
+        c = rng.choice(ints)
+        aggs.append(
+            f"CAST(SUM({c}) FILTER (WHERE {_pred(rng, m)}) AS BIGINT) "
+            f"AS agg_f1"
+        )
+    return (
+        f"SELECT {', '.join(gsel + aggs)} FROM {m.name} "
+        f"GROUP BY {', '.join(gcols)}"
+    )
+
+
+def q_full_outer(rng, metas):
+    # FULL OUTER self-join of two filtered subsets on the unique key
+    t = rng.choice([x for x in TABLES if x in _UNIQUE_KEY])
+    m = metas[t]
+    uniq = _UNIQUE_KEY[t]
+    pa, pb = _where(rng, m), _where(rng, m)
+    ints = m.of_kind("int")
+    extra = f", b.{rng.choice(ints)} AS x0" if ints else ""
+    return (
+        f"SELECT a.{uniq} AS ka, b.{uniq} AS kb{extra} "
+        f"FROM (SELECT * FROM {t} WHERE {pa}) a "
+        f"FULL OUTER JOIN (SELECT * FROM {t} WHERE {pb}) b "
+        f"ON a.{uniq} = b.{uniq}"
+    )
+
+
+def q_offset(rng, metas):
+    t = rng.choice([x for x in TABLES if x in _UNIQUE_KEY])
+    m = metas[t]
+    uniq = _UNIQUE_KEY[t]
+    proj = _proj_cols(rng, m)
+    proj.append(f"{uniq} AS uk")
+    desc = " DESC" if rng.random() < 0.5 else ""
+    n, off = rng.choice([1, 5, 20]), rng.choice([1, 3, 10, 50])
+    return (
+        f"SELECT {', '.join(proj)} FROM {t} WHERE {_where(rng, m)} "
+        f"ORDER BY {uniq}{desc} LIMIT {n} OFFSET {off}"
+    )
+
+
+def q_string_fns(rng, metas):
+    # string-function projections over a sampled string column
+    m = metas[rng.choice(TABLES)]
+    strs = [c for c in m.of_kind("str") if (m.name, c) not in _NO_LITERAL]
+    if not strs:
+        return q_filter_project(rng, metas)
+    uniq = _UNIQUE_KEY.get(m.name)
+    c = rng.choice(strs)
+    exprs = rng.sample(
+        [f"REPLACE({c}, 'a', '_') AS s0", f"LPAD({c}, 12, '.') AS s1",
+         f"RPAD({c}, 12, '.') AS s2", f"REVERSE({c}) AS s3",
+         f"CAST(POSITION('e' IN {c}) AS BIGINT) AS s4",
+         f"LEFT({c}, 3) AS s5", f"RIGHT({c}, 2) AS s6",
+         f"TRIM({c}) AS s7", f"CONCAT(UPPER({c}), '-', LOWER({c})) AS s8",
+         f"SUBSTR({c}, 2, 5) AS s9"],
+        rng.randint(2, 4),
+    )
+    key = [f"{uniq} AS uk"] if uniq else []
+    return (
+        f"SELECT {', '.join(key + exprs)} FROM {m.name} "
+        f"WHERE {_where(rng, m)}"
+    )
+
+
+def q_date_trunc(rng, metas):
+    # DATE_TRUNC grain group-by over a timestamp column
+    cands = [(t, c) for t in TABLES for c, k in metas[t].cols if k == "ts"]
+    if not cands:
+        return q_groupby(rng, metas)
+    t, c = rng.choice(cands)
+    m = metas[t]
+    grain = rng.choice(["month", "day", "week", "quarter", "hour"])
+    aggs = _aggs(rng, m)
+    where = f" WHERE {_where(rng, m)}" if rng.random() < 0.5 else ""
+    return (
+        f"SELECT DATE_TRUNC('{grain}', {c}) AS g0, "
+        f"{', '.join(aggs)} FROM {t}{where} "
+        f"GROUP BY DATE_TRUNC('{grain}', {c})"
+    )
+
+
 _TEMPLATES = [
-    (q_filter_project, 18),
-    (q_groupby, 20),
-    (q_join, 16),
-    (q_window, 11),
-    (q_setop, 7),
-    (q_order_limit, 5),
+    (q_filter_project, 16),
+    (q_groupby, 17),
+    (q_join, 14),
+    (q_window, 9),
+    (q_setop, 6),
+    (q_order_limit, 4),
     (q_exists, 5),
-    (q_cte, 5),
+    (q_cte, 4),
     (q_in_subquery, 5),
     (q_scalar_subquery, 4),
     (q_join3, 2),
     (q_case_group, 2),
+    (q_window_frames, 4),
+    (q_grouping_multi, 3),
+    (q_agg_filter, 3),
+    (q_full_outer, 2),
+    (q_offset, 2),
+    (q_string_fns, 3),
+    (q_date_trunc, 2),
 ]
 
 
@@ -564,7 +730,7 @@ def run_fuzz(sf_dir: str, n: int, seed: int, spark=None) -> dict:
         problems = compare(sdf, ddf)
         if (
             problems
-            and "ROLLUP" in sql
+            and any(g in sql for g in ("ROLLUP", "CUBE", "GROUPING SETS"))
             and len(sdf) == 0
             and len(ddf) == 1
         ):
