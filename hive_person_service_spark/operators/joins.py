@@ -22,6 +22,7 @@ def asof_join(
     tie_break: str,
     how: str = "left",
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row (uniquely identified by ``left_id``),
     ONE right row within the same ``on`` key(s), chosen by ``direction``:
@@ -36,12 +37,20 @@ def asof_join(
     within the right side for determinism) -- matches DuckDB ASOF JOIN
     semantics (backward/forward) up to the explicit tie-break.
 
+    ``tolerance_us`` bounds the match to within that many microseconds of
+    the left timestamp (pandas ``merge_asof(tolerance=...)`` semantics):
+    a right row further away is no match even if it is the nearest one.
+    The bound is applied INSIDE the join condition, so it also caps the
+    per-key fan-out -- at scale this turns the ``nearest`` direction's
+    whole-key-group fan-out into a bounded time band.
+
     Scale: one shuffle of both sides on ``on`` for the join, one shuffle on
     ``left_id`` for the pick window. For huge right sides, pre-reduce
     right to the latest row per (key, coarse time bucket) first so the join
     fan-out stays bounded; AQE skew-join splits oversized key partitions.
-    ``nearest`` has no time-side predicate, so its fan-out is the whole
-    key group -- pre-bucket the right side when keys are hot.
+    ``nearest`` without a tolerance has no time-side predicate, so its
+    fan-out is the whole key group -- pre-bucket the right side or pass
+    ``tolerance_us`` when keys are hot.
     """
     from pyspark.sql.types import TimestampType
 
@@ -55,13 +64,23 @@ def asof_join(
 
     if direction == "backward":
         ts_cond = [right[right_ts] <= left[left_ts]]
+        if tolerance_us is not None:
+            ts_cond.append(
+                us(right, right_ts) >= us(left, left_ts) - tolerance_us
+            )
         order = [right[right_ts].desc(), right[tie_break].desc()]
     elif direction == "forward":
         ts_cond = [right[right_ts] >= left[left_ts]]
+        if tolerance_us is not None:
+            ts_cond.append(
+                us(right, right_ts) <= us(left, left_ts) + tolerance_us
+            )
         order = [right[right_ts].asc(), right[tie_break].desc()]
     elif direction == "nearest":
         ts_cond = []
         delta = F.abs(us(right, right_ts) - us(left, left_ts))
+        if tolerance_us is not None:
+            ts_cond.append(delta <= tolerance_us)
         order = [delta.asc(), right[right_ts].asc(), right[tie_break].desc()]
     else:
         raise ValueError(f"unknown asof direction: {direction!r}")

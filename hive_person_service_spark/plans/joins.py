@@ -434,3 +434,48 @@ def join_bucketed_smb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join3_revenue_bucketed(
         spark, sf_dir, o_table=o_table, li_table=li_table
     )
+
+
+@declare(
+    "join_asof_tolerance",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click'),
+         pairs AS (
+           SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.ts DESC, c.event_id DESC) AS rn
+           FROM p LEFT JOIN c
+             ON p.user_id = c.user_id
+            AND c.ts <= p.ts
+            AND c.ts >= p.ts - INTERVAL 1 HOUR)
+    SELECT purchase_id, user_id, click_id FROM pairs WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE bound (pandas merge_asof(tolerance=...)
+    semantics): latest click at-or-before each purchase by the same user,
+    but only within the preceding hour -- a stale click is no match
+    (click_id NULL). Beyond the semantics, the tolerance is the scale
+    lever: it sits INSIDE the join condition, capping per-key fan-out to
+    a bounded time band instead of the whole key history -- the
+    difference between a bounded and an unbounded shuffle at 100 TB."""
+    p = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .alias("p")
+    )
+    c = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .alias("c")
+    )
+    out = asof_join(
+        p, c, on="user_id", left_id="event_id", left_ts="ts", right_ts="ts",
+        tie_break="event_id", how="left", tolerance_us=3_600_000_000,
+    )
+    return out.select(
+        p["event_id"].alias("purchase_id"),
+        p["user_id"],
+        c["event_id"].alias("click_id"),
+    )

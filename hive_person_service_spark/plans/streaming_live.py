@@ -201,3 +201,55 @@ def source_kafka_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("offset").cast("long").alias("max_offset"),
         F.min("value").alias("min_value"),
     )
+
+
+@declare("stream_live_sliding", oracle=None)  # rows-only: true streaming
+def stream_live_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 hour / 15 min hop) aggregate executed by the
+    STREAMING engine end-to-end (file source -> watermark -> overlapping
+    windows -> memory sink, trigger(availableNow)). Completes the live
+    coverage of the §2.I window family: every event lands in 4 windows'
+    state simultaneously, the shape that actually stresses the
+    StateStore. Pytest pins the drained output equal to the
+    oracle-checked batch twin stream_sliding."""
+    from ..streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_sliding_agg,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = stream_sliding_agg(events)
+    out = run_to_memory_sink(agg, spark, output_mode="complete")
+    return out.select(
+        F.date_format("ws", "yyyy-MM-dd HH:mm").alias("ws"),
+        "event_type",
+        "n",
+        "total",
+    ).orderBy("ws", "event_type")
+
+
+@declare("stream_live_session", oracle=None)  # rows-only: true streaming
+def stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (30-min gap per user) executed by the
+    STREAMING engine end-to-end -- the one §2.I window type whose state is
+    MERGED (adjacent sessions collapse when a bridging event arrives),
+    exercised through the real StateStore session-merge path rather than
+    its batch rewrite. Pytest pins the drained output equal to the
+    oracle-checked batch twin stream_session."""
+    from ..streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_session_agg,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = stream_session_agg(events)
+    out = run_to_memory_sink(agg, spark, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        "total",
+    ).orderBy("user_id", "session_start")

@@ -265,3 +265,86 @@ def test_hive_ctas_and_views(tmp_path):
     assert "HIVE_CTAS_OK" in out.stdout, (
         f"stdout tail: {out.stdout[-2000:]}\nstderr tail: {out.stderr[-2000:]}"
     )
+
+
+def test_hive_analyze_cbo_stats(tmp_path):
+    """Hive ANALYZE TABLE surface + CBO statistics (SURVEY.md §4 'join
+    reordering' row: built-in, opt-in -- enable + analyze): table-level
+    COMPUTE STATISTICS lands rowCount/sizeInBytes in the HMS, column-level
+    FOR COLUMNS lands ndv/min/max, and with spark.sql.cbo.enabled the
+    optimized plan's stats carry the cataloged rowCount (what
+    CostBasedJoinReorder and broadcast selection consume at 100 TB, where
+    file listing alone can't size inputs cheaply)."""
+    script = textwrap.dedent(
+        f"""
+        import os
+        from pyspark.sql import SparkSession
+
+        d = {str(tmp_path)!r}
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName("hive-analyze-test")
+            .config("spark.sql.catalogImplementation", "hive")
+            .config("spark.sql.warehouse.dir", os.path.join(d, "wh"))
+            .config(
+                "spark.driver.extraJavaOptions",
+                "-Dderby.system.home=" + os.path.join(d, "derby"),
+            )
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.sql.cbo.enabled", "true")
+            .enableHiveSupport()
+            .getOrCreate()
+        )
+
+        from hive_person_service_spark.sources import load_table
+
+        orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+        n = orders.count()
+        orders.write.mode("overwrite").saveAsTable("orders_hms")
+
+        spark.sql("ANALYZE TABLE orders_hms COMPUTE STATISTICS")
+        spark.sql(
+            "ANALYZE TABLE orders_hms COMPUTE STATISTICS "
+            "FOR COLUMNS o_custkey, o_totalprice"
+        )
+
+        # table-level stats visible through DESCRIBE EXTENDED
+        rows = spark.sql("DESCRIBE TABLE EXTENDED orders_hms").collect()
+        stats = [r.data_type for r in rows if r.col_name == "Statistics"]
+        assert stats and str(n) + " rows" in stats[0], stats
+
+        # column-level stats: ndv/min/max recorded
+        crows = spark.sql(
+            "DESCRIBE TABLE EXTENDED orders_hms o_custkey"
+        ).collect()
+        cmap = dict((r.info_name, r.info_value) for r in crows)
+        assert cmap.get("distinct_count") not in (None, "NULL"), cmap
+        assert cmap.get("min") not in (None, "NULL"), cmap
+        assert cmap.get("max") not in (None, "NULL"), cmap
+
+        # CBO consumes the cataloged rowCount in the optimized plan
+        jstats = (
+            spark.table("orders_hms")
+            ._jdf.queryExecution().optimizedPlan().stats()
+        )
+        assert jstats.rowCount().isDefined()
+        assert int(str(jstats.rowCount().get())) == n
+
+        spark.stop()
+        print("HIVE_STATS_OK")
+        """
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=REPO,
+        env=env,
+    )
+    assert "HIVE_STATS_OK" in out.stdout, (
+        f"stdout tail: {out.stdout[-2000:]}\\nstderr tail: {out.stderr[-2000:]}"
+    )

@@ -372,3 +372,43 @@ def test_kafka_envelope_stream_equals_batch(spark):
         for r in parse_kafka_json(batch.load(), payload).collect()
     )
     assert got == want and len(want) == 240
+
+
+def test_stream_live_sliding_matches_batch(spark):
+    """The declared TRUE-streaming sliding entry must equal the
+    oracle-checked batch form row-for-row (modulo string formatting)."""
+    from hive_person_service_spark import plans
+
+    qs = plans.all_queries()
+    live = {
+        (r.ws, r.event_type, r.n, r.total)
+        for r in qs["stream_live_sliding"](spark, SF_SMALL).collect()
+    }
+    batch = {
+        (r.ws.strftime("%Y-%m-%d %H:%M"), r.event_type, r.n, r.total)
+        for r in qs["stream_sliding"](spark, SF_SMALL).collect()
+    }
+    assert live == batch
+
+
+def test_stream_live_session_matches_batch(spark):
+    """The declared TRUE-streaming session entry (StateStore session-merge
+    path) must equal the oracle-checked batch twin."""
+    from hive_person_service_spark import plans
+
+    qs = plans.all_queries()
+    live = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total)
+        for r in qs["stream_live_session"](spark, SF_SMALL).collect()
+    }
+    batch = {
+        (
+            r.user_id,
+            r.session_start.strftime("%Y-%m-%d %H:%M:%S"),
+            r.session_end.strftime("%Y-%m-%d %H:%M:%S"),
+            r.n_events,
+            r.total,
+        )
+        for r in qs["stream_session"](spark, SF_SMALL).collect()
+    }
+    assert live == batch
