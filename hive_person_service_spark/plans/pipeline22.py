@@ -121,8 +121,8 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks_f GROUP BY tok),
     scored AS (
       SELECT t.doc_id,
-             ROUND(CAST(SUM(CAST(v.logp AS DECIMAL(18,6))) AS DOUBLE)
-                   / COUNT(*), 4) AS mean_logp,
+             FLOOR(10000.0 * CAST(SUM(CAST(v.logp AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*)) / 10000.0 AS mean_logp,
              CAST(COUNT(*) AS BIGINT) AS n_tokens
       FROM toks_f t JOIN vocab v USING (tok) GROUP BY t.doc_id)
     SELECT doc_id, mean_logp, n_tokens FROM scored
@@ -132,12 +132,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score: train a corpus unigram LM (one
     token-explode + groupBy), score each document by its mean token
     log-probability via a token-level equi-join against the vocab
-    relation. The classic cheap LM filter for pretraining corpora. Per
-    registry discipline, ln is rounded 6 in-query (transcendental); the
-    per-doc mean then accumulates those 6-decimal quanta as
-    DECIMAL(18,6) (exact, order-independent) and divides once in double
-    -- bit-identical at every scale (the plain double AVG flipped a 4th
-    decimal at sf1, SELFCHECK_sf1_r4.json). At 100 TB the vocab
+    relation. The classic cheap LM filter for pretraining corpora.
+    Engine-agreement discipline, both layers (each failure mode was
+    OBSERVED at sf1 before its fix): (1) the per-doc mean accumulates
+    logp quanta as DECIMAL(18,6) -- exact, order-independent (the plain
+    double AVG flipped a 4th decimal); (2) the mean itself is emitted as
+    FLOOR(1e4 * sum / n) / 1e4, NOT ROUND -- a 6-decimal-quantum sum
+    over a small integer count lands on EXACT decimal .5 ties often,
+    where Spark (BigDecimal HALF_UP on the binary expansion) and DuckDB
+    (x*1e4 then half-away std::round) systematically disagree; FLOOR of
+    the identical IEEE double expression has no tie semantics at all
+    (the fuzzer's ratio discipline, tools/fuzz.py). At 100 TB the vocab
     aggregate is Zipf-bounded (vocab << corpus), the join broadcast-able,
     and the decimal sum costs nothing measurable at doc granularity."""
     d = load_table(spark, sf_dir, "documents")
@@ -155,10 +160,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(vocab, "tok")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                4,
+            (
+                F.floor(
+                    F.lit(10000.0)
+                    * F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+                    / F.count("*")
+                )
+                / 10000.0
             ).alias("mean_logp"),
             F.count("*").cast("long").alias("n_tokens"),
         )

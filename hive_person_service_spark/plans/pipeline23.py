@@ -115,3 +115,63 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_custkey").alias("max_key"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
+
+
+def _range_layout_orders(spark: SparkSession, sf_dir: str, n_files: int = 16) -> str:
+    """Materialize (once) orders range-partitioned by o_totalprice into
+    n_files parquet files -- the clustered layout that makes the footer
+    stats index selective (each file covers a narrow price band)."""
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:r{n_files}".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"orders_pricerange_{digest}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "orders")
+            .repartitionByRange(n_files, "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@declare(
+    "scan_stats_skipping",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_totalprice BETWEEN 100000 AND 200000
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping over plain parquet (the Delta/Iceberg
+    stats-pruning idea, operators/skipping.py): orders is laid out
+    range-clustered on o_totalprice (once per fixture identity), a
+    min/max stats index is built from parquet FOOTERS only, and the
+    price-band scan opens just the stats-overlapping files with the exact
+    predicate as a residual filter. The oracle runs the same aggregate
+    over the ORIGINAL un-clustered table -- agreement proves pruning
+    lost nothing. The pruned-file count is pinned strictly below the
+    layout's file count by tests/test_skipping_declared.py. At 100 TB the
+    index build moves footer KBs (not the table) and the scan IO is
+    proportional to the band, not the corpus."""
+    from ..operators.skipping import build_stats_index, skipping_scan
+
+    path = _range_layout_orders(spark, sf_dir)
+    stats = build_stats_index(spark, path, ["o_totalprice"])
+    scan = skipping_scan(
+        spark, path, stats, "o_totalprice", 100_000.0, 200_000.0
+    )
+    return scan.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
