@@ -61,6 +61,7 @@ from . import pipeline22  # noqa: F401,E402  (PII redaction, unigram logprob, re
 from . import partitioned  # noqa: F401,E402  (date-partitioned layout + pruned scan)
 from . import pipeline23  # noqa: F401,E402  (declared ORC/CSV format round-trips)
 from . import pipeline24  # noqa: F401,E402  (record linkage, privacy, geo NN, incremental MV, schema evolution)
+from . import pipeline25  # noqa: F401,E402  (variant JSON, pipe SQL, time travel, interpolation)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
