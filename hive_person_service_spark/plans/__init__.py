@@ -62,6 +62,7 @@ from . import partitioned  # noqa: F401,E402  (date-partitioned layout + pruned 
 from . import pipeline23  # noqa: F401,E402  (declared ORC/CSV format round-trips)
 from . import pipeline24  # noqa: F401,E402  (record linkage, privacy, geo NN, incremental MV, schema evolution)
 from . import pipeline25  # noqa: F401,E402  (variant JSON, pipe SQL, time travel, interpolation)
+from . import pipeline26  # noqa: F401,E402  (snapshot change-data-feed read)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.

@@ -253,3 +253,64 @@ def stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total",
     ).orderBy("user_id", "session_start")
+
+
+@declare("stream_live_join", oracle=None)  # rows-only: true streaming
+def stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-range join executed by the STREAMING engine
+    end-to-end: the view stream joined to the purchase stream on user
+    within (ts, ts + 5 min], both sides watermarked 10 minutes --
+    the attribution join (which view led to this purchase) that
+    previously lived only as a pytest smoke. Inner-join rows emit as
+    soon as both sides arrive; the watermark bounds the buffered state
+    on each side to the 10-minute horizon plus the 5-minute range, which
+    is what makes the operator runnable forever at 100 TB/day: state is
+    proportional to the time window (here widened to 4 h so the sparse
+    small-SF fixture yields pairs), never the history. Drained with
+    trigger(availableNow) into a memory sink; pytest pins the drained
+    pairs equal to the identical batch join (tests/test_streaming_live_join.py)."""
+    from ..streaming.jobs import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_stream_join,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    views = events.where(F.col("event_type") == "view")
+    purchases = events.where(F.col("event_type") == "purchase")
+    joined = stream_stream_join(views, purchases, window_minutes=240)
+    out = run_to_memory_sink(joined, spark, output_mode="append")
+    return out.orderBy("a_id", "b_id")
+
+
+@declare("stream_live_stateful", oracle=None)  # rows-only: true streaming
+def stream_live_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-key state via applyInPandasWithState executed by the
+    STREAMING engine end-to-end (file source -> grouped state machine ->
+    update-mode memory sink, availableNow): running per-user event/value
+    totals, the custom-counter shape (fraud scores, quota meters) that
+    windowed aggregation can't express. Each drained UPDATE row carries
+    the key's running total at that micro-batch; the final state per key
+    is recovered as the max-(n_events) update -- n_events strictly
+    increases per key per batch, so the reduction is deterministic.
+    Pytest pins the recovered final totals equal to the batch
+    groupBy-sum (tests/test_streaming_live_join.py). State lives
+    per-key in the checkpointed StateStore, partitioned across
+    executors -- the 100 TB shape is one shuffle on user_id and O(keys)
+    state, with RocksDB as the production store."""
+    from ..streaming.jobs import read_events_stream, run_to_memory_sink
+    from ..streaming.stateful import running_user_totals
+
+    events = read_events_stream(spark, sf_dir)
+    updates = running_user_totals(events)
+    out = run_to_memory_sink(updates, spark, output_mode="update")
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.round(F.col("m.total_value"), 4).alias("total_value"),
+        )
+    )
+    return final.orderBy("user_id")

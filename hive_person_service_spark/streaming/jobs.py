@@ -112,17 +112,21 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame, on: str) -> DataFram
     return events.join(F.broadcast(dim), on=on, how="left")
 
 
-def stream_stream_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+def stream_stream_join(
+    views: DataFrame, purchases: DataFrame, window_minutes: int = 5
+) -> DataFrame:
     """Stream-stream join with watermarks + time-range condition (the
-    streaming form of join_range): purchases within 5 minutes after a view."""
+    streaming form of join_range): purchases within window_minutes after a
+    view. Buffered state on each side is bounded by the watermark horizon
+    plus the range width."""
     v = views.withWatermark("ts", "10 minutes").alias("v")
     p = purchases.withWatermark("ts", "10 minutes").alias("p")
     return v.join(
         p,
         F.expr(
-            """
+            f"""
             v.user_id = p.user_id AND
-            p.ts > v.ts AND p.ts <= v.ts + INTERVAL 5 MINUTES
+            p.ts > v.ts AND p.ts <= v.ts + INTERVAL {int(window_minutes)} MINUTES
             """
         ),
     ).select(
