@@ -202,3 +202,82 @@ class KafkaEnvelopeDataSource(DataSource):
 
 def register_kafka_envelope_source(spark) -> None:
     spark.dataSource.register(KafkaEnvelopeDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource WRITER (two-phase commit)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    """Executor -> driver commit message: one staged file per task."""
+
+    tmp_path: str
+    rows: int
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Executor-side write + driver-side two-phase commit: each task
+    streams its partition to a staging file and returns a commit message;
+    only the driver's commit() publishes the staged files (rename +
+    _SUCCESS marker), and abort() removes them. This is the exact
+    task-commit protocol a real object-store sink implements (staged
+    multipart uploads committed by manifest); local rename stands in for
+    the final PUT."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_lines sink requires option 'path'")
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_staged_{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _WroteFile(tmp, n)
+
+    def commit(self, messages):
+        import os
+
+        for i, m in enumerate(messages):
+            os.replace(m.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
+class JsonLinesSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "json_lines_sink"
+
+    def writer(self, schema: StructType, overwrite: bool) -> JsonLinesWriter:
+        return JsonLinesWriter(self.options)
+
+
+def register_json_lines_sink(spark) -> None:
+    spark.dataSource.register(JsonLinesSinkDataSource)
