@@ -67,6 +67,7 @@ from . import pipeline27  # noqa: F401,E402  (bitmap/HLL distinct state, LOCF, p
 from . import pipeline28  # noqa: F401,E402  (2-D Z-order pruned scan, market-basket rules)
 from . import pipeline29  # noqa: F401,E402  (cogrouped pandas, triangle motifs, collations)
 from . import pipeline30  # noqa: F401,E402  (Python DataSource writer round-trip)
+from . import pipeline31  # noqa: F401,E402  (matryoshka + sign-bit retrieval tiers)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
