@@ -69,6 +69,7 @@ from . import pipeline29  # noqa: F401,E402  (cogrouped pandas, triangle motifs,
 from . import pipeline30  # noqa: F401,E402  (Python DataSource writer round-trip)
 from . import pipeline31  # noqa: F401,E402  (matryoshka + sign-bit retrieval tiers)
 from . import pipeline32  # noqa: F401,E402  (window percentile, match_recognize, bloom prefilter, observe, compaction, A-ES sampling, l-diversity, polymorphic UDTF)
+from . import pipeline33  # noqa: F401,E402  (theta-sketch intersection, SQL UDF/TVF, parameterized SQL, A/B z-test, Kaplan-Meier, pixel stats, bigram LM)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
