@@ -70,6 +70,7 @@ from . import pipeline30  # noqa: F401,E402  (Python DataSource writer round-tri
 from . import pipeline31  # noqa: F401,E402  (matryoshka + sign-bit retrieval tiers)
 from . import pipeline32  # noqa: F401,E402  (window percentile, match_recognize, bloom prefilter, observe, compaction, A-ES sampling, l-diversity, polymorphic UDTF)
 from . import pipeline33  # noqa: F401,E402  (theta-sketch intersection, SQL UDF/TVF, parameterized SQL, A/B z-test, Kaplan-Meier, pixel stats, bigram LM)
+from . import pipeline34  # noqa: F401,E402  (script TRANSFORM, SCD2 point-in-time join, column masking, CUSUM, skyline, snapshot rollback, audio spectral)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
