@@ -72,3 +72,40 @@ def compact_parquet(
     df.coalesce(n_files).write.mode("overwrite").parquet(str(staging))
     _swap_in(staging, p)
     return n_files
+
+
+def delete_where(spark: SparkSession, path: str, condition) -> int:
+    """Hive ACID ``DELETE FROM t WHERE cond`` over plain parquet: staged
+    rewrite of the survivors + atomic directory swap (same crash contract
+    as merge_upsert). Returns the number of rows deleted. At scale,
+    partition the table so the rewrite touches only partitions the
+    predicate can reach (partition pruning bounds the write, not the
+    table size)."""
+    df = spark.read.parquet(path)
+    before = df.count()
+    kept = df.where(~condition)
+    p = Path(path)
+    staging = p.with_name(p.name + f".staging-{uuid.uuid4().hex[:8]}")
+    kept.write.mode("overwrite").parquet(str(staging))
+    _swap_in(staging, p)
+    return before - spark.read.parquet(path).count()
+
+
+def update_set(spark: SparkSession, path: str, condition, assignments: dict) -> int:
+    """Hive ACID ``UPDATE t SET col = expr WHERE cond``: staged rewrite
+    applying each assignment under the condition (rows outside it pass
+    through untouched), atomic swap. Returns the number of rows matched.
+    Copy-on-write semantics -- the delete/update/merge trio shares one
+    crash-safe write path."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    matched = df.where(condition).count()
+    out = df
+    for col, expr in assignments.items():
+        out = out.withColumn(col, F.when(condition, expr).otherwise(F.col(col)))
+    p = Path(path)
+    staging = p.with_name(p.name + f".staging-{uuid.uuid4().hex[:8]}")
+    out.write.mode("overwrite").parquet(str(staging))
+    _swap_in(staging, p)
+    return matched

@@ -129,3 +129,79 @@ def bpe_encode(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(encode, BPE_SCHEMA)
+
+
+def bpe_train(
+    words,  # DataFrame(word string, cnt long)
+    n_merges: int = 10,
+) -> list[tuple[int, str, str, int]]:
+    """Learn a BPE merge table FROM data, distributed: per iteration,
+    count adjacent symbol pairs across the (Zipf-bounded) word-count
+    relation with one groupBy, take the arg-max pair (count desc, then
+    lexicographic -- fully deterministic), and apply the merge
+    left-to-right non-overlapping inside every word via a JVM aggregate()
+    fold (no Python in the data path; the fold carries one pending symbol
+    through the array). Returns [(step, sym_a, sym_b, pair_count)].
+
+    The driver sees ONE ROW per iteration (the winning pair) -- the same
+    bounded per-round reduction the pagerank loop uses; corpus bytes
+    never leave the executors. State is re-cached per round and the
+    lineage cut every 4 merges (localCheckpoint) so plan depth stays
+    constant however many merges are trained. The fixed-table encoder
+    above (bpe_encode) is the serving-side twin; this is the training
+    side a tokenizer pipeline runs first."""
+    from pyspark.sql import functions as F
+
+    state = words.select(
+        "word",
+        "cnt",
+        F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+    ).cache()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pairs = (
+            state.where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1),"
+                        " slice(syms, 2, size(syms) - 1),"
+                        " (a, b) -> named_struct('a', a, 'b', b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b, n = pairs[0]["a"], pairs[0]["b"], int(pairs[0]["n"])
+        merges.append((step, a, b, n))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        fold = (
+            "aggregate(syms,"
+            " named_struct('arr', cast(array() as array<string>),"
+            "              'carry', cast(null as string)),"
+            " (acc, x) -> if(acc.carry is null,"
+            "   named_struct('arr', acc.arr, 'carry', x),"
+            f"  if(acc.carry = '{qa}' and x = '{qb}',"
+            f"     named_struct('arr', array_append(acc.arr, '{qa}{qb}'),"
+            "                   'carry', cast(null as string)),"
+            "      named_struct('arr', array_append(acc.arr, acc.carry),"
+            "                   'carry', x))),"
+            " acc -> if(acc.carry is null, acc.arr,"
+            "           array_append(acc.arr, acc.carry)))"
+        )
+        nxt = state.select("word", "cnt", F.expr(fold).alias("syms"))
+        if step % 4 == 3:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.cache()
+        state.unpersist()
+        state = nxt
+    state.unpersist()
+    return merges

@@ -1,0 +1,120 @@
+"""Behavioral pins for batch 36: BPE training vs a pure-Python reference,
+JL distortion concentration, ACID DML rewrite accounting."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """The identical algorithm, replayed sequentially: arg-max adjacent
+    pair (count desc, lexicographic ties), merge left-to-right
+    non-overlapping with a single carried symbol."""
+    state = {w: tuple(w) for w in word_counts}
+    merges = []
+    for step in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in state.items():
+            c = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, n))
+        new_state = {}
+        for w, syms in state.items():
+            out, carry = [], None
+            for x in syms:
+                if carry is None:
+                    carry = x
+                elif carry == a and x == b:
+                    out.append(a + b)
+                    carry = None
+                else:
+                    out.append(carry)
+                    carry = x
+            if carry is not None:
+                out.append(carry)
+            new_state[w] = tuple(out)
+        state = new_state
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from hive_person_service_spark.plans.pipeline36 import text_bpe_train
+    from hive_person_service_spark.sources import load_table
+
+    got = [
+        (r.step, r.sym_a, r.sym_b, r.pair_count)
+        for r in text_bpe_train(spark, SF_SMALL).orderBy("step").collect()
+    ]
+    d = load_table(spark, SF_SMALL, "documents")
+    wc = {
+        r.word: r.cnt
+        for r in (
+            d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+            .where((F.col("word") != "") & F.col("word").rlike("^[a-z]+$"))
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+    }
+    expected = _reference_bpe(wc, 10)
+    assert got == expected
+    assert len(got) == 10
+    # learned merges must be strictly useful: every count > 0 and
+    # non-increasing is NOT required (later merges can beat earlier
+    # leftovers), but counts are positive.
+    assert all(n > 0 for _, _, _, n in got)
+
+
+def test_jl_norm_ratio_concentrates(spark):
+    """E[|Pv|^2 / |v|^2] = 1 for a Gaussian JL projection; with 16 output
+    dims the ratio is chi^2_16/16 — mean ~1, essentially always within
+    [0.15, 3.5]. A systematic bias would mean the hash-Gaussians are
+    broken (non-zero mean or wrong variance)."""
+    from hive_person_service_spark.plans.pipeline36 import (
+        emb_random_projection_jl,
+    )
+
+    rows = emb_random_projection_jl(spark, SF_SMALL).collect()
+    assert len(rows) == 200
+    ratios = [r.norm_ratio for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2
+    assert all(0.05 < x < 5.0 for x in ratios)
+
+
+def test_dml_rewrite_counts(spark, tmp_path):
+    from hive_person_service_spark.operators.maintenance import (
+        delete_where,
+        update_set,
+    )
+    from hive_person_service_spark.sources import load_table
+
+    path = str(tmp_path / "orders_dml")
+    o = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.write.parquet(path)
+    n0 = o.count()
+    cond = (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000)
+    expected_del = o.where(cond).count()
+    deleted = delete_where(spark, path, cond)
+    assert deleted == expected_del
+    assert spark.read.parquet(path).count() == n0 - expected_del
+
+    upd_cond = F.col("o_totalprice") >= 400000
+    expected_upd = spark.read.parquet(path).where(upd_cond).count()
+    matched = update_set(
+        spark, path, upd_cond, {"o_orderstatus": F.lit("X")}
+    )
+    assert matched == expected_upd
+    after = spark.read.parquet(path)
+    assert after.where(F.col("o_orderstatus") == "X").count() == expected_upd
+    assert after.count() == n0 - expected_del  # update never changes row count
