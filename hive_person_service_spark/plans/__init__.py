@@ -73,6 +73,7 @@ from . import pipeline33  # noqa: F401,E402  (theta-sketch intersection, SQL UDF
 from . import pipeline34  # noqa: F401,E402  (script TRANSFORM, SCD2 point-in-time join, column masking, CUSUM, skyline, snapshot rollback, audio spectral)
 from . import pipeline35  # noqa: F401,E402  (parse_url, map algebra, XML ingest, native HLL sketches, composed dedup cascade)
 from . import pipeline36  # noqa: F401,E402  (BPE merge training, ACID DELETE/UPDATE, JL projection, star-except)
+from . import pipeline37  # noqa: F401,E402  (DQ expectations gate, image retrieval plumbing, HLL sliding WAU)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
