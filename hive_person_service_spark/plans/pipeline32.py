@@ -138,7 +138,11 @@ def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l.l_suppkey,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           -- integer-cents checksum: per-row product floored to cents then
+           -- summed exactly -- immune to the order-dependent double-sum
+           -- ROUND boundary flips a 10x scale exposes
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM lineitem l
     WHERE l.l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 1000)
     GROUP BY l.l_suppkey
@@ -166,9 +170,13 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = bloom_prefiltered_semi_join(li, dim, "l_suppkey", "s_suppkey")
     return kept.groupBy("l_suppkey").agg(
         F.count("*").cast("long").alias("n_lines"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("revenue_cents"),
     )
 
 
