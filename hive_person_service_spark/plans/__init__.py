@@ -74,6 +74,7 @@ from . import pipeline34  # noqa: F401,E402  (script TRANSFORM, SCD2 point-in-ti
 from . import pipeline35  # noqa: F401,E402  (parse_url, map algebra, XML ingest, native HLL sketches, composed dedup cascade)
 from . import pipeline36  # noqa: F401,E402  (BPE merge training, ACID DELETE/UPDATE, JL projection, star-except)
 from . import pipeline37  # noqa: F401,E402  (DQ expectations gate, image retrieval plumbing, HLL sliding WAU)
+from . import pipeline38  # noqa: F401,E402  (pandas-on-Spark API, crosstab)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
