@@ -75,6 +75,7 @@ from . import pipeline35  # noqa: F401,E402  (parse_url, map algebra, XML ingest
 from . import pipeline36  # noqa: F401,E402  (BPE merge training, ACID DELETE/UPDATE, JL projection, star-except)
 from . import pipeline37  # noqa: F401,E402  (DQ expectations gate, image retrieval plumbing, HLL sliding WAU)
 from . import pipeline38  # noqa: F401,E402  (pandas-on-Spark API, crosstab)
+from . import pipeline39  # noqa: F401,E402  (CUPED experiment analysis, embedding drift monitor)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
