@@ -272,16 +272,42 @@ def geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("c_lat") - F.col("s_lat")) * (F.col("c_lat") - F.col("s_lat")) + (
         F.col("c_lon") - F.col("s_lon")
     ) * (F.col("c_lon") - F.col("s_lon"))
+    # The single-file fixture scan gives the person side ONE partition,
+    # and the broadcast join inherits it — the 15M-pair reduce ran on one
+    # core (sweep-measured ~29s at sf0.1). Spread the person side first;
+    # the broadcast join then parallelizes across all cores (<2s). At
+    # cluster scale the scan arrives already multi-split and this
+    # repartition is a no-op guard, same idiom as jaccard_join_prefix.
+    sc = spark.sparkContext
+    if c.rdd.getNumPartitions() < sc.defaultParallelism:
+        c = c.repartition(sc.defaultParallelism)
     pairs = c.join(F.broadcast(s)).select(
         "c_custkey", "s_suppkey", d2.alias("d2")
     )
-    best = pairs.groupBy("c_custkey").agg(
-        F.min(F.struct("d2", "s_suppkey")).alias("m")
+    # Two-pass argmin instead of min(struct): min over a plain double
+    # stays in codegen HashAggregate (struct-min falls out to
+    # ObjectAggregate), and the tie-broken join-back touches the same
+    # cheap broadcast-join projection a second time. Both passes
+    # partial-aggregate map-side; d2 equality in the join-back is exact
+    # (identical IEEE expression both times).
+    best = (
+        pairs.groupBy("c_custkey")
+        .agg(F.min("d2").alias("best_d2"))
+        .select(F.col("c_custkey").alias("b_custkey"), "best_d2")
     )
-    return best.select(
-        "c_custkey",
-        F.col("m.s_suppkey").alias("nearest_suppkey"),
-        F.col("m.d2").alias("dist2"),
+    return (
+        pairs.join(
+            F.broadcast(best),
+            (F.col("c_custkey") == F.col("b_custkey"))
+            & (F.col("d2") == F.col("best_d2")),
+        )
+        .groupBy("c_custkey", "best_d2")
+        .agg(F.min("s_suppkey").alias("nearest_suppkey"))
+        .select(
+            "c_custkey",
+            "nearest_suppkey",
+            F.col("best_d2").alias("dist2"),
+        )
     )
 
 

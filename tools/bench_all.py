@@ -47,6 +47,12 @@ def main() -> int:
         else:
             df.collect()
         timings[name] = round(time.time() - t0, 3)
+        # Drop cached intermediates the query persisted: queries are
+        # independent, and letting 300+ persists accumulate in one
+        # session puts later queries under artificial memory pressure
+        # (geo_nearest_supplier measured 25s in-sweep vs 3.5s standalone
+        # before this line).
+        spark.catalog.clearCache()
         print(f"done {name}: {timings[name]}s", flush=True)
 
     ordered = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
