@@ -650,6 +650,31 @@ def q_date_trunc(rng, metas):
     )
 
 
+
+
+def q_window_median(rng, metas):
+    # Holistic aggregate AS a window function (the win_percentile surface):
+    # MEDIAN over a partition. Integer-valued inputs keep the
+    # 0.5-interpolation an exact dyadic, so both engines agree bitwise.
+    t = rng.choice([x for x in TABLES if x in _UNIQUE_KEY])
+    m = metas[t]
+    uniq = _UNIQUE_KEY[t]
+    ints = m.of_kind("int")
+    if not ints:
+        return q_window(rng, metas)
+    part = _group_cols(rng, m)[0]
+    c = rng.choice(ints)
+    sel = [f"{uniq} AS c0", f"{part} AS c1",
+           f"MEDIAN({c}) OVER (PARTITION BY {part}) AS med"]
+    if rng.random() < 0.5:
+        c2 = rng.choice(ints)
+        sel.append(
+            f"CAST(COUNT({c2}) OVER (PARTITION BY {part}) AS BIGINT) AS n"
+        )
+    where = f" WHERE {_where(rng, m)}" if rng.random() < 0.5 else ""
+    return f"SELECT {', '.join(sel)} FROM {t}{where}"
+
+
 _TEMPLATES = [
     (q_filter_project, 16),
     (q_groupby, 17),
@@ -670,6 +695,7 @@ _TEMPLATES = [
     (q_offset, 2),
     (q_string_fns, 3),
     (q_date_trunc, 2),
+    (q_window_median, 3),
 ]
 
 
