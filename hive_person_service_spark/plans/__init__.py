@@ -78,6 +78,7 @@ from . import pipeline38  # noqa: F401,E402  (pandas-on-Spark API, crosstab)
 from . import pipeline39  # noqa: F401,E402  (CUPED experiment analysis, embedding drift monitor)
 from . import pipeline40  # noqa: F401,E402  (grid-bucketed spatial join, video scene cuts)
 from . import pipeline41  # noqa: F401,E402  (declarative alert rules, readability scoring, CACHE TABLE)
+from . import pipeline42  # noqa: F401,E402  (streaming alerting, CSV quarantine ingest, AES column crypto)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
