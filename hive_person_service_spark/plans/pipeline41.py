@@ -210,7 +210,11 @@ def sql_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. UNCACHE keeps repeated selfcheck runs from pinning executor
     memory across queries."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_ct_lineitem")
+    # UNCACHE alone leaves the temp VIEW behind and the next CACHE TABLE
+    # AS SELECT would collide — drop both so the query is re-invocable
+    # (the driver and the oracle gate both call it repeatedly).
     spark.sql("UNCACHE TABLE IF EXISTS _ct_small_lines")
+    spark.catalog.dropTempView("_ct_small_lines")
     spark.sql(
         """
         CACHE TABLE _ct_small_lines AS
