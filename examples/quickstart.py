@@ -62,6 +62,22 @@ def main() -> int:
     docs = load_table(spark, sf_dir, "documents")
     print("near-dup pairs (MinHash-LSH):", near_duplicates_minhash(docs).count())
 
+    # 5. Lexical retrieval: BM25 top-5 for a term query (declared query
+    # surface — every entry in plans/ is callable the same way)
+    from hive_person_service_spark.plans.pipeline43 import text_bm25_search
+
+    print("BM25 top-5:")
+    print(text_bm25_search(spark, sf_dir).limit(5).toPandas())
+
+    # 6. Feature store: purchase facts joined to the SCD2 balance
+    # dimension AS OF each fact's event time (no future leakage)
+    from hive_person_service_spark.plans.pipeline34 import (
+        scd2_point_in_time_join,
+    )
+
+    pit = scd2_point_in_time_join(spark, sf_dir)
+    print("point-in-time features:", pit.count(), "users")
+
     spark.stop()
     return 0
 
