@@ -92,15 +92,22 @@ def bloom_might_contain(bits: bytes, m_bits: int, k: int):
 
     @pandas_udf("boolean")
     def might(s: pd.Series) -> pd.Series:
-        vals = s.to_numpy()
-        pos = _positions(vals, m_bits, k)
-        ok = np.ones(len(vals), dtype=bool)
-        for i in range(k):
-            p = pos[i]
-            ok &= (
-                barr[(p >> np.uint64(3)).astype(np.int64)]
-                >> (p & np.uint64(7)).astype(np.uint8)
-            ) & 1 == 1
+        # NULL keys arrive as NaN in a float64 series; casting NaN to int64
+        # is undefined, so probe only the non-null values and report False
+        # for the rest (a NULL key can never equi-join, so False is exact).
+        valid = s.notna().to_numpy()
+        ok = np.zeros(len(s), dtype=bool)
+        if valid.any():
+            vals = s.to_numpy()[valid]
+            pos = _positions(vals, m_bits, k)
+            hit = np.ones(len(vals), dtype=bool)
+            for i in range(k):
+                p = pos[i]
+                hit &= (
+                    barr[(p >> np.uint64(3)).astype(np.int64)]
+                    >> (p & np.uint64(7)).astype(np.uint8)
+                ) & 1 == 1
+            ok[valid] = hit
         return pd.Series(ok)
 
     return might

@@ -81,9 +81,13 @@ def delete_where(spark: SparkSession, path: str, condition) -> int:
     partition the table so the rewrite touches only partitions the
     predicate can reach (partition pruning bounds the write, not the
     table size)."""
+    from pyspark.sql import functions as F
+
     df = spark.read.parquet(path)
     before = df.count()
-    kept = df.where(~condition)
+    # SQL DELETE removes only rows where the predicate is TRUE; rows where
+    # it evaluates to NULL (nullable columns) must survive the rewrite.
+    kept = df.where(~F.coalesce(condition, F.lit(False)))
     p = Path(path)
     staging = p.with_name(p.name + f".staging-{uuid.uuid4().hex[:8]}")
     kept.write.mode("overwrite").parquet(str(staging))

@@ -127,11 +127,18 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     exact = au.intersect(bu).agg(F.count("*").cast("long").alias("n"))
+    # Aggregate the shared count FIRST (a global agg over zero rows still
+    # yields one row with count 0), then attach theta from the broadcast
+    # 1-row relation — so the no-overlap edge case estimates 0/theta = 0.0
+    # instead of count/first(NULL) = NULL.
     return (
-        shared.crossJoin(F.broadcast(fr.select(F.col("t").alias("theta"))))
-        .agg(
-            F.count("*").cast("long").alias("shared_in_theta"),
-            F.round(F.count("*") / F.first("theta"), 2).alias("est_intersection"),
+        shared.agg(F.count("*").cast("long").alias("shared_in_theta"))
+        .crossJoin(F.broadcast(fr.select(F.col("t").alias("theta"))))
+        .select(
+            "shared_in_theta",
+            F.round(F.col("shared_in_theta") / F.col("theta"), 2).alias(
+                "est_intersection"
+            ),
         )
         .crossJoin(F.broadcast(exact.select(F.col("n").alias("exact_intersection"))))
     )

@@ -103,9 +103,14 @@ def stream_live_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stream-static joins can't follow an aggregation in one plan), and
     the same place a real deployment posts to its pager. availableNow
     drains the backlog exactly once; complete-mode output keeps late
-    hours correct. Rows-only (a real streaming run); the drained alert
-    set is pytest-pinned equal to alert_rules_batch_twin."""
-    from ..streaming.jobs import read_events_stream, run_to_memory_sink
+    hours correct (each batch re-emits full state, so the LAST batch's
+    alert set is the final answer). Rows-only (a real streaming run);
+    the drained alert set is pytest-pinned equal to
+    alert_rules_batch_twin."""
+    import tempfile
+    import uuid
+
+    from ..streaming.jobs import read_events_stream
 
     events = read_events_stream(spark, sf_dir)
     hourly = (
@@ -124,8 +129,29 @@ def stream_live_alert_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("purchases"),
         )
     )
-    drained = run_to_memory_sink(hourly, spark, output_mode="complete")
-    return _apply_rules(_metrics_long(drained), _hourly_alert_rules(spark))
+    rules = _hourly_alert_rules(spark)
+    holder: dict = {}
+
+    def fire_alerts(batch_df: DataFrame, batch_id: int) -> None:
+        # Runs on the driver per micro-batch: long-form the completed
+        # metrics and join the broadcast rules — the pager hook. Complete
+        # mode re-emits full state, so each batch OVERWRITES the holder.
+        holder["alerts"] = _apply_rules(
+            _metrics_long(batch_df), rules
+        ).localCheckpoint(eager=True)
+
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_alerts_{uuid.uuid4().hex[:8]}_")
+    q = (
+        hourly.writeStream.foreachBatch(fire_alerts)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("stream_live_alert_rules did not drain within 120s")
+    return holder["alerts"]
 
 
 _N_BAD_LINES = 25

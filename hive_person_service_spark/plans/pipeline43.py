@@ -141,8 +141,9 @@ _LR_WEIGHTS = [
       GROUP BY c.c_custkey, c.c_acctbal),
     z AS (
       SELECT c_custkey,
-             {_LR_BIAS} + 0.15 * n_orders + 0.35 * log_spend
-                        - 0.08 * acctbal_k AS logit
+             {_LR_BIAS} + {_LR_WEIGHTS[0][1]} * n_orders
+                        + {_LR_WEIGHTS[1][1]} * log_spend
+                        + {_LR_WEIGHTS[2][1]} * acctbal_k AS logit
       FROM feats)
     SELECT c_custkey,
            ROUND(logit, 6) AS logit,

@@ -41,6 +41,29 @@ def test_bloom_prefilter_is_selective_and_exact(spark):
     assert match < total  # the filter had something to do
 
 
+def test_bloom_probe_null_keys_false(spark):
+    """A standalone probe over a nullable key column: NULL keys must come
+    back False (a NULL key can never equi-join), not garbage from an
+    undefined NaN->int64 cast."""
+    from hive_person_service_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m_bits, k = 1 << 16, 5
+    dim = spark.createDataFrame([(7,), (13,), (42,)], "key long")
+    bits = bloom_build(dim, "key", m_bits, k)
+    might = bloom_might_contain(bits, m_bits, k)
+    probe = spark.createDataFrame(
+        [(1, 7), (2, None), (3, 999), (4, None), (5, 42)],
+        "id int, key long",
+    )
+    got = {r.id: r.hit for r in probe.select(
+        "id", might(F.col("key")).alias("hit")).collect()}
+    assert got[1] is True and got[5] is True  # members survive
+    assert got[2] is False and got[4] is False  # NULL keys: exact False
+
+
 def test_bloom_no_false_negatives_bulk():
     from hive_person_service_spark.operators.bloom import _positions, _set_bits
 

@@ -118,3 +118,19 @@ def test_dml_rewrite_counts(spark, tmp_path):
     after = spark.read.parquet(path)
     assert after.where(F.col("o_orderstatus") == "X").count() == expected_upd
     assert after.count() == n0 - expected_del  # update never changes row count
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE ... WHERE deletes only rows where the predicate is TRUE;
+    rows where it evaluates to NULL (nullable column) must survive."""
+    from hive_person_service_spark.operators.maintenance import delete_where
+
+    path = str(tmp_path / "null_pred")
+    spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0), (4, None), (5, 5.0)],
+        "id int, v double",
+    ).write.parquet(path)
+    deleted = delete_where(spark, path, F.col("v") > 50)
+    assert deleted == 1  # only id=3; the two NULL-v rows are KEPT
+    kept_ids = {r.id for r in spark.read.parquet(path).collect()}
+    assert kept_ids == {1, 2, 4, 5}
