@@ -80,6 +80,7 @@ from . import pipeline40  # noqa: F401,E402  (grid-bucketed spatial join, video 
 from . import pipeline41  # noqa: F401,E402  (declarative alert rules, readability scoring, CACHE TABLE)
 from . import pipeline42  # noqa: F401,E402  (streaming alerting, CSV quarantine ingest, AES column crypto)
 from . import pipeline43  # noqa: F401,E402  (BM25 ranked retrieval, logistic batch scoring)
+from . import pipeline44  # noqa: F401,E402  (Avro OCF round-trip, JDBC federation)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
