@@ -11,12 +11,25 @@ Scope:
   * encode_jpeg_color: baseline 4:2:0 YCbCr (BT.601, 2x2 chroma
     averaging, Annex-K chroma tables) -- mainly so the decoder's
     interleaved-MCU walk is testable without an external codec;
-  * decode_jpeg_gray: decodes ANY baseline JPEG's LUMA -- grayscale
-    directly; interleaved color (4:4:4 / 4:2:2 / 4:2:0) via the full MCU
-    walk, entropy-decoding every component's blocks to keep the
-    bitstream in sync and reconstructing Y only (gray = luma). Restart
-    markers honored (DC predictor reset). Progressive (SOF2) and
-    arithmetic coding raise ValueError -- recognized, error precise.
+  * decode_jpeg_gray: decodes ANY baseline (SOF0) or PROGRESSIVE (SOF2,
+    Huffman) JPEG's LUMA -- grayscale directly; interleaved color
+    (4:4:4 / 4:2:2 / 4:2:0) via the full MCU walk, entropy-decoding
+    every component's blocks to keep the bitstream in sync and
+    reconstructing Y only (gray = luma). Restart markers honored (DC
+    predictor + EOB-run reset). The progressive path implements the
+    full T.81 Annex G successive-approximation process: DC first/refine
+    scans (interleaved or not), AC first scans with EOB-run coding, and
+    AC refinement scans with correction bits -- coefficients accumulate
+    across scans, IDCT happens once at the end. Arithmetic coding
+    (SOF9/SOF10) and hierarchical/lossless frames raise ValueError --
+    recognized, error precise.
+  * encode_jpeg_progressive_gray / encode_jpeg_progressive_color: emit
+    a libjpeg-style multi-scan script (DC Al=1, AC bands 1-5 / 6-63 at
+    Al=2, per-band refinements down to Al=0, DC refine) so the decoder's
+    successive-approximation and EOB-run paths are testable offline.
+    Final coefficients equal the baseline encoder's at the same quality,
+    so progressive-decode output is pinned BIT-IDENTICAL to baseline
+    decode in tests.
 
 Everything here is the public JPEG baseline process (ITU-T T.81 / ISO
 10918-1; quantization + Huffman tables from its Annex K). JPEG is LOSSY:
@@ -375,8 +388,9 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
     every JPEG in practice) walk the full MCU structure, entropy-decoding
     all components' blocks to keep the bitstream in sync, and reconstruct
     the Y plane only (gray = luma; chroma coefficients are decoded and
-    discarded). Progressive (SOF2) and other non-baseline frames raise
-    ValueError."""
+    discarded). Progressive (SOF2) streams route to the multi-scan
+    successive-approximation decoder; arithmetic-coded and hierarchical
+    frames raise ValueError."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -425,8 +439,12 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "tq": tq}
                 )
-        elif marker in (0xFFC2, 0xFFC1, 0xFFC3):
-            raise ValueError("only baseline (SOF0) JPEG supported")
+        elif marker == 0xFFC2:
+            return _decode_progressive_gray(raw)
+        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
+            raise ValueError("only baseline (SOF0) or progressive (SOF2) supported")
+        elif marker in (0xFFC9, 0xFFCA, 0xFFCB):
+            raise ValueError("arithmetic-coded JPEG unsupported (Huffman only)")
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xFFDA:
@@ -615,4 +633,601 @@ def encode_jpeg_color(rgb: np.ndarray, quality: int = 90) -> bytes:
     return (
         b"\xff\xd8" + app0 + dqt + sof0 + dht + sos
         + bytes(wr.out) + b"\xff\xd9"
+    )
+
+
+# --- progressive (SOF2, Huffman) -- T.81 Annex G -------------------------
+#
+# Coefficients accumulate across scans in ZIGZAG order (index k == the
+# scan's spectral position); dequantize + IDCT happen once at the end.
+# The decode algorithms below are the public successive-approximation
+# process of T.81 G.2 (the same structure libjpeg documents): DC first
+# scans code (DC >> Al) differentially, DC refinement appends bit Al;
+# AC first scans code (|v| >> Al, re-signed) with EOB-run symbols
+# (r<<4, s=0 => run of 2^r + ext blocks ending their band); AC
+# refinement interleaves newly-nonzero (r<<4)|1 symbols with one
+# correction bit per already-nonzero coefficient crossed.
+
+
+def _entropy_end(raw: bytes, start: int) -> int:
+    """First offset >= start holding a real marker (not stuffing/RSTn)."""
+    i = start
+    while i + 1 < len(raw):
+        if raw[i] == 0xFF:
+            nxt = raw[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return len(raw)
+
+
+class _EobState:
+    __slots__ = ("eobrun",)
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+
+
+def _prog_dc_first(rd, dc_map, pred: int, blk, Al: int) -> int:
+    size = _read_huff(rd, dc_map)
+    pred += _extend(rd.bits(size), size)
+    blk[0] = pred << Al
+    return pred
+
+
+def _prog_dc_refine(rd, blk, Al: int) -> None:
+    if rd.bits(1):
+        blk[0] = int(blk[0]) | (1 << Al)
+
+
+def _prog_ac_first(rd, ac_map, blk, Ss: int, Se: int, Al: int, st: _EobState) -> None:
+    if st.eobrun > 0:
+        st.eobrun -= 1
+        return
+    k = Ss
+    while k <= Se:
+        sym = _read_huff(rd, ac_map)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r != 15:
+                st.eobrun = (1 << r) - 1
+                if r:
+                    st.eobrun += rd.bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise ValueError("progressive AC index out of band")
+        blk[k] = _extend(rd.bits(s), s) << Al
+        k += 1
+
+
+def _prog_ac_refine(rd, ac_map, blk, Ss: int, Se: int, Al: int, st: _EobState) -> None:
+    p1, m1 = 1 << Al, -(1 << Al)
+    k = Ss
+    if st.eobrun == 0:
+        while k <= Se:
+            sym = _read_huff(rd, ac_map)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    st.eobrun = 1 << r
+                    if r:
+                        st.eobrun += rd.bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan symbol must have s<=1")
+                val = p1 if rd.bits(1) else m1
+            while k <= Se:
+                c = int(blk[k])
+                if c != 0:
+                    if rd.bits(1) and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                blk[k] = val
+            k += 1
+    if st.eobrun > 0:
+        while k <= Se:
+            c = int(blk[k])
+            if c != 0:
+                if rd.bits(1) and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        st.eobrun -= 1
+
+
+def _decode_progressive_gray(raw: bytes) -> np.ndarray:
+    """Full multi-scan progressive decode; returns the luma plane."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comps: list[dict] = []
+    restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}  # comp id -> (bh, bw, 64) zigzag coeffs
+    geom: dict[int, dict] = {}
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
+
+    while pos + 2 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = struct.unpack_from(">H", raw, pos)[0]
+        if marker == 0xFFD9:
+            break
+        if 0xFFD0 <= marker <= 0xFFD7:  # stray RSTn between scans
+            pos += 2
+            continue
+        length = struct.unpack_from(">H", raw, pos + 2)[0]
+        payload = raw[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(payload[i + 1 : i + 65], dtype=np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xFFC4:
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0xF
+                bits = list(payload[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + n])
+                htables[(tc, th)] = _build_decode_map(bits, vals)
+                i += 17 + n
+        elif marker == 0xFFC2:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            for c in range(ncomp):
+                cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF, "tq": tq})
+            hmax = max(c["hs"] for c in comps)
+            vmax = max(c["vs"] for c in comps)
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # padded MCU grid (interleaved scans) ⊇ used grid
+                full_bw, full_bh = mcus_x * c["hs"], mcus_y * c["vs"]
+                cw = (w * c["hs"] + hmax - 1) // hmax
+                ch = (h * c["vs"] + vmax - 1) // vmax
+                geom[c["id"]] = {
+                    "used_bw": (cw + 7) // 8,
+                    "used_bh": (ch + 7) // 8,
+                    "full_bw": full_bw,
+                }
+                coefs[c["id"]] = np.zeros((full_bh, full_bw, 64), dtype=np.int32)
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack_from(">H", payload, 0)[0]
+        elif marker == 0xFFDA:
+            if not comps:
+                raise ValueError("SOS before SOF2")
+            ns = payload[0]
+            scan_ids = []
+            scan_tabs: dict[int, tuple[int, int]] = {}
+            for c in range(ns):
+                cid = payload[1 + 2 * c]
+                tabs = payload[2 + 2 * c]
+                scan_ids.append(cid)
+                scan_tabs[cid] = (tabs >> 4, tabs & 0xF)
+            Ss, Se, aa = payload[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = aa >> 4, aa & 0xF
+            data_start = pos + 2 + length
+            data_end = _entropy_end(raw, data_start)
+            _decode_prog_scan(
+                raw[data_start:data_end],
+                [c for c in comps if c["id"] in scan_tabs],
+                scan_tabs, Ss, Se, Ah, Al,
+                htables, coefs, geom, mcus_x, mcus_y, restart_interval,
+            )
+            pos = data_end
+            continue
+        pos += 2 + length
+
+    if not comps or h == 0:
+        raise ValueError("truncated progressive JPEG")
+    y = comps[0]
+    if (y["hs"], y["vs"]) != (hmax, vmax):
+        raise ValueError("first (luma) component must carry max sampling")
+    qt = qtables[y["tq"]].astype(np.float64)
+    cy = coefs[y["id"]]
+    bh, bw = cy.shape[0], cy.shape[1]
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    dequant = np.zeros(64, dtype=np.float64)
+    for by in range(bh):
+        for bx in range(bw):
+            dequant[_ZIGZAG] = cy[by, bx]
+            block = _idct2(dequant.reshape(8, 8) * qt) + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def _decode_prog_scan(
+    data, scan_comps, scan_tabs, Ss, Se, Ah, Al,
+    htables, coefs, geom, mcus_x, mcus_y, restart_interval,
+) -> None:
+    rd = _BitReader(data)
+    st = _EobState()
+    dc_pred = {c["id"]: 0 for c in scan_comps}
+
+    def maybe_restart(unit: int) -> None:
+        if restart_interval and unit and unit % restart_interval == 0:
+            rd.sync_restart()
+            st.eobrun = 0
+            for cid in dc_pred:
+                dc_pred[cid] = 0
+
+    if Ss == 0:  # DC scan (interleaved or single-component)
+        if Se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if len(scan_comps) > 1:
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    maybe_restart(unit)
+                    unit += 1
+                    for c in scan_comps:
+                        arr = coefs[c["id"]]
+                        for v in range(c["vs"]):
+                            for u in range(c["hs"]):
+                                blk = arr[my * c["vs"] + v, mx * c["hs"] + u]
+                                if Ah == 0:
+                                    dc_map = htables[(0, scan_tabs[c["id"]][0])]
+                                    dc_pred[c["id"]] = _prog_dc_first(
+                                        rd, dc_map, dc_pred[c["id"]], blk, Al
+                                    )
+                                else:
+                                    _prog_dc_refine(rd, blk, Al)
+        else:
+            c = scan_comps[0]
+            g = geom[c["id"]]
+            arr = coefs[c["id"]]
+            unit = 0
+            for by in range(g["used_bh"]):
+                for bx in range(g["used_bw"]):
+                    maybe_restart(unit)
+                    unit += 1
+                    blk = arr[by, bx]
+                    if Ah == 0:
+                        dc_map = htables[(0, scan_tabs[c["id"]][0])]
+                        dc_pred[c["id"]] = _prog_dc_first(
+                            rd, dc_map, dc_pred[c["id"]], blk, Al
+                        )
+                    else:
+                        _prog_dc_refine(rd, blk, Al)
+        return
+
+    # AC scan: T.81 requires non-interleaved (exactly one component)
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = scan_comps[0]
+    g = geom[c["id"]]
+    arr = coefs[c["id"]]
+    ac_map = htables[(1, scan_tabs[c["id"]][1])]
+    unit = 0
+    for by in range(g["used_bh"]):
+        for bx in range(g["used_bw"]):
+            maybe_restart(unit)
+            unit += 1
+            blk = arr[by, bx]
+            if Ah == 0:
+                _prog_ac_first(rd, ac_map, blk, Ss, Se, Al, st)
+            else:
+                _prog_ac_refine(rd, ac_map, blk, Ss, Se, Al, st)
+
+
+# --- progressive encoder --------------------------------------------------
+
+# Flat 8-bit AC table covering the full progressive alphabet: every
+# (run, size) with size 0..10 -- including the EOBn symbols (r<<4, r<=14)
+# Annex-K's sequential tables lack. 176 codes of length 8 (canonical,
+# ascending symbol order); the all-ones 8-bit code stays unused, as C.2
+# requires. Compression is secondary here; correctness + decodability by
+# any spec decoder is the point.
+_AC_PROG_SYMS = sorted((r << 4) | s for r in range(16) for s in range(11))
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_SYMS), 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_CODES = _build_codes(_AC_PROG_BITS, _AC_PROG_SYMS)
+
+
+class _ProgAcEnc:
+    """Per-scan EOB-run + buffered-correction-bit state (encoder side).
+
+    ``pending[:be]`` are correction bits belonging to blocks already
+    folded into the EOB run (libjpeg's BE buffer) — they ship right
+    after the EOBn symbol. Bits past ``be`` belong to the block being
+    encoded (BR) and ship after its next ZRL / newly-nonzero symbol."""
+
+    def __init__(self, wr: _BitWriter, ac_codes) -> None:
+        self.wr = wr
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+        self.be = 0
+
+    def sym(self, s: int) -> None:
+        c, ln = self.ac[s]
+        self.wr.put(c, ln)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.wr.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            for b in self.pending[: self.be]:
+                self.wr.put(b, 1)
+            self.pending = self.pending[self.be :]
+            self.be = 0
+
+    def drain_bits(self) -> None:
+        for b in self.pending:
+            self.wr.put(b, 1)
+        self.pending = []
+        self.be = 0
+
+    def end_block(self, needs_eob: bool) -> None:
+        if needs_eob:
+            self.eobrun += 1
+            self.be = len(self.pending)
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+
+def _enc_ac_first(st: _ProgAcEnc, zz, Ss: int, Se: int, Al: int) -> None:
+    r = 0
+    for k in range(Ss, Se + 1):
+        v = int(zz[k])
+        t = abs(v) >> Al  # point transform rounds toward zero
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            st.flush_eobrun()
+            st.sym(0xF0)
+            r -= 16
+        st.flush_eobrun()
+        size = t.bit_length()
+        amp = t if v > 0 else (~t) & ((1 << size) - 1)
+        st.sym((r << 4) | size)
+        st.wr.put(amp, size)
+        r = 0
+    st.end_block(r > 0)
+
+
+def _enc_ac_refine(st: _ProgAcEnc, zz, Ss: int, Se: int, Al: int) -> None:
+    absv = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+    eob = Ss - 1  # last newly-nonzero position
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = Ss + i
+    r = 0
+    new_bits = 0  # correction bits buffered since last in-block flush
+    for k in range(Ss, Se + 1):
+        t = absv[k - Ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush_eobrun()
+            st.sym(0xF0)
+            r -= 16
+            st.drain_bits()
+            new_bits = 0
+        if t > 1:  # history-nonzero: one correction bit
+            st.pending.append(t & 1)
+            new_bits += 1
+            continue
+        st.flush_eobrun()
+        st.sym((r << 4) | 1)
+        st.wr.put(1 if int(zz[k]) > 0 else 0, 1)
+        st.drain_bits()
+        new_bits = 0
+        r = 0
+    st.end_block(r > 0 or new_bits > 0)
+
+
+def _prog_plane_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """Level-shift, DCT, quantize every 8x8 block -> (bh, bw, 64) zigzag."""
+    ph, pw = plane.shape
+    bh, bw = ph // 8, pw // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.round(_dct2(block) / qt).astype(np.int64)
+            out[by, bx] = coef.reshape(64)[_ZIGZAG]
+    return out
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+# libjpeg-style successive-approximation script, per component band:
+# DC first at Al=1, AC bands (1-5, 6-63) first at Al=2, per-band
+# refinements 2->1->0, DC refinement last.
+_PROG_AC_BANDS = ((1, 5), (6, 63))
+
+
+def _prog_scan_script(n_comp: int) -> list[tuple]:
+    """(comp_indices, Ss, Se, Ah, Al) tuples."""
+    script: list[tuple] = [(tuple(range(n_comp)), 0, 0, 0, 1)]
+    for ci in range(n_comp):
+        for ss, se in _PROG_AC_BANDS:
+            script.append(((ci,), ss, se, 0, 2))
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in range(n_comp):
+            for ss, se in _PROG_AC_BANDS:
+                script.append(((ci,), ss, se, ah, al))
+    script.append((tuple(range(n_comp)), 0, 0, 1, 0))
+    return script
+
+
+def _encode_progressive(
+    planes: list[np.ndarray],
+    samplings: list[tuple[int, int]],
+    qts: list[np.ndarray],
+    qt_ids: list[int],
+    dc_codes_per_comp: list[dict],
+    h: int,
+    w: int,
+) -> bytes:
+    """Shared progressive emitter: planes are MCU-padded full-resolution-
+    per-component pixel planes (already subsampled for chroma)."""
+    n = len(planes)
+    blocks = [_prog_plane_blocks(planes[i], qts[i]) for i in range(n)]
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # used (non-interleaved) grids per T.81 A.2
+    used = []
+    for hs, vs in samplings:
+        cw = (w * hs + hmax - 1) // hmax
+        ch = (h * vs + vmax - 1) // vmax
+        used.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt_payload = b""
+    for tid in sorted(set(qt_ids)):
+        qt = qts[qt_ids.index(tid)]
+        dqt_payload += bytes([tid]) + qt.reshape(64)[_ZIGZAG].astype(
+            np.uint8
+        ).tobytes()
+    out += _seg(0xFFDB, dqt_payload)
+    sof = struct.pack(">BHHB", 8, h, w, n)
+    for i in range(n):
+        sof += bytes([i + 1, (samplings[i][0] << 4) | samplings[i][1], qt_ids[i]])
+    out += _seg(0xFFC2, sof)
+    dht = b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+    if n > 1:
+        dht += b"\x01" + bytes(_DC_C_BITS) + bytes(_DC_C_VALS)
+    dht += b"\x10" + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_SYMS)
+    out += _seg(0xFFC4, dht)
+
+    for comp_idx, ss, se, ah, al in _prog_scan_script(n):
+        hdr = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            dc_tid = 0 if ci == 0 else 1
+            hdr += bytes([ci + 1, (dc_tid << 4) | 0])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, hdr)
+        wr = _BitWriter()
+        if ss == 0:  # DC scan
+            if len(comp_idx) > 1:
+                preds = {ci: 0 for ci in comp_idx}
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        for ci in comp_idx:
+                            hs, vs = samplings[ci]
+                            for v in range(vs):
+                                for u in range(hs):
+                                    zz = blocks[ci][my * vs + v, mx * hs + u]
+                                    if ah == 0:
+                                        dc = int(zz[0]) >> al  # arithmetic shift
+                                        diff = dc - preds[ci]
+                                        preds[ci] = dc
+                                        size, amp = _magnitude(diff)
+                                        c, ln = dc_codes_per_comp[ci][size]
+                                        wr.put(c, ln)
+                                        if size:
+                                            wr.put(amp, size)
+                                    else:
+                                        wr.put((int(zz[0]) >> al) & 1, 1)
+            else:
+                ci = comp_idx[0]
+                pred = 0
+                for by in range(used[ci][0]):
+                    for bx in range(used[ci][1]):
+                        zz = blocks[ci][by, bx]
+                        if ah == 0:
+                            dc = int(zz[0]) >> al
+                            diff = dc - pred
+                            pred = dc
+                            size, amp = _magnitude(diff)
+                            c, ln = dc_codes_per_comp[ci][size]
+                            wr.put(c, ln)
+                            if size:
+                                wr.put(amp, size)
+                        else:
+                            wr.put((int(zz[0]) >> al) & 1, 1)
+        else:  # AC scan, single component
+            ci = comp_idx[0]
+            st = _ProgAcEnc(wr, _AC_PROG_CODES)
+            for by in range(used[ci][0]):
+                for bx in range(used[ci][1]):
+                    zz = blocks[ci][by, bx]
+                    if ah == 0:
+                        _enc_ac_first(st, zz, ss, se, al)
+                    else:
+                        _enc_ac_refine(st, zz, ss, se, al)
+            st.flush_eobrun()
+        wr.flush()
+        out += bytes(wr.out)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive_gray(px: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive (SOF2) grayscale encode with the full successive-
+    approximation script. Quantized coefficients equal encode_jpeg_gray's
+    at the same quality, so decode output is bit-identical to the
+    baseline stream's."""
+    h, w = px.shape
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        px.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
+    qt = _quant_table(quality)
+    return _encode_progressive(
+        [padded], [(1, 1)], [qt], [0], [_DC_CODES], h, w
+    )
+
+
+def encode_jpeg_progressive_color(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Progressive (SOF2) 4:2:0 YCbCr encode -- BT.601 conversion and
+    chroma averaging identical to encode_jpeg_color, multi-scan script
+    with interleaved DC scans and per-component AC bands."""
+    h, w, _ = rgb.shape
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qt_y = _quant_table(quality)
+    q = max(1, min(100, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qt_c = np.clip((_Q_CHR * scale + 50) // 100, 1, 255).astype(np.int32)
+
+    mcus_x, mcus_y = (w + 15) // 16, (h + 15) // 16
+    pw, ph = mcus_x * 16, mcus_y * 16
+    pad = lambda p: np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+    yy, cb, cr = pad(yy), pad(cb), pad(cr)
+    cb2 = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cr2 = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    return _encode_progressive(
+        [yy, cb2, cr2],
+        [(2, 2), (1, 1), (1, 1)],
+        [qt_y, qt_c, qt_c],
+        [0, 1, 1],
+        [_DC_CODES, _DC_C_CODES, _DC_C_CODES],
+        h, w,
     )

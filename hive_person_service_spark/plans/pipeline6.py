@@ -245,21 +245,30 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare("multimodal_jpeg_roundtrip", oracle=None)  # rows-only: DCT not SQL
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOSSY codec through the engine: per document, synthesize the
-    deterministic pixel pattern, encode baseline grayscale JPEG
-    (operators/jpeg.py -- T.81 DCT + Annex-K Huffman in pure numpy),
-    decode it back, and report (asset_id, width, height, encoded bytes,
-    mean-abs-error x100). Deterministic end to end (integer/float math,
-    no RNG), but the DCT makes the values non-SQL-expressible => rows-only
-    here; the error bound itself is pinned by
-    tests/test_tokenize_wav.py::test_jpeg_roundtrip_and_variant_errors.
-    Arrow-batched mapInPandas, one Python pass per blob -- the declared
-    multimodal extension-point shape."""
+    deterministic pixel pattern and ROTATE the real JPEG variants by
+    id mod 3 -- baseline grayscale (SOF0), PROGRESSIVE grayscale (SOF2,
+    full successive-approximation scan script), and progressive 4:2:0
+    color (interleaved DC scans, per-component AC bands; luma error
+    measured against the BT.601 plane). All pure-numpy T.81
+    (operators/jpeg.py); decode goes through decode_jpeg_gray's frame
+    dispatch, so the rotation exercises both entropy decoders against
+    the same pixels. Deterministic end to end (integer/float math, no
+    RNG), but the DCT makes the values non-SQL-expressible => rows-only
+    here; progressive==baseline bit-identity and the error bounds are
+    pinned by tests/test_tokenize_wav.py. Arrow-batched mapInPandas, one
+    Python pass per blob -- the declared multimodal extension-point
+    shape."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
-    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-    from ..operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from ..operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_color,
+        encode_jpeg_progressive_gray,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("asset_id")
@@ -267,6 +276,7 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = StructType(
         [
             StructField("asset_id", LongType()),
+            StructField("variant", StringType()),
             StructField("width", LongType()),
             StructField("height", LongType()),
             StructField("jpeg_bytes", LongType()),
@@ -283,18 +293,36 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]
                 px = ((3 * x + 7 * y + int(aid)) % 256).astype(np.uint8)
-                blob = encode_jpeg_gray(px, quality=90)
+                mode = int(aid) % 3
+                if mode == 0:
+                    variant = "baseline_gray"
+                    blob = encode_jpeg_gray(px, quality=90)
+                    ref = px
+                elif mode == 1:
+                    variant = "progressive_gray"
+                    blob = encode_jpeg_progressive_gray(px, quality=90)
+                    ref = px
+                else:
+                    variant = "progressive_color"
+                    rgb = np.stack(
+                        [px, px[::-1], np.roll(px, 3, axis=1)], axis=-1
+                    )
+                    blob = encode_jpeg_progressive_color(rgb, quality=90)
+                    r, g, b = (rgb[..., k].astype(np.float64) for k in range(3))
+                    ref = np.clip(
+                        np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255
+                    ).astype(np.uint8)
                 dec = decode_jpeg_gray(blob)
                 mae = float(
-                    np.abs(dec.astype(np.int64) - px.astype(np.int64)).mean()
+                    np.abs(dec.astype(np.int64) - ref.astype(np.int64)).mean()
                 )
                 out.append(
-                    (int(aid), w, h, len(blob), int(round(mae * 100)))
+                    (int(aid), variant, w, h, len(blob), int(round(mae * 100)))
                 )
             yield pd.DataFrame(
                 out,
-                columns=["asset_id", "width", "height", "jpeg_bytes",
-                         "mae_x100"],
+                columns=["asset_id", "variant", "width", "height",
+                         "jpeg_bytes", "mae_x100"],
             )
 
     return d.mapInPandas(work, schema)

@@ -169,10 +169,89 @@ def test_jpeg_roundtrip_and_variant_errors():
         assert err.max() <= bound, (h, w, q, err.max())
 
     good = encode_jpeg_gray(flat, 90)
-    with pytest.raises(ValueError, match="SOF0"):
-        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    with pytest.raises(ValueError, match="SOF0.*SOF2|progressive"):
+        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"\x00\x01" + good[2:])
+    # a baseline SCAN mislabeled as a progressive frame is rejected, not
+    # misdecoded (progressive DC scans must have Se=0)
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def test_jpeg_progressive_identical_to_baseline():
+    """Progressive (SOF2) decode: the multi-scan successive-approximation
+    script carries exactly the baseline encoder's quantized coefficients,
+    so decoded output must be BIT-IDENTICAL to decoding the baseline
+    stream -- across block counts, non-multiple-of-8 edges, qualities,
+    smooth images (long cross-block EOB runs) and noise (dense
+    refinement traffic)."""
+    import numpy as np
+
+    from hive_person_service_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+    from hive_person_service_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(42)
+    for h, w, q in [(8, 8, 90), (16, 16, 90), (21, 37, 85), (64, 48, 75),
+                    (33, 41, 95)]:
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        px = ((3 * x + 7 * y) % 256).astype(np.uint8)
+        prog = encode_jpeg_progressive_gray(px, q)
+        assert b"\xff\xc2" in prog  # really SOF2
+        assert np.array_equal(
+            decode_jpeg_gray(prog), decode_jpeg_gray(encode_jpeg_gray(px, q))
+        ), (h, w, q)
+    # long EOB runs: nearly-empty spectrum across many blocks
+    px = np.full((64, 64), 128, dtype=np.uint8)
+    px[10, 10] = 200
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_progressive_gray(px, 90)),
+        decode_jpeg_gray(encode_jpeg_gray(px, 90)),
+    )
+    # noise: every refinement path busy
+    px = rng.randint(0, 256, (48, 56)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg_gray(encode_jpeg_progressive_gray(px, 60)),
+        decode_jpeg_gray(encode_jpeg_gray(px, 60)),
+    )
+    # magic dispatch routes progressive blobs too
+    flat = np.full((16, 24), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(encode_jpeg_progressive_gray(flat, 90)), flat
+    )
+
+
+def test_jpeg_progressive_color_luma():
+    """Progressive 4:2:0 color: interleaved DC scans + per-component AC
+    band scans; luma reconstruction identical to the baseline color
+    stream's at the same quality."""
+    import numpy as np
+
+    from hive_person_service_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_progressive_color,
+    )
+
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (33, 46, 3)).astype(np.uint8)
+    prog = encode_jpeg_progressive_color(rgb, 85)
+    assert b"\xff\xc2" in prog
+    a = decode_jpeg_gray(prog)
+    b = decode_jpeg_gray(encode_jpeg_color(rgb, 85))
+    assert a.shape == (33, 46)
+    assert np.array_equal(a, b)
+    # and the luma error vs the ideal BT.601 plane stays bounded
+    r, g, bl = (rgb[..., k].astype(np.float64) for k in range(3))
+    ideal = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * bl), 0, 255)
+    assert np.abs(a.astype(int) - ideal.astype(int)).mean() < 12
 
 
 def test_png_roundtrip_gray_and_rgb():
