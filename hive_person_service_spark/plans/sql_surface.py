@@ -154,7 +154,8 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT r_name, year(o_orderdate) AS yr,
-             SUM(l_extendedprice * (1 - l_discount)) AS revenue
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -169,8 +170,12 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite analytics query through the SQL entry point: 5-table join
     -> grouped revenue -> windowed share-of-year. The share division uses
-    the unrounded sum on both sides (rounding before dividing would compound
-    engine float differences)."""
+    the unrounded sum on both sides (rounding before dividing would
+    compound engine float differences), and the money sum accumulates as
+    DECIMAL(18,6) -- the scale-invariant discipline (see
+    sql_market_share_exact's docstring for the rationale; the plain-double
+    form this query used until round 5 flipped its last ROUND digit on
+    3 rows at sf1 when partial-sum order diverged)."""
     li = _view(spark, sf_dir, "lineitem")
     o = _view(spark, sf_dir, "orders")
     c = _view(spark, sf_dir, "customer")
@@ -180,7 +185,8 @@ def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH rev AS (
           SELECT r_name, year(o_orderdate) AS yr,
-                 SUM(l_extendedprice * (1 - l_discount)) AS revenue
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,6))) AS DOUBLE) AS revenue
           FROM {li}
           JOIN {o} ON l_orderkey = o_orderkey
           JOIN {c} ON o_custkey = c_custkey
