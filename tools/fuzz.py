@@ -29,12 +29,16 @@ standard (DuckDB, Postgres) emits the grand-total grouping-set row with
 COUNT 0; Spark's Expand-based multi-grain grouping yields zero rows. First
 surfaced by seed=4 queries 66/169/su on the sf0.01 fixtures.
 
-Template families (round-4 extended set): filter/project, group-by
+Template families (round-5 extended set): filter/project, group-by
 (+HAVING/ROLLUP), FK joins (inner/left, 2- and 3-way), ranking windows,
 set ops, ORDER/LIMIT(+OFFSET), EXISTS / IN / scalar subqueries, CTE,
-CASE-bucketed group-by, NTILE/FIRST_VALUE/LAST_VALUE + RANGE frames,
-CUBE/GROUPING SETS with GROUPING() flags, aggregate FILTER clauses,
-FULL OUTER self-joins, string-function projections, DATE_TRUNC grains.
+CASE-bucketed group-by, NTILE/FIRST_VALUE/LAST_VALUE + RANGE frames
+(PRECEDING/FOLLOWING/UNBOUNDED mixes), CUBE/GROUPING SETS with GROUPING()
+flags, aggregate FILTER clauses, FULL OUTER self-joins, string-function
+projections, DATE_TRUNC grains, INTERVAL arithmetic on timestamps,
+DECIMAL casts + exact decimal aggregation, depth-2 correlated EXISTS down
+the FK spine, and NULL-dense CTE fixtures (key-mod NULL injection probing
+COUNT(col)/COALESCE/IS [NOT] DISTINCT FROM/FILTER-on-NULL).
 
 Usage:
     python tools/fuzz.py [sf_dir] [--n 500] [--seed 4] [--json FUZZ_r4.json]
@@ -523,10 +527,15 @@ def q_window_frames(rng, metas):
     if ints and rng.random() < 0.7:
         s, o = rng.choice(ints), rng.choice(ints)
         k = rng.choice([1, 2, 5])
+        frame = rng.choice(
+            [f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW",
+             f"RANGE BETWEEN {k} PRECEDING AND {k} FOLLOWING",
+             f"RANGE BETWEEN CURRENT ROW AND {k} FOLLOWING",
+             "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+        )
         sel.append(
             f"CAST(SUM({s}) OVER (PARTITION BY {part} ORDER BY {o} "
-            f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW) AS BIGINT) "
-            f"AS rs"
+            f"{frame}) AS BIGINT) AS rs"
         )
     where = f" WHERE {_where(rng, m)}" if rng.random() < 0.5 else ""
     return f"SELECT {', '.join(sel)} FROM {t}{where}"
@@ -675,6 +684,133 @@ def q_window_median(rng, metas):
     return f"SELECT {', '.join(sel)} FROM {t}{where}"
 
 
+def q_interval_arith(rng, metas):
+    # INTERVAL arithmetic on timestamps (round-5 grammar): shifted
+    # projections and interval-window predicates. `INTERVAL n UNIT` and
+    # timestamp +/- interval parse identically in Spark SQL and DuckDB;
+    # results are exact (integer-microsecond arithmetic, no floats).
+    cands = [(t, c) for t in TABLES for c, k in metas[t].cols if k == "ts"]
+    if not cands:
+        return q_filter_project(rng, metas)
+    t, c = rng.choice(cands)
+    m = metas[t]
+    uniq = _UNIQUE_KEY.get(m.name)
+    n1, u1 = rng.randint(1, 72), rng.choice(["HOUR", "DAY", "MINUTE"])
+    n2, u2 = rng.randint(1, 30), rng.choice(["DAY", "HOUR"])
+    sel = ([f"{uniq} AS uk"] if uniq else []) + [
+        f"CAST({c} + INTERVAL {n1} {u1} AS TIMESTAMP) AS t_plus",
+        f"CAST({c} - INTERVAL {n2} {u2} AS TIMESTAMP) AS t_minus",
+        f"CAST(DATE_TRUNC('day', {c} + INTERVAL {n1} {u1}) AS TIMESTAMP) "
+        f"AS t_day",
+    ]
+    pred = rng.choice(
+        [f"{c} + INTERVAL {n2} {u2} < TIMESTAMP '2024-06-01 00:00:00'",
+         f"{c} >= TIMESTAMP '2024-01-01 00:00:00' - INTERVAL {n1} {u1}",
+         f"DATE_TRUNC('month', {c}) = DATE_TRUNC('month', "
+         f"{c} + INTERVAL {rng.randint(1, 20)} MINUTE)"]
+    )
+    where = f"({_where(rng, m)}) AND ({pred})"
+    return f"SELECT {', '.join(sel)} FROM {t} WHERE {where}"
+
+
+def q_decimal_cast(rng, metas):
+    # DECIMAL casts + exact decimal aggregation (round-5 grammar; the
+    # money-SUM discipline under fuzz): accumulate doubles as
+    # DECIMAL(18,4) -- order-independent in both engines -- then cast
+    # back to DOUBLE for the comparator. Also fuzzes scalar DECIMAL
+    # rescale casts (ties impossible: *.x5 at scale 4 -> scale 2 only
+    # from 2 true digits, sampled literals have <= 2).
+    m = metas[rng.choice(TABLES)]
+    floats = m.of_kind("float")
+    ints = m.of_kind("int")
+    if not floats:
+        return q_groupby(rng, metas)
+    c = rng.choice(floats)
+    gcols = _group_cols(rng, m)
+    gsel = [f"{g} AS g{i}" for i, g in enumerate(gcols)]
+    scale = rng.choice([2, 4, 6])
+    aggs = [
+        "CAST(COUNT(*) AS BIGINT) AS agg_cnt",
+        f"CAST(SUM(CAST({c} AS DECIMAL(18,{scale}))) AS DOUBLE) AS agg_dec",
+        f"CAST(MIN(CAST({c} AS DECIMAL(18,{scale}))) AS DOUBLE) AS agg_lo",
+    ]
+    if ints and rng.random() < 0.5:
+        i0 = rng.choice(ints)
+        aggs.append(
+            f"CAST(SUM(CAST({i0} AS DECIMAL(12,0))) AS BIGINT) AS agg_iD"
+        )
+    where = f" WHERE {_where(rng, m)}" if rng.random() < 0.6 else ""
+    return (
+        f"SELECT {', '.join(gsel + aggs)} FROM {m.name}{where} "
+        f"GROUP BY {', '.join(gcols)}"
+    )
+
+
+def q_exists_depth2(rng, metas):
+    # depth-2 correlated EXISTS down the FK spine (round-5 grammar):
+    # customer -> orders -> lineitem, each level correlated to its parent
+    # and independently filtered; random NOT at either level.
+    cm, om, lm = metas["customer"], metas["orders"], metas["lineitem"]
+    n1 = "NOT " if rng.random() < 0.3 else ""
+    n2 = "NOT " if rng.random() < 0.3 else ""
+    proj = _proj_cols(rng, cm, "c.")
+    return (
+        f"SELECT {', '.join(proj)} FROM customer c "
+        f"WHERE ({_where(rng, cm, 'c.')}) AND {n1}EXISTS ("
+        f"SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        f"AND ({_where(rng, om, 'o.')}) AND {n2}EXISTS ("
+        f"SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        f"AND ({_where(rng, lm, 'l.')})))"
+    )
+
+
+def q_null_dense(rng, metas):
+    # NULL-dense fixture via an inline CTE (round-5 grammar): key-mod
+    # NULLIF injection makes ~1/k of every probed column NULL, then the
+    # query exercises the NULL-sensitive surface -- COUNT(col) vs
+    # COUNT(*), COALESCE buckets, IS NOT DISTINCT FROM, NULL-skipping
+    # MIN/MAX -- where engines most often disagree.
+    t = rng.choice([x for x in TABLES if x in _UNIQUE_KEY])
+    m = metas[t]
+    uniq = _UNIQUE_KEY[t]
+    ints = [c for c in m.of_kind("int") if c != uniq and c in m.samples]
+    strs = [c for c in m.of_kind("str") if (m.name, c) not in _NO_LITERAL]
+    if not ints or not strs:
+        return q_groupby(rng, metas)
+    ic, sc = rng.choice(ints), rng.choice(strs)
+    k1, k2 = rng.choice([2, 3, 5]), rng.choice([3, 4, 7])
+    cte = (
+        f"WITH nd AS (SELECT {uniq} AS uk, "
+        f"CASE WHEN {uniq} % {k1} = 0 THEN NULL ELSE {ic} END AS iv, "
+        f"CASE WHEN {uniq} % {k2} = 0 THEN NULL ELSE {sc} END AS sv "
+        f"FROM {t})"
+    )
+    form = rng.choice(["agg", "distinct_from", "coalesce_group"])
+    if form == "agg":
+        return (
+            f"{cte} SELECT COALESCE(sv, '<null>') AS g0, "
+            f"CAST(COUNT(*) AS BIGINT) AS agg_cnt, "
+            f"CAST(COUNT(iv) AS BIGINT) AS agg_nn, "
+            f"CAST(SUM(iv) AS BIGINT) AS agg_s, "
+            f"MIN(iv) AS agg_lo, MAX(iv) AS agg_hi "
+            f"FROM nd GROUP BY COALESCE(sv, '<null>')"
+        )
+    if form == "distinct_from":
+        lit = rng.choice(m.samples[ic])
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return (
+            f"{cte} SELECT uk, iv FROM nd "
+            f"WHERE iv IS {neg}DISTINCT FROM {int(lit)}"
+        )
+    return (
+        f"{cte} SELECT CAST(uk % {k1} AS BIGINT) AS g0, "
+        f"CAST(COUNT(*) FILTER (WHERE iv IS NULL AND sv IS NULL) AS BIGINT) "
+        f"AS agg_bothnull, "
+        f"CAST(COUNT(*) FILTER (WHERE iv IS NULL) AS BIGINT) AS agg_inull "
+        f"FROM nd GROUP BY uk % {k1}"
+    )
+
+
 _TEMPLATES = [
     (q_filter_project, 16),
     (q_groupby, 17),
@@ -696,6 +832,10 @@ _TEMPLATES = [
     (q_string_fns, 3),
     (q_date_trunc, 2),
     (q_window_median, 3),
+    (q_interval_arith, 4),
+    (q_decimal_cast, 4),
+    (q_exists_depth2, 3),
+    (q_null_dense, 4),
 ]
 
 
