@@ -83,6 +83,87 @@ def read_ivf_index(spark, root: str) -> tuple[DataFrame, np.ndarray]:
     return vectors, centroids
 
 
+def assign_cells(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """Assign vectors to their nearest EXISTING centroid (the k-means
+    assignment metric, argmin ||x-c||^2) without re-clustering -- the
+    incremental-maintenance primitive: new vectors join the index the
+    same way a k-means iteration would place them, so probe ranking
+    stays consistent with the build. Arrow-batched numpy against the
+    broadcast centroid matrix."""
+    from pyspark.sql.types import IntegerType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    half_sq = 0.5 * np.sum(cents**2, axis=1)
+
+    @F.pandas_udf(IntegerType())
+    def nearest_cell(col: pd.Series) -> pd.Series:
+        m = np.array(list(col), dtype=np.float64)
+        return pd.Series(np.argmax(m @ cents.T - half_sq, axis=1).astype("int32"))
+
+    return emb.withColumn("cell", nearest_cell("embedding"))
+
+
+def ivf_add_vectors(spark, root: str, new_emb: DataFrame) -> int:
+    """Incrementally ADD vectors to a persisted IVF index: assign against
+    the stored centroids (no re-clustering, no touch of existing cells)
+    and APPEND to the partitioned layout -- only the cell directories the
+    new vectors land in gain files. Returns the number of rows added.
+    At scale this is the nightly-ingest shape: index growth is append-only
+    until a periodic re-train rebalances cells."""
+    import json
+    from pathlib import Path
+
+    centroids = np.array(json.loads(Path(root, "centroids.json").read_text()))
+    assigned = assign_cells(new_emb, centroids)
+    n = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{root}/vectors")
+    return n
+
+
+def ivf_delete_vectors(spark, root: str, ids: list, id_col: str = "vec_id") -> int:
+    """Incrementally DELETE vectors from a persisted IVF index: locate the
+    cells holding the ids (one pruned scan), then rewrite ONLY those cell
+    partitions via dynamic partition overwrite -- untouched cells keep
+    their files byte-identical (pytest pins this). Returns rows deleted."""
+    vectors = spark.read.parquet(f"{root}/vectors")
+    id_set = [int(i) for i in ids]
+    affected = [
+        r.cell
+        for r in vectors.where(F.col(id_col).isin(id_set))
+        .select("cell")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    before = vectors.where(F.col("cell").isin(affected)).count()
+    survivors = vectors.where(
+        F.col("cell").isin(affected) & ~F.col(id_col).isin(id_set)
+    )
+    surviving_cells = {
+        r.cell for r in survivors.select("cell").distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{root}/vectors"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite only rewrites partitions PRESENT in the written
+    # data -- a cell whose every vector was deleted must be dropped by hand
+    import shutil
+    from pathlib import Path
+
+    for cell in set(affected) - surviving_cells:
+        shutil.rmtree(Path(root, "vectors", f"cell={cell}"), ignore_errors=True)
+    after = spark.read.parquet(f"{root}/vectors").where(
+        F.col("cell").isin(affected)
+    ).count()
+    return before - after
+
+
 def ivf_knn_join(
     anchors: DataFrame,
     assigned: DataFrame,
