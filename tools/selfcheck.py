@@ -5,6 +5,10 @@ values (order-insensitive).
 
 Usage:
     python tools/selfcheck.py [sf_dir] [query ...]
+        [--json OUT.json] [--fuzz N] [--audit]
+
+--audit appends the physical-plan regression gate
+(tools/explain_audit.py --gate vs EXPLAIN_BASELINE.json) to the sweep.
 """
 
 from __future__ import annotations
@@ -93,6 +97,9 @@ def main() -> int:
         i = argv.index("--fuzz")
         fuzz_n = int(argv[i + 1])
         del argv[i : i + 2]
+    audit = "--audit" in argv
+    if audit:
+        argv.remove("--audit")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -191,6 +198,18 @@ def main() -> int:
 
         fr = run_fuzz(sf_dir, fuzz_n, seed=4, spark=spark)
         n_fail += fr["fail"]
+    if audit:
+        # plan-regression gate (VERDICT r4 item 9): new BNLJ / lost
+        # PushedFilters / new partition-less window vs EXPLAIN_BASELINE.json
+        import subprocess
+
+        rc = subprocess.call(
+            [sys.executable, "tools/explain_audit.py", "--gate"],
+            cwd="/root/repo",
+        )
+        if rc:
+            print("explain-audit gate FAILED (plan regressions)")
+            n_fail += 1
     return 1 if n_fail else 0
 
 
