@@ -159,3 +159,77 @@ def source_jdbc_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("bal"),
         )
     )
+
+
+def _delta_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) a Delta table from supplier
+    in TWO commits -- even keys then odd keys -- so HEAD and version 0
+    differ and time travel is observable."""
+    from ..sources.delta_log import delta_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:delta".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_delta_{digest}")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        sup = load_table(spark, sf_dir, "supplier")
+        delta_write(sup.where(F.col("s_suppkey") % 2 == 0), path, mode="append")
+        delta_write(sup.where(F.col("s_suppkey") % 2 == 1), path, mode="append")
+    return path
+
+
+@declare(
+    "table_delta_scan",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal,
+           MAX(s_suppkey) AS max_key
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def table_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-table-format interop (round-4 verdict "missing" #4): read a
+    Delta Lake table at HEAD through the minimal public-protocol client
+    (sources/delta_log.py) -- log replay driver-side, data as a plain
+    pruned parquet scan over the live file set -- and aggregate. The
+    table carries supplier across two commits; the oracle aggregates the
+    ORIGINAL parquet, so agreement proves snapshot reconstruction (adds
+    across commits, no phantom or lost files) is exact."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_layout(spark, sf_dir)
+    s = delta_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.max("s_suppkey").alias("max_key"),
+    )
+
+
+@declare(
+    "table_delta_time_travel",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier
+    WHERE s_suppkey % 2 = 0
+    GROUP BY s_nationkey
+    """,
+)
+def table_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta time travel: the same table read at version 0 (the even-key
+    commit) -- the log prefix replay -- aggregated; the oracle filters
+    the original parquet to the same subset, so a match proves the
+    versioned snapshot holds exactly the first commit's rows."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_layout(spark, sf_dir)
+    s = delta_scan(spark, path, version_as_of=0)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
