@@ -99,8 +99,11 @@ _CERT_PRIORITY = [
     # C: joins
     "join_inner", "join_broadcast", "join_left_outer", "join_semi",
     "join_anti", "join_range", "join_asof",
+    # A (r5): Avro landing-zone round-trip (oracle-checked source row
+    # in place of rows-only agg_approx_distinct, which stays declared)
+    "source_avro_roundtrip",
     # D: aggregates
-    "agg_groupby", "agg_count_distinct", "agg_approx_distinct",
+    "agg_groupby", "agg_count_distinct",
     "agg_rollup", "agg_grouping_sets", "agg_percentile", "agg_stats",
     # E: windows
     "win_rank", "win_lag_lead", "win_running_sum", "win_topk_per_group",
