@@ -197,8 +197,12 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB customer table still terminates in ~7 rounds; each round is an
     ordinary shuffled plan AQE optimizes independently. FLOOR(x/10.0) keeps
     parent derivation identical across engines (DuckDB's double->int CAST
-    rounds; Spark's truncates)."""
+    rounds; Spark's truncates). Spark's cteRecursionRowLimit (default 1M,
+    a runaway-recursion debugging guard, NOT a memory bound) counts TOTAL
+    rows across rounds -- ~N*log10(N), which trips at sf1's 150k customers
+    -- so the query raises it explicitly; depth stays the real guard."""
     _views(spark, sf_dir, "customer")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     return spark.sql(_RECURSIVE_SQL)
 
 
