@@ -218,11 +218,13 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "sql_tpch_q7",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+               AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders ON o_orderkey = l_orderkey
@@ -237,7 +239,10 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping) analog: bilateral trade volume between a
     nation pair by supplier-nation x customer-nation x year. Both nation
-    dims broadcast; the nation filter reaches the dim scans."""
+    dims broadcast; the nation filter reaches the dim scans. Revenue
+    accumulates as DECIMAL(18,6) (scale-invariant money discipline --
+    the plain-double form flipped a penny on one row at sf1 when
+    partial-sum order diverged; see sql_market_share_exact)."""
     s = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -261,8 +266,15 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("l_shipdate").cast("long").alias("l_year"),
     ).agg(
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 
