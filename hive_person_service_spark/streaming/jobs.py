@@ -310,7 +310,7 @@ def stream_incremental_dedup(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = 0.7,
-    n_files: int = 4,
+    n_files: int = 2,
 ) -> DataFrame:
     """Continuous-ingest near-dup: stream NEW documents (landing-zone file
     source, one file per micro-batch) and check each micro-batch against a
@@ -323,7 +323,11 @@ def stream_incremental_dedup(
     corpus side is a maintained staging table (here: even doc_ids,
     shingled once and persisted), the stream side is whatever the crawler
     lands. trigger(availableNow) drains the backlog exactly once;
-    checkpointing makes re-runs idempotent per landing file."""
+    checkpointing makes re-runs idempotent per landing file. n_files=2
+    keeps the run genuinely multi-batch (incremental state + idempotent
+    per-batch sinks both exercised) at half the trigger/commit overhead
+    of the earlier 4-file default -- the pair set is file-count-invariant
+    (pytest pins it equal to the batch twin)."""
     import os
 
     from ..operators.dedup import doc_shingles, near_duplicates_incremental
