@@ -270,8 +270,13 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_jpeg_progressive_gray,
     )
 
-    d = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("asset_id")
+    # the fixture is a single parquet file (one scan task); codec work is
+    # pure CPU per row, so spread it across the executor cores -- at scale
+    # the landing table is many files and this repartition is free/absent
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     schema = StructType(
         [
