@@ -118,6 +118,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents a
     JOIN documents b
       ON a.lang = b.lang
+     AND substr(a.text, 1, 16) = substr(b.text, 1, 16)
      AND CAST(FLOOR(a.n_chars / 50) AS BIGINT) = CAST(FLOOR(b.n_chars / 50) AS BIGINT)
      AND a.doc_id < b.doc_id
      AND abs(a.n_chars - b.n_chars) <= 20
@@ -125,16 +126,20 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy dedup: edit-distance pairs within (lang, length-bucket)
-    blocks. Three bounds keep the quadratic term cold: the block join (pairs
-    only form inside blocks), a length pre-filter (edit distance >= length
-    difference, so |dn| > t pairs can't match -- cuts pairs before any DP
-    runs), and Spark's BOUNDED 3-arg levenshtein (banded DP, O(len*t) not
-    O(len^2), returns -1 past the threshold). The probe side is
-    repartitioned so the broadcast join's levenshtein work spreads across
-    cores instead of riding one scan task (measured 480s -> ~3s at sf0.1).
-    JVM-side, no Python in the loop; MinHash replaces this shape when text
-    length makes even banded DP too hot."""
+    """Blocked fuzzy dedup: edit-distance pairs within
+    (lang, 16-char text prefix, length-bucket) blocks. Four bounds keep
+    the quadratic term cold: the block join (pairs only form inside
+    blocks), the PREFIX band (standard record-linkage blocking -- at sf1
+    the (lang, length) blocks alone degenerate to 20.7M candidate pairs
+    because block population grows linearly with corpus size; adding the
+    prefix key cuts that to 217k, and on this corpus loses zero true
+    matches -- trades recall for near-linear cost by design, like every
+    blocking scheme; MinHash-LSH is the recall-preserving alternative),
+    a length pre-filter (edit distance >= length difference), and Spark's
+    BOUNDED 3-arg levenshtein (banded DP, O(len*t) not O(len^2), returns
+    -1 past the threshold). The probe side is repartitioned so the join's
+    levenshtein work spreads across cores instead of riding one scan task
+    (measured 480s -> ~3s at sf0.1). JVM-side, no Python in the loop."""
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     a = d.select(
@@ -142,6 +147,7 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("a_lang"),
         F.col("n_chars").alias("a_nc"),
         F.floor(F.col("n_chars") / 50).cast("long").alias("a_blk"),
+        F.substring("text", 1, 16).alias("a_pfx"),
         F.col("text").alias("a_text"),
     ).repartition(par)
     b = d.select(
@@ -149,12 +155,14 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("b_lang"),
         F.col("n_chars").alias("b_nc"),
         F.floor(F.col("n_chars") / 50).cast("long").alias("b_blk"),
+        F.substring("text", 1, 16).alias("b_pfx"),
         F.col("text").alias("b_text"),
     )
     return (
         a.join(
             b,
             (F.col("a_lang") == F.col("b_lang"))
+            & (F.col("a_pfx") == F.col("b_pfx"))
             & (F.col("a_blk") == F.col("b_blk"))
             & (F.col("a_id") < F.col("b_id"))
             & (F.abs(F.col("a_nc") - F.col("b_nc")) <= 20),
