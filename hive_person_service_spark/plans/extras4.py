@@ -125,8 +125,10 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_max_by",
     oracle="""
     SELECT o_orderpriority,
-           MAX_BY(o_orderkey, o_totalprice) AS biggest_order,
-           MIN_BY(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000
+               + o_orderkey) % 10000000000 AS biggest_order,
+           MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000000
+               + o_orderkey) % 10000000000 AS smallest_order,
            MAX(o_totalprice) AS max_price
     FROM orders GROUP BY o_orderpriority
     """,
@@ -134,14 +136,21 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin aggregates: the order key that carries each group's
     extreme price, in one pass -- no self-join back onto the max and no
-    window + filter. max_by/min_by keep a single (value, arg) pair of state
-    per group, so they partial-aggregate map-side like any min/max.
-    Determinism: per-priority price extremes are unique in the fixtures at
-    every SF (checked; ties would make the arg engine-dependent)."""
+    window + filter. Plain max_by/min_by leave the arg ENGINE-DEPENDENT
+    when the extreme value ties (the sf1 synthesis replicates prices, so
+    ties are real data, not a corner case); packing (cents, orderkey)
+    into one BIGINT makes the tiebreak explicit -- largest key at the
+    max, smallest key at the min -- while keeping the single
+    (value, arg)-pair state that partial-aggregates map-side like any
+    max. Cents*1e10 + key is collision-free to keys < 1e10 and cents
+    < 9.2e8 (both hold past sf100)."""
     o = load_table(spark, sf_dir, "orders")
+    packed = F.round(F.col("o_totalprice") * 100).cast("long") * F.lit(
+        10_000_000_000
+    ) + F.col("o_orderkey")
     return o.groupBy("o_orderpriority").agg(
-        F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
-        F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
+        (F.max(packed) % 10_000_000_000).alias("biggest_order"),
+        (F.min(packed) % 10_000_000_000).alias("smallest_order"),
         F.max("o_totalprice").alias("max_price"),
     )
 
