@@ -477,7 +477,8 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_cust,
-           ROUND(SUM(c_acctbal * 1.07 + 25.0), 2) AS adj_bal
+           CAST(SUM(CAST(FLOOR((c_acctbal * 1.07 + 25.0) * 100 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 100.0 AS adj_bal
     FROM customer
     WHERE c_acctbal > 0
     GROUP BY c_mktsegment
@@ -493,7 +494,11 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate above) is unchanged. This is where a C-backed custom
     kernel (tokenizer, codec) would mount; for pure arithmetic like this
     the built-in expression (used by the oracle) stays the production
-    choice."""
+    choice. The rollup quantizes each adjusted value to integer cents
+    (FLOOR(x*100+0.5) -- floor of an identical IEEE double is
+    engine-identical, no ROUND tie semantics) BEFORE summing, so the
+    money total is order-independent and scale-invariant (the plain
+    double SUM flipped its last ROUND digit at sf1)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -511,5 +516,10 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = sel.mapInArrow(adjust, "c_mktsegment string, adj double")
     return out.groupBy("c_mktsegment").agg(
         F.count("*").cast("long").alias("n_cust"),
-        F.round(F.sum("adj"), 2).alias("adj_bal"),
+        (
+            F.sum(F.floor(F.col("adj") * 100 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("adj_bal"),
     )
