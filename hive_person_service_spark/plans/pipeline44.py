@@ -233,3 +233,77 @@ def table_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
     )
+
+
+def _iceberg_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) an Iceberg v1 table from
+    supplier in TWO append snapshots (even keys, then odd keys)."""
+    from ..sources.iceberg import iceberg_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:iceberg".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_iceberg_{digest}")
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        sup = load_table(spark, sf_dir, "supplier")
+        iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), path)
+        iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), path)
+    return path
+
+
+@declare(
+    "table_iceberg_scan",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal,
+           MIN(s_suppkey) AS min_key
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def table_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg interop (the second open-table format, after Delta): read
+    an Iceberg v1 table at the current snapshot through the minimal
+    public-spec client (sources/iceberg.py -- version-hint ->
+    metadata.json -> Avro manifest list -> Avro manifests, all via the
+    in-repo OCF codec; data as a plain parquet scan) and aggregate. The
+    table carries supplier across two append snapshots; the oracle
+    aggregates the ORIGINAL parquet, so a match proves manifest-driven
+    snapshot planning holds exactly the live file set."""
+    from ..sources.iceberg import iceberg_scan
+
+    path = _iceberg_layout(spark, sf_dir)
+    s = iceberg_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.min("s_suppkey").alias("min_key"),
+    )
+
+
+@declare(
+    "table_iceberg_time_travel",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier
+    WHERE s_suppkey % 2 = 0
+    GROUP BY s_nationkey
+    """,
+)
+def table_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg time travel: the same table read at its FIRST snapshot id
+    (from the snapshot log), aggregated; the oracle filters the original
+    parquet to the first commit's subset."""
+    from ..sources.iceberg import iceberg_scan, iceberg_snapshots
+
+    path = _iceberg_layout(spark, sf_dir)
+    first = iceberg_snapshots(path)[0]["snapshot_id"]
+    s = iceberg_scan(spark, path, snapshot_id=first)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
