@@ -400,7 +400,10 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     """Distributed Avro write: one OCF file per Spark partition, encoded
     executor-side; returns the file count. The driver sees only the
     manifest. ``_SUCCESS`` commits the directory (same contract as the
-    parquet writers)."""
+    parquet writers). ``path`` must be a filesystem visible to every
+    executor (local mode, NFS, or a FUSE-mounted object store) -- a
+    pure-HDFS deployment would route these byte writes through the
+    Hadoop FileSystem API instead of ``open()``."""
     struct = df.schema
     avro_schema = spark_to_avro_schema(struct)
     os.makedirs(path, exist_ok=True)

@@ -279,10 +279,14 @@ def iceberg_write(df: DataFrame, table: str, mode: str = "append") -> int:
         raise ValueError(f"unsupported mode {mode!r}")
     d = _meta_dir(table)
     d.mkdir(parents=True, exist_ok=True)
-    try:
+    # Create-new ONLY when no metadata exists; an existing table whose
+    # metadata is unreadable (e.g. future format-version) must surface its
+    # gate, not be silently re-initialized over.
+    has_meta = any(re.match(r"v\d+\.metadata\.json$", p.name) for p in d.iterdir())
+    if has_meta:
         meta = _load_metadata(table)
         version = int(_current_metadata_path(table).stem[1:].split(".")[0])
-    except ValueError:
+    else:
         meta = {
             "format-version": 1,
             "table-uuid": uuid.uuid4().hex,

@@ -78,7 +78,12 @@ def test_iceberg_gates(spark, tmp_path):
     open(hint, "w").write(str(v + 1))
     with pytest.raises(ValueError, match="format-version 3"):
         iceberg_scan(spark, t)
+    # appending to a gated table must surface the gate, NOT silently
+    # re-initialize the table over the newer metadata
+    with pytest.raises(ValueError, match="format-version 3"):
+        iceberg_write(_mk(spark, [(2, "b", 2.0)]), t)
     open(hint, "w").write(str(v))
+    os.remove(os.path.join(meta_dir, f"v{v+1}.metadata.json"))
     # unknown snapshot id -> precise error
     with pytest.raises(ValueError, match="not in table log"):
         iceberg_scan(spark, t, snapshot_id=123456)
