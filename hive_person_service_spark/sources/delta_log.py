@@ -69,11 +69,18 @@ def _read_checkpoint(table: str) -> tuple[int, dict[str, dict], dict, dict]:
         return -1, {}, {}, {}
     info = json.loads(last.read_text())
     v = int(info["version"])
+    ckpt = _log_dir(table) / f"{v:020d}.checkpoint.parquet"
+    if not ckpt.exists():
+        parts = sorted(_log_dir(table).glob(f"{v:020d}.checkpoint.*.parquet"))
+        if parts:
+            raise ValueError(
+                f"multi-part Delta checkpoint at version {v} unsupported by "
+                f"this minimal client ({len(parts)} parts)"
+            )
+        return -1, {}, {}, {}  # dangling _last_checkpoint: replay the JSON log
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        str(_log_dir(table) / f"{v:020d}.checkpoint.parquet")
-    ).to_pylist()
+    tbl = pq.read_table(str(ckpt)).to_pylist()
     files: dict[str, dict] = {}
     meta: dict = {}
     proto: dict = {}
