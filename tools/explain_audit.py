@@ -105,29 +105,31 @@ def regressions(name: str, base: dict, cur: dict) -> list[str]:
     return probs
 
 
-def main() -> int:
-    argv = list(sys.argv[1:])
-    gate = "--gate" in argv
-    update = "--update-baseline" in argv
-    json_out = None
-    if "--json" in argv:
-        i = argv.index("--json")
-        json_out = argv[i + 1]
-        del argv[i : i + 2]
-    argv = [a for a in argv if not a.startswith("--")]
-
+def run_gate(
+    spark=None,
+    names: list[str] | None = None,
+    json_out: str | None = None,
+    gate: bool = True,
+    update: bool = False,
+    verbose: bool = True,
+) -> int:
+    """Audit + (optionally) gate; callable in-process so callers holding
+    single-JVM resources (embedded Derby) can share their session."""
     from hive_person_service_spark import plans
-    from hive_person_service_spark.session import get_spark
 
-    spark = get_spark(app_name="explain-audit")
-    spark.sparkContext.setLogLevel("ERROR")
+    if spark is None:
+        from hive_person_service_spark.session import get_spark
+
+        spark = get_spark(app_name="explain-audit")
+        spark.sparkContext.setLogLevel("ERROR")
     qs = plans.all_queries()
-    names = argv or sorted(qs)
+    explicit = names is not None and len(names) > 0
+    names = names or sorted(qs)
 
     report: dict[str, dict] = {}
     errors: list[str] = []
     for name in names:
-        if not argv and name.startswith(SKIP_PREFIXES):
+        if not explicit and name.startswith(SKIP_PREFIXES):
             continue
         try:
             found, plan = audit_one(spark, qs[name], name)
@@ -135,8 +137,9 @@ def main() -> int:
             errors.append(f"{name}: {type(e).__name__}: {e}")
             continue
         report[name] = found
-        print(f"== {name}: {found}")
-        if argv and len(names) <= 3:
+        if verbose:
+            print(f"== {name}: {found}")
+        if explicit and len(names) <= 3:
             print(plan)
 
     rc = 0
@@ -175,8 +178,23 @@ def main() -> int:
         with open(json_out, "w") as fh:
             json.dump(report, fh, indent=1, sort_keys=True)
         print(f"wrote {json_out}")
-    spark.stop()
     return rc
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    gate = "--gate" in argv
+    update = "--update-baseline" in argv
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    argv = [a for a in argv if not a.startswith("--")]
+    return run_gate(
+        names=argv or None, json_out=json_out,
+        gate=gate or not (argv or update), update=update,
+    )
 
 
 if __name__ == "__main__":

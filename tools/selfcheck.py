@@ -200,13 +200,12 @@ def main() -> int:
         n_fail += fr["fail"]
     if audit:
         # plan-regression gate (VERDICT r4 item 9): new BNLJ / lost
-        # PushedFilters / new partition-less window vs EXPLAIN_BASELINE.json
-        import subprocess
+        # PushedFilters / new partition-less window vs EXPLAIN_BASELINE.json.
+        # Runs IN-PROCESS on the same session: a subprocess cannot reopen
+        # single-JVM resources this sweep already holds (embedded Derby).
+        from tools.explain_audit import run_gate
 
-        rc = subprocess.call(
-            [sys.executable, "tools/explain_audit.py", "--gate"],
-            cwd="/root/repo",
-        )
+        rc = run_gate(spark=spark, verbose=False)
         if rc:
             print("explain-audit gate FAILED (plan regressions)")
             n_fail += 1
