@@ -79,6 +79,50 @@ def test_ocf_multiblock_and_corruption():
         read_ocf(b"PAR1" + blob[4:])
 
 
+def test_ocf_property_roundtrip():
+    """Property test: random records over the full supported type surface
+    round-trip bit-exactly through both codecs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hive_person_service_spark.sources.avro_ocf import read_ocf, write_ocf
+
+    sch = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "l", "type": ["null", "long"]},
+            {"name": "i", "type": ["null", "int"]},
+            {"name": "d", "type": ["null", "double"]},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "b", "type": ["null", "bytes"]},
+            {"name": "f", "type": ["null", "boolean"]},
+            {"name": "a", "type": ["null", {"type": "array", "items": ["null", "long"]}]},
+        ],
+    }
+    rec = st.fixed_dictionaries(
+        {
+            "l": st.none() | st.integers(-(2**63), 2**63 - 1),
+            "i": st.none() | st.integers(-(2**31), 2**31 - 1),
+            "d": st.none()
+            | st.floats(allow_nan=False, allow_infinity=True, width=64),
+            "s": st.none() | st.text(max_size=40),
+            "b": st.none() | st.binary(max_size=40),
+            "f": st.none() | st.booleans(),
+            "a": st.none()
+            | st.lists(st.none() | st.integers(-(2**40), 2**40), max_size=5),
+        }
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(rec, max_size=20), st.sampled_from(["null", "deflate"]))
+    def roundtrip(records, codec):
+        _, got = read_ocf(write_ocf(records, sch, codec=codec, block_records=7))
+        assert got == records
+
+    roundtrip()
+
+
 def test_avro_spark_roundtrip_exact(spark, tmp_path):
     """Distributed write (one OCF per partition) -> distributed read ->
     exact row set, timestamps included (orders has TimestampType)."""

@@ -228,6 +228,39 @@ def test_jpeg_progressive_identical_to_baseline():
     )
 
 
+def test_jpeg_progressive_randomized_identity():
+    """Randomized sweep: 20 random (shape, quality, content) combinations
+    must all decode progressive == baseline bit-exactly -- cheap insurance
+    over the refinement/EOB-run coder's state machine."""
+    import numpy as np
+
+    from hive_person_service_spark.operators.jpeg import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive_gray,
+    )
+
+    rng = np.random.RandomState(1234)
+    for trial in range(20):
+        h = int(rng.randint(8, 70))
+        w = int(rng.randint(8, 70))
+        q = int(rng.choice([35, 60, 80, 92]))
+        kind = trial % 3
+        if kind == 0:
+            px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        elif kind == 1:  # smooth gradient (long EOB runs)
+            px = (
+                (np.arange(h)[:, None] * 2 + np.arange(w)[None, :]) % 256
+            ).astype(np.uint8)
+        else:  # mostly flat with sparse spikes (ZRL + refinement mixes)
+            px = np.full((h, w), 100, dtype=np.uint8)
+            for _ in range(5):
+                px[rng.randint(h), rng.randint(w)] = rng.randint(0, 256)
+        a = decode_jpeg_gray(encode_jpeg_gray(px, q))
+        b = decode_jpeg_gray(encode_jpeg_progressive_gray(px, q))
+        assert np.array_equal(a, b), (trial, h, w, q, kind)
+
+
 def test_jpeg_progressive_color_luma():
     """Progressive 4:2:0 color: interleaved DC scans + per-component AC
     band scans; luma reconstruction identical to the baseline color
