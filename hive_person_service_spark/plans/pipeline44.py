@@ -307,3 +307,28 @@ def table_iceberg_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
     )
+
+
+@declare("sim_hnsw_topk", oracle=None)  # rows-only: graph ANN (approximate)
+def sim_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW graph-ANN tier (the serving-side lookup pattern): each
+    partition builds a navigable-small-world graph over its shard inside
+    one Arrow-batched mapInPandas pass and answers the query locally;
+    the global answer is the relational top-k over the (shards x k)
+    candidate union -- lossless merge, so quality is single-graph HNSW
+    quality with ef as the knob. Deterministic (node levels from a
+    seeded per-id hash, no RNG state), hence stable run-to-run, but the
+    graph search is approximate by design => rows-only; the recall floor
+    vs brute force is pinned by tests/test_hnsw.py. At 100 TB the
+    shard graphs live with their partitions (build parallel, memory
+    bounded per shard) and a query costs one broadcast + ~ms per shard
+    -- the pattern every graph-ANN serving fleet uses."""
+    import numpy as np
+
+    from ..operators.hnsw import hnsw_shard_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    q = np.array(qrow.embedding, dtype=np.float64)
+    corpus = emb.where(F.col("vec_id") != 0)
+    return hnsw_shard_topk(corpus, q, k=10, m=8, ef=64)
