@@ -105,3 +105,53 @@ def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
     TakeOrderedAndProject (per-partition heaps, no single-partition
     shuffle), which survives billion-node rank tables."""
     return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(k)
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 12,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Single-source BFS hop distances by frontier expansion (the third
+    iterative-graph shape next to components and pagerank: level-
+    synchronous traversal).
+
+    ``edges`` is a directed (src, dst) relation. Each round expands the
+    current frontier one hop (edges join frontier on src), anti-joins the
+    already-settled set so a node is settled at its FIRST (minimal) depth,
+    and checkpoints to keep lineage flat. Iterations scale with graph
+    DIAMETER (bounded by ``max_hops``), never with node count; each round
+    is one join + one anti-join on the frontier -- at 100 TB the frontier
+    relation is the small side and broadcasts, while the edge relation
+    stays partitioned by src across the cluster.
+    """
+    spark = edges.sparkSession
+    edges = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).persist()
+    edges.count()
+
+    dist = spark.createDataFrame([(int(source), 0)], "node LONG, hops INT")
+    frontier = dist
+    try:
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                edges.join(
+                    F.broadcast(frontier.select(F.col("node").alias("src"))),
+                    "src",
+                )
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(F.broadcast(dist.select("node")), "node", "left_anti")
+                .select("node", F.lit(hop).alias("hops"))
+            )
+            if (hop % checkpoint_every) == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        edges.unpersist()
+    return dist.select("node", F.col("hops").cast("long").alias("hops"))
