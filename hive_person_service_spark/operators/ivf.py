@@ -137,9 +137,14 @@ def ivf_delete_vectors(spark, root: str, ids: list, id_col: str = "vec_id") -> i
     if not affected:
         return 0
     before = vectors.where(F.col("cell").isin(affected)).count()
+    # Materialize survivors BEFORE overwriting: a lazy plan would read the
+    # same path the write overwrites, which is not a stable Spark contract
+    # (other versions/committers raise or can corrupt). localCheckpoint
+    # snapshots the affected cells' survivors (bounded: only the touched
+    # partitions) so the overwrite reads from block storage, not the path.
     survivors = vectors.where(
         F.col("cell").isin(affected) & ~F.col(id_col).isin(id_set)
-    )
+    ).localCheckpoint(eager=True)
     surviving_cells = {
         r.cell for r in survivors.select("cell").distinct().collect()
     }

@@ -209,10 +209,20 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds; Spark's truncates). Spark's cteRecursionRowLimit (default 1M,
     a runaway-recursion debugging guard, NOT a memory bound) counts TOTAL
     rows across rounds -- ~N*log10(N), which trips at sf1's 150k customers
-    -- so the query raises it explicitly; depth stays the real guard."""
+    -- so the query raises it for ITS OWN materialization only: the result
+    (one row per customer) is localCheckpoint-ed under the override and the
+    previous limit restored in a finally, so the session-wide
+    runaway-recursion guard stays intact for every later query."""
     _views(spark, sf_dir, "customer")
+    prev = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
-    return spark.sql(_RECURSIVE_SQL)
+    try:
+        return spark.sql(_RECURSIVE_SQL).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prev)
 
 
 @declare(

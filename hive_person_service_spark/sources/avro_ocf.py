@@ -120,7 +120,14 @@ def spark_to_avro_schema(struct, name: str = "row") -> dict:
         if isinstance(dt, T.DateType):
             return {"type": "int", "logicalType": "date"}
         if isinstance(dt, T.ArrayType):
-            return {"type": "array", "items": field_type(dt.elementType)}
+            items = field_type(dt.elementType)
+            # Spark arrays default to containsNull=True; a bare item type
+            # would crash the encoder on an actual null element, so emit
+            # the items as a [null, T] union (the decoder already handles
+            # unions at any nesting level).
+            if dt.containsNull:
+                items = ["null", items]
+            return {"type": "array", "items": items}
         raise ValueError(f"avro_ocf: unsupported Spark type {dt}")
 
     return {

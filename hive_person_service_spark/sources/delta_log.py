@@ -105,7 +105,21 @@ def _snapshot(table: str, version_as_of: int | None = None):
     if not versions:
         raise ValueError(f"empty Delta log: {table}")
     ckpt_v, files, meta, proto = _read_checkpoint(table)
+    if version_as_of is not None and version_as_of not in versions and version_as_of > versions[-1]:
+        raise ValueError(
+            f"version {version_as_of} does not exist (latest is {versions[-1]})"
+        )
     if version_as_of is not None and ckpt_v > version_as_of:
+        # Replay from scratch -- only sound if the pre-checkpoint log still
+        # exists. Standard Delta retention deletes commits the checkpoint
+        # covers; silently replaying a truncated prefix would reconstruct a
+        # WRONG partial snapshot.
+        if versions[0] != 0:
+            raise ValueError(
+                f"log truncated: earliest commit is {versions[0]}, so "
+                f"version {version_as_of} (before checkpoint {ckpt_v}) is "
+                "no longer reconstructable"
+            )
         ckpt_v, files, meta, proto = -1, {}, {}, {}  # replay from scratch
     for v in versions:
         if v <= ckpt_v:
@@ -210,16 +224,23 @@ def _write_data_files(df: DataFrame, table: str, partition_by: list[str]) -> lis
 
 
 def _commit(table: str, version: int, actions: list[dict]) -> None:
-    """Atomic commit: write to a temp name, rename into the log (rename
-    is the protocol's optimistic-concurrency primitive on a filesystem)."""
+    """Atomic commit via put-if-absent: write to a temp name, then
+    ``os.link`` it to the version file. link(2) fails with EEXIST when the
+    destination exists, which is the atomic primitive the Delta protocol
+    requires -- a plain rename() silently REPLACES an existing destination
+    on POSIX, so two writers racing the same version would both "succeed"
+    and one commit would be lost."""
     d = _log_dir(table)
     d.mkdir(parents=True, exist_ok=True)
     target = _version_file(table, version)
-    if target.exists():
-        raise ValueError(f"concurrent commit: version {version} exists")
     tmp = d / f".tmp-{uuid.uuid4().hex}.json"
     tmp.write_text("\n".join(json.dumps(a) for a in actions) + "\n")
-    os.rename(tmp, target)
+    try:
+        os.link(tmp, target)
+    except FileExistsError:
+        raise ValueError(f"concurrent commit: version {version} exists") from None
+    finally:
+        tmp.unlink(missing_ok=True)
 
 
 def _maybe_checkpoint(table: str, version: int, interval: int) -> None:

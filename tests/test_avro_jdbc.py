@@ -164,3 +164,39 @@ def test_jdbc_federation_pushdown_and_partitions(spark):
 
     sup = load_table(spark, SF_SMALL, "supplier")
     assert filtered.count() == sup.where(F.col("s_acctbal") > 0).count()
+
+
+def test_ocf_array_with_null_elements_roundtrips():
+    """Spark arrays default to containsNull=True -- a null ELEMENT must
+    round-trip (items are emitted as a [null, T] union), not crash the
+    encoder with int(None)."""
+    from pyspark.sql import types as T
+
+    from hive_person_service_spark.sources.avro_ocf import (
+        read_ocf,
+        spark_to_avro_schema,
+        write_ocf,
+    )
+
+    struct = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("xs", T.ArrayType(T.LongType(), containsNull=True)),
+            T.StructField(
+                "ys", T.ArrayType(T.DoubleType(), containsNull=False)
+            ),
+        ]
+    )
+    sch = spark_to_avro_schema(struct)
+    # containsNull=True -> union items; containsNull=False -> bare items
+    xs_items = next(f for f in sch["fields"] if f["name"] == "xs")["type"][1]["items"]
+    ys_items = next(f for f in sch["fields"] if f["name"] == "ys")["type"][1]["items"]
+    assert xs_items == ["null", "long"]
+    assert ys_items == "double"
+    recs = [
+        {"id": 1, "xs": [1, None, 3], "ys": [1.5, 2.5]},
+        {"id": 2, "xs": None, "ys": []},
+        {"id": 3, "xs": [], "ys": [0.0]},
+    ]
+    _, got = read_ocf(write_ocf(recs, sch))
+    assert got == recs

@@ -100,3 +100,61 @@ def test_delta_reader_version_gate(spark, tmp_path):
     # not-a-delta-table error is precise too
     with pytest.raises(ValueError, match="_delta_log"):
         delta_scan(spark, str(tmp_path / "nope"))
+
+
+def test_delta_commit_put_if_absent(spark, tmp_path):
+    """Two writers racing the same version must NOT both succeed: the
+    commit primitive is os.link put-if-absent (rename silently replaces)."""
+    import os
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "race")
+    delta_write(_mk(spark, [(1, "a", 1.0)]), t)
+    # simulate a concurrent writer that claims version 1 BETWEEN the
+    # loser's version computation and its commit -- exactly the window the
+    # put-if-absent primitive must close (delta_write recomputes the
+    # version up front, so the race is against _commit itself)
+    from hive_person_service_spark.sources.delta_log import _commit
+
+    log = os.path.join(t, "_delta_log")
+    claimed = os.path.join(log, f"{1:020d}.json")
+    with open(claimed, "w") as fh:
+        fh.write(json.dumps({"commitInfo": {"operation": "WRITE"}}) + "\n")
+    with pytest.raises(ValueError, match="concurrent commit"):
+        _commit(t, 1, [{"commitInfo": {"operation": "LOSER"}}])
+    # the loser's commit was NOT installed over the winner's
+    with open(claimed) as fh:
+        assert "LOSER" not in fh.read()
+    # no temp droppings left behind
+    assert not [n for n in os.listdir(log) if n.startswith(".tmp-")]
+    assert {r.id for r in delta_scan(spark, t).collect()} == {1}
+
+
+def test_delta_truncated_log_time_travel_errors(spark, tmp_path):
+    """Time travel below the newest checkpoint must error (not silently
+    rebuild a partial snapshot) when retention deleted the early log."""
+    import os
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "trunc")
+    for i in range(5):
+        delta_write(_mk(spark, [(i, "g", float(i))]), t, checkpoint_interval=2)
+    log = os.path.join(t, "_delta_log")
+    # standard retention: drop commits the newest checkpoint (v4) covers
+    for v in (0, 1, 2):
+        os.remove(os.path.join(log, f"{v:020d}.json"))
+    # HEAD still reconstructs from the checkpoint
+    assert {r.id for r in delta_scan(spark, t).collect()} == {0, 1, 2, 3, 4}
+    with pytest.raises(ValueError, match="log truncated"):
+        delta_scan(spark, t, version_as_of=1)
+    # a version beyond HEAD errors precisely too
+    with pytest.raises(ValueError, match="does not exist"):
+        delta_scan(spark, t, version_as_of=99)
