@@ -490,3 +490,122 @@ def jaccard_join_prefix(
     return verify_jaccard(cands, shingled, id_col=id_col).where(
         F.col("jaccard") >= threshold
     )
+
+
+def minhash_signatures_inrow_md5(
+    docs: DataFrame, num_perm: int = 32, shingle_n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """In-row MinHash signatures whose base hash is ENGINE-REPRODUCIBLE:
+    h = first 32 md5 bits of the shingle (mod 2^31-1), the same md5_int
+    idiom the deterministic sketches use (operators/sketches.py) -- any
+    engine with md5 + hex parsing computes the identical value, unlike
+    xxhash64. Same fold structure / permutation constants as
+    minhash_signatures_inrow; use THIS variant when the downstream
+    consumer must be verifiable in another engine (the oracle-checked
+    dedup_near), the xxhash one when raw speed matters (one JVM hash call
+    vs an md5 + hex-parse per shingle)."""
+    consts = _perm_constants(num_perm)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in consts])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in consts])
+    acc0 = F.array(*[F.lit(_MERSENNE_31).cast("long") for _ in range(num_perm)])
+    m = F.lit(_MERSENNE_31)
+    sh = F.array_distinct(shingles_expr(tokens_expr(), shingle_n))
+    hs = F.transform(
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"), m
+        ),
+    )
+    base = docs.where(F.size(tokens_expr()) >= shingle_n).select(
+        F.col(id_col), hs.alias("_hs")
+    )
+    sig = F.aggregate(
+        F.col("_hs"),
+        acc0,
+        lambda acc, h: F.zip_with(
+            F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(a * h + b, m)),
+            acc,
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    return base.select(F.col(id_col), sig.alias("_sig")).select(
+        F.col(id_col),
+        *[F.element_at("_sig", j + 1).alias(f"sig_{j}") for j in range(num_perm)],
+    )
+
+
+def lsh_candidate_pairs_exact_bands(
+    signatures: DataFrame,
+    num_perm: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding joined on the RAW slot tuple (as a collision-free string
+    key) instead of xxhash64(band): candidate generation becomes exactly
+    'some band's slots all equal', with no hash-collision false candidates
+    -- which makes the WHOLE pipeline reproducible as 8 equi-joins in plain
+    SQL (the dedup_near oracle). Cost shape is identical to
+    lsh_candidate_pairs: explode to bands, equi-join on the band key."""
+    rows_per_band = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"sig_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("band_key"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_duplicates_minhash_md5(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, ENGINE-REPRODUCIBLE end to end: md5
+    base hash -> universal-hash permutation mins (in-row, zero shuffle)
+    -> raw-tuple banding -> candidate-only exact-Jaccard verify. Every
+    stage is deterministic arithmetic another engine can replay, so the
+    output (including which pairs banding surfaces) is fully
+    oracle-checkable -- not recall-probabilistic from the oracle's view.
+    Same candidate-verify cost shape as near_duplicates_minhash_inrow."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    sigs = minhash_signatures_inrow_md5(df, num_perm=num_perm, shingle_n=shingle_n)
+    cands = _persist_bounded(
+        "minhash_md5_cands",
+        lsh_candidate_pairs_exact_bands(sigs, num_perm=num_perm, bands=bands),
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionAll(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = df.join(cand_ids, "doc_id", "left_semi")
+    shingled = doc_shingles(cand_docs, n=shingle_n)
+    return verify_jaccard(cands, shingled).where(F.col("jaccard") >= threshold)

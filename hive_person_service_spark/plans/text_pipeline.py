@@ -91,19 +91,86 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declare("dedup_near", oracle=None)  # rows-only: LSH not DuckDB-expressible
+def _minhash_lsh_oracle(num_perm: int = 32, bands: int = 8) -> str:
+    """DuckDB SQL replaying the ENTIRE md5-MinHash-LSH pipeline: shingles
+    -> md5-derived base hash -> the same universal-hash permutation mins
+    (identical (a, b) constants) -> raw-tuple banding as equi-joins ->
+    exact-Jaccard verify on candidates. Because every stage is
+    deterministic arithmetic, the oracle checks WHICH pairs banding
+    surfaces, not just a recall-probabilistic superset -- the same
+    engine-reproducible-state trick the deterministic sketches use."""
+    from ..operators.dedup import _MERSENNE_31 as M
+    from ..operators.dedup import _perm_constants
+
+    consts = _perm_constants(num_perm)
+    rows_per_band = num_perm // bands
+    sig_exprs = ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {M}) AS s{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    band_joins = "\n        UNION ALL\n".join(
+        "        SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a "
+        "JOIN sig b ON a.doc_id < b.doc_id AND "
+        + " AND ".join(
+            f"a.s{band * rows_per_band + r} = b.s{band * rows_per_band + r}"
+            for r in range(rows_per_band)
+        )
+        for band in range(bands)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest([array_to_string(t[i:i+2], ' ')
+                     FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingle
+      FROM tok),
+    h AS (
+      SELECT doc_id,
+             shingle,
+             CAST(('0x' || substr(md5(shingle), 1, 8))::UBIGINT
+                  % {M} AS BIGINT) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+             {sig_exprs}
+      FROM h GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+{band_joins}
+      )),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ver AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+    FROM ver
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE ROUND(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.7
+    """
+
+
+@declare("dedup_near", oracle=_minhash_lsh_oracle())
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (threshold 0.7): the 100 TB near-dup
-    path -- banding + bucket join bounds candidate generation. Declared on
-    the candidate-verify formulation (in-row zero-shuffle signatures +
-    candidate-only verification -- operators/dedup.py) whose cost scales
-    with the near-dup pair set, not the corpus; pytest pins it
-    output-identical to the grouped pipeline and verifies recall against
-    brute-force Jaccard on sf0.001."""
-    from ..operators.dedup import near_duplicates_minhash_inrow
+    path -- banding + bucket join bounds candidate generation; exact Jaccard
+    is verified for candidates only, so cost scales with the near-dup pair
+    set, not the corpus. Declared on the ENGINE-REPRODUCIBLE formulation
+    (md5 base hash, in-row zero-shuffle signatures, raw-tuple banding --
+    operators/dedup.py::near_duplicates_minhash_md5) so the full pipeline,
+    including which pairs banding surfaces, is replayed by the DuckDB
+    oracle -- closing the one `err: no_oracle` row the driver sample
+    carried since round 3. The xxhash64 variants remain for speed-critical
+    internal consumers; pytest pins md5-variant recall against brute force
+    and its candidate superset property."""
+    from ..operators.dedup import near_duplicates_minhash_md5
 
     d = load_table(spark, sf_dir, "documents")
-    return near_duplicates_minhash_inrow(d, threshold=0.7)
+    return near_duplicates_minhash_md5(d, threshold=0.7)
 
 
 @declare("dedup_cluster", oracle=None)  # rows-only: LSH + iterative CC

@@ -510,3 +510,39 @@ def test_spark_hashes_deterministic(spark):
     a = sorted(map(tuple, q(spark, SF_SMALL).collect()))
     b = sorted(map(tuple, q(spark, SF_SMALL).collect()))
     assert a == b
+
+
+def test_minhash_md5_pipeline_recall_and_precision(spark):
+    """The engine-reproducible md5-LSH pipeline (the oracle-checked
+    dedup_near) keeps the LSH contract: verified pairs are a SUBSET of
+    brute-force truth (precision exact by construction) with usable
+    recall. Exact agreement with the DuckDB replay is covered by the
+    declared oracle; this pins the statistical contract independently."""
+    from hive_person_service_spark.operators.dedup import (
+        near_duplicates_minhash_md5,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    found = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_duplicates_minhash_md5(docs, threshold=0.7).collect()
+    }
+    shingled = doc_shingles(docs, n=3)
+    cand = (
+        shingled.select(F.col("doc_id").alias("id_a"), "shingle")
+        .join(shingled.select(F.col("doc_id").alias("id_b"), "shingle"), "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    truth = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verify_jaccard(cand, shingled)
+        .where(F.col("jaccard") >= 0.7)
+        .collect()
+    }
+    assert set(found) <= set(truth)
+    for pair, j in found.items():
+        assert j == truth[pair]  # verification is exact, not approximate
+    if truth:
+        assert len(found) / len(truth) >= 0.5
