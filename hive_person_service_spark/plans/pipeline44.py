@@ -332,3 +332,42 @@ def sim_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = np.array(qrow.embedding, dtype=np.float64)
     corpus = emb.where(F.col("vec_id") != 0)
     return hnsw_shard_topk(corpus, q, k=10, m=8, ef=64)
+
+
+@declare(
+    "sim_hnsw_exhaustive",
+    oracle="""
+    SELECT vec_id, cos,
+           CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
+               AS rank
+    FROM (
+      SELECT vec_id,
+             ROUND(list_dot_product(
+               CAST(embedding AS DOUBLE[]),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = 0)), 6) AS cos
+      FROM embeddings WHERE vec_id <> 0)
+    ORDER BY cos DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_hnsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HNSW code path driven to EXACTNESS: ef >= shard size makes the
+    layer-0 search exhaustive, so each shard graph returns its true local
+    top-k and the lossless relational merge yields exactly the brute-force
+    answer (same precedent as the IVF tier's full-probe declaration,
+    plans/vector_pipeline.py::sim_knn_join). This puts the graph build +
+    search machinery itself under the driver's oracle gate; sim_hnsw_topk
+    stays the recall-floor serving tier at ef=64. The exhaustive-ef ==
+    exact property is also pinned unit-level in tests/test_hnsw.py."""
+    import numpy as np
+
+    from ..operators.hnsw import hnsw_shard_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    q = np.array(qrow.embedding, dtype=np.float64)
+    corpus = emb.where(F.col("vec_id") != 0)
+    # ef = corpus size >= any shard's node count => exhaustive per shard
+    n = corpus.count()
+    return hnsw_shard_topk(corpus, q, k=10, m=8, ef=max(n, 64))
