@@ -235,6 +235,58 @@ def table_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_dv_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) a Delta table from supplier
+    with a DELETION-VECTOR delete of the negative-balance rows -- the
+    data files stay byte-identical; only bitmaps mark the deletions."""
+    from ..sources.delta_log import delta_delete, delta_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:deltadv".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_deltadv_{digest}")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        sup = load_table(spark, sf_dir, "supplier")
+        delta_write(sup.where(F.col("s_suppkey") % 2 == 0), path, mode="append")
+        delta_write(sup.where(F.col("s_suppkey") % 2 == 1), path, mode="append")
+        delta_delete(spark, path, "s_acctbal < 0")
+    return path
+
+
+@declare(
+    "table_delta_dv_scan",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal,
+           MAX(s_suppkey) AS max_key
+    FROM supplier
+    WHERE NOT (s_acctbal < 0)
+    GROUP BY s_nationkey
+    """,
+)
+def table_delta_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector read path (round-5 verdict item 4): the table holds
+    every supplier row in its parquet files plus a DV bitmap marking the
+    negative-balance rows deleted (sources/delta_dv.py implements the
+    spec's z85 + portable-RoaringBitmap + DV-file layout; delta_delete
+    wrote it, upgrading the protocol to readerVersion 3). The scan applies
+    the bitmaps as a broadcast anti-join on _metadata.row_index, so the
+    oracle filtering the ORIGINAL parquet by the delete predicate proves
+    both the bitmap decode and the positional application are exact."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_dv_layout(spark, sf_dir)
+    s = delta_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.max("s_suppkey").alias("max_key"),
+    )
+
+
 def _iceberg_layout(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per fixture identity) an Iceberg v1 table from
     supplier in TWO append snapshots (even keys, then odd keys)."""

@@ -18,10 +18,14 @@ Protocol subset implemented:
     ``basePath`` so Spark re-derives partition columns from directory
     names -- the same files any delta-spark writer produces.
 
-Reader-version gate: tables demanding ``minReaderVersion > 1`` (deletion
-vectors, column mapping, v2 checkpoints) raise a precise ValueError
-naming the required feature -- the honest-gate pattern (same as the JPEG
-codec's arithmetic-coding gate).
+Deletion vectors (readerVersion 3, ``deletionVectors`` feature) are
+SUPPORTED: sources/delta_dv.py implements the spec's z85 + RoaringBitmap
+portable format + DV file layout, ``delta_delete`` writes deletes as DVs
+(no data-file rewrite), and ``delta_scan`` applies them as a broadcast
+anti-join on ``_metadata.row_index``. Remaining reader-version gates
+(column mapping, v2 checkpoints) raise a precise ValueError naming the
+feature -- the honest-gate pattern (same as the JPEG codec's
+arithmetic-coding gate).
 
 Scale shape: the log replay is driver-side (a few KB of JSON per commit;
 checkpoints bound replay length -- this is exactly how delta-spark's
@@ -139,10 +143,16 @@ def _snapshot(table: str, version_as_of: int | None = None):
             elif "protocol" in action:
                 proto = action["protocol"]
     if proto and proto.get("minReaderVersion", 1) > 1:
-        feats = proto.get("readerFeatures") or f"minReaderVersion={proto['minReaderVersion']}"
-        raise ValueError(
-            f"Delta reader features unsupported by this minimal client: {feats}"
-        )
+        feats = set(proto.get("readerFeatures") or [])
+        # deletion vectors ARE supported (sources/delta_dv.py); anything
+        # else (column mapping, v2 checkpoints, ...) still gates precisely
+        if not (proto.get("minReaderVersion") == 3 and feats <= {"deletionVectors"}):
+            unsupported = sorted(feats - {"deletionVectors"}) or (
+                f"minReaderVersion={proto['minReaderVersion']}"
+            )
+            raise ValueError(
+                f"Delta reader features unsupported by this minimal client: {unsupported}"
+            )
     snap_v = version_as_of if version_as_of is not None else versions[-1]
     return files, meta, proto, snap_v
 
@@ -163,7 +173,40 @@ def delta_scan(
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, p) for p in sorted(files)]
-    return spark.read.option("basePath", table).parquet(*paths)
+    df = spark.read.option("basePath", table).parquet(*paths)
+    dv_adds = {p: a["deletionVector"] for p, a in files.items()
+               if a.get("deletionVector")}
+    if dv_adds:
+        # Decode the KB-scale bitmaps driver-side (like the log replay),
+        # then apply them DISTRIBUTED: anti-join on the parquet reader's
+        # (_metadata.file_path, _metadata.row_index) -- the data path never
+        # funnels through the driver and stays a pruned parquet scan.
+        from pyspark.sql import functions as F
+
+        from .delta_dv import read_dv
+
+        rows = []
+        for rel, desc in dv_adds.items():
+            plain = os.path.abspath(os.path.join(table, rel))
+            rows.extend((plain, int(p)) for p in read_dv(table, desc))
+        dels = spark.createDataFrame(rows, "__dv_path string, __dv_pos long")
+        cols = df.columns
+        df = (
+            # normalize file:/p, file:///p -> /p (Hadoop URI form varies)
+            df.withColumn(
+                "__p",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            )
+            .withColumn("__i", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(dels),
+                on=[F.col("__p") == F.col("__dv_path"),
+                    F.col("__i") == F.col("__dv_pos")],
+                how="left_anti",
+            )
+            .select(*cols)
+        )
+    return df
 
 
 def delta_history(table: str) -> list[dict]:
@@ -247,6 +290,11 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
     if interval <= 0 or version == 0 or version % interval:
         return
     files, meta, proto, _ = _snapshot(table, version)
+    if any(a.get("deletionVector") for a in files.values()):
+        # The minimal checkpoint schema doesn't carry deletionVector
+        # structs; emitting one would silently RESURRECT deleted rows.
+        # Skip -- checkpoints are an optimization, JSON replay stays exact.
+        return
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -374,3 +422,101 @@ def delta_write(
     _commit(table, version, actions)
     _maybe_checkpoint(table, version, checkpoint_interval)
     return version
+
+
+def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
+    """``DELETE FROM table WHERE predicate`` via DELETION VECTORS: no data
+    file is rewritten -- each affected file's add-action gains a
+    deletionVector descriptor pointing into one new DV file (bitmap of
+    deleted row indexes), exactly how modern Delta writers default to
+    deleting. A file's new DV carries its COMPLETE deletion state (old
+    positions merged with new matches), per the spec. Upgrades the table
+    protocol to readerVersion 3 / writerVersion 7 with the
+    deletionVectors feature on first use. Returns rows newly deleted.
+
+    Scale shape: match-finding is a distributed predicate scan emitting
+    only (file, row_index) pairs for MATCHES (bounded by delete
+    cardinality, the same driver-side footprint as the log itself); the
+    read path applies DVs as a broadcast anti-join."""
+    from pyspark.sql import functions as F
+
+    from .delta_dv import serialize_bitmap, write_dv_file
+
+    files, meta, proto, version = _snapshot(table)
+    if not files:
+        return 0
+    paths = sorted(files)
+    rel_by_plain = {
+        os.path.abspath(os.path.join(table, p)): p for p in paths
+    }
+    df = spark.read.option("basePath", table).parquet(
+        *[os.path.join(table, p) for p in paths]
+    )
+    matches = (
+        df.where(F.expr(predicate))
+        .select(
+            # normalize file:/p, file:///p -> /p (Hadoop URI form varies)
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("p"),
+            F.col("_metadata.row_index").alias("i"),
+        )
+        .collect()
+    )
+    new_by_file: dict[str, set[int]] = {}
+    for r in matches:
+        new_by_file.setdefault(rel_by_plain[r.p], set()).add(int(r.i))
+
+    from .delta_dv import read_dv
+
+    affected: list[str] = []
+    bitmaps: list[bytes] = []
+    cards: list[int] = []
+    n_new = 0
+    for rel in sorted(new_by_file):
+        old = set()
+        desc = files[rel].get("deletionVector")
+        if desc:
+            old = {int(x) for x in read_dv(table, desc)}
+        merged = old | new_by_file[rel]
+        n_new += len(merged) - len(old)
+        if merged == old:
+            continue  # nothing newly deleted in this file
+        affected.append(rel)
+        bitmaps.append(serialize_bitmap(sorted(merged)))
+        cards.append(len(merged))
+    if not affected:
+        return 0
+    _, descs = write_dv_file(table, bitmaps)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "DELETE",
+                "operationParameters": {"predicate": predicate},
+            }
+        }
+    ]
+    if proto.get("minReaderVersion", 1) < 3:
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            }
+        )
+    for rel, desc, card in zip(affected, descs, cards):
+        old_add = files[rel]
+        actions.append(
+            {"remove": {"path": rel, "deletionTimestamp": now, "dataChange": True}}
+        )
+        new_add = dict(old_add)
+        new_add["deletionVector"] = {**desc, "cardinality": card}
+        new_add["dataChange"] = True
+        actions.append({"add": new_add})
+    _commit(table, version + 1, actions)
+    return n_new

@@ -95,7 +95,14 @@ def test_delta_reader_version_gate(spark, tmp_path):
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors"]}}) + "\n")
-    with pytest.raises(ValueError, match="deletionVectors"):
+    # deletionVectors is a SUPPORTED reader feature now (delta_dv.py):
+    # the v3 table scans fine
+    assert {r.id for r in delta_scan(spark, t).collect()} == {1}
+    # a v2 (column-mapping era) table still gates precisely
+    with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
+    with pytest.raises(ValueError, match="minReaderVersion=2"):
         delta_scan(spark, t)
     # not-a-delta-table error is precise too
     with pytest.raises(ValueError, match="_delta_log"):
@@ -158,3 +165,104 @@ def test_delta_truncated_log_time_travel_errors(spark, tmp_path):
     # a version beyond HEAD errors precisely too
     with pytest.raises(ValueError, match="does not exist"):
         delta_scan(spark, t, version_as_of=99)
+
+
+def test_delta_deletion_vectors_roundtrip(spark, tmp_path):
+    """DELETE via deletion vectors: no data-file rewrite, protocol upgrade
+    to readerVersion 3 + deletionVectors, scan applies the bitmaps, a
+    second delete MERGES per-file deletion state, and time travel before
+    the delete still sees every row."""
+    import os
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_delete,
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "dv")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(100)],
+        "id long, grp string, v double",
+    )
+    delta_write(df, t)
+    data_files_before = {
+        n for n in os.listdir(t) if not n.startswith("_")
+    }
+    assert delta_delete(spark, t, "id % 10 = 0") == 10
+    # data files untouched; one DV file appeared
+    survivors = delta_scan(spark, t)
+    assert survivors.count() == 90
+    assert {r.id for r in survivors.where("id < 25").collect()} == (
+        set(range(25)) - {0, 10, 20}
+    )
+    dv_files = [n for n in os.listdir(t) if n.startswith("deletion_vector_")]
+    assert len(dv_files) == 1
+    assert data_files_before <= set(os.listdir(t))
+    # second delete merges with the existing DV state
+    assert delta_delete(spark, t, "id % 10 = 5") == 10
+    assert delta_scan(spark, t).count() == 80
+    # idempotence: re-deleting already-deleted rows is a no-op commit
+    assert delta_delete(spark, t, "id % 10 = 0") == 0
+    # time travel to version 0 (pre-delete) sees all rows
+    assert delta_scan(spark, t, version_as_of=0).count() == 100
+    # aggregates over the DV scan are exact
+    got = survivors.agg({"v": "sum"}).collect()[0][0]
+    assert got == float(sum(i for i in range(100) if i % 10 != 0))
+
+
+def test_delta_dv_checkpoint_skipped_not_lossy(spark, tmp_path):
+    """A checkpoint interval that lands after a DV commit must NOT emit a
+    checkpoint that resurrects deleted rows."""
+    import os
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_delete,
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "dvckpt")
+    for i in range(2):
+        delta_write(
+            spark.createDataFrame(
+                [(i * 10 + j, "g", 1.0) for j in range(10)],
+                "id long, grp string, v double",
+            ),
+            t,
+            checkpoint_interval=2,
+        )
+    delta_delete(spark, t, "id < 5")
+    # force another commit on the checkpoint boundary (version 4)
+    delta_write(
+        spark.createDataFrame([(999, "g", 9.9)], "id long, grp string, v double"),
+        t,
+        checkpoint_interval=2,
+    )
+    assert delta_scan(spark, t).count() == 16  # 20 - 5 + 1
+    log = os.path.join(t, "_delta_log")
+    ckpts = [n for n in os.listdir(log) if n.endswith(".checkpoint.parquet")]
+    # the version-2 checkpoint (pre-DV) may exist; none after the DV commit
+    assert all(int(n.split(".")[0]) < 3 for n in ckpts)
+
+
+def test_delta_column_mapping_still_gates(spark, tmp_path):
+    """Narrowed gate: deletionVectors passes, columnMapping still raises."""
+    import os
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "cm")
+    delta_write(
+        spark.createDataFrame([(1, "a", 1.0)], "id long, grp string, v double"), t
+    )
+    log = os.path.join(t, "_delta_log")
+    with open(os.path.join(log, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "columnMapping"]}}) + "\n")
+    with pytest.raises(ValueError, match="columnMapping"):
+        delta_scan(spark, t)
