@@ -305,6 +305,60 @@ def _iceberg_layout(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _iceberg_v2_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) an Iceberg table whose
+    negative-balance suppliers are removed by a v2 POSITION-DELETE commit
+    -- data files stay byte-identical; a parquet delete file + content=1
+    delete manifest carry the deletions (the merge-on-read layout real
+    Flink/Spark writers produce)."""
+    from ..sources.iceberg import iceberg_delete, iceberg_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:icebergv2".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_icebergv2_{digest}")
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        sup = load_table(spark, sf_dir, "supplier")
+        iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), path)
+        iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), path)
+        iceberg_delete(spark, path, "s_acctbal < 0")
+    return path
+
+
+@declare(
+    "table_iceberg_v2_deletes",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal,
+           MAX(s_suppkey) AS max_key
+    FROM supplier
+    WHERE NOT (s_acctbal < 0)
+    GROUP BY s_nationkey
+    """,
+)
+def table_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 position-delete read path (round-5 verdict item 3): the
+    table's parquet holds every supplier row; a delete file + content=1
+    manifest mark the negative-balance rows deleted. The scan assembles
+    the snapshot (metadata -> manifest list -> data + delete manifests,
+    all via the in-repo Avro OCF codec) and applies the positions as a
+    broadcast anti-join on _metadata.row_index, so the oracle filtering
+    the ORIGINAL parquet by the delete predicate proves the whole
+    merge-on-read path exact."""
+    from ..sources.iceberg import iceberg_scan
+
+    path = _iceberg_v2_layout(spark, sf_dir)
+    s = iceberg_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.max("s_suppkey").alias("max_key"),
+    )
+
+
 @declare(
     "table_iceberg_scan",
     oracle="""

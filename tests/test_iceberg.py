@@ -90,3 +90,108 @@ def test_iceberg_gates(spark, tmp_path):
     # not-a-table error
     with pytest.raises(ValueError, match="metadata"):
         iceberg_scan(spark, str(tmp_path / "nope"))
+
+
+def test_iceberg_v2_position_deletes(spark, tmp_path):
+    """Row-level DELETE as v2 position deletes: data files untouched, a
+    delete manifest + parquet delete file appear, the scan drops exactly
+    the deleted positions, deletes MERGE across commits (second delete
+    sees the first), re-delete is a no-op, and time travel to the
+    pre-delete snapshot still sees every row."""
+    import os
+
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_delete,
+        iceberg_scan,
+        iceberg_snapshots,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "v2del")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(100)],
+        "id long, grp string, v double",
+    )
+    iceberg_write(df, t)
+    pre_snapshot = iceberg_snapshots(t)[-1]["snapshot_id"]
+    data_files_before = sorted(
+        os.path.join(r, n)
+        for r, _, ns in os.walk(os.path.join(t, "data"))
+        for n in ns
+        if n.endswith(".parquet")
+    )
+    assert iceberg_delete(spark, t, "id % 10 = 0") == 10
+    # original data files byte-identical (merge-on-read, no rewrite)
+    for p in data_files_before:
+        assert os.path.exists(p)
+    got = iceberg_scan(spark, t)
+    assert got.count() == 90
+    assert {r.id for r in got.where("id < 25").collect()} == (
+        set(range(25)) - {0, 10, 20}
+    )
+    # second delete merges (positions computed against LIVE rows)
+    assert iceberg_delete(spark, t, "id % 10 = 5") == 10
+    assert iceberg_scan(spark, t).count() == 80
+    assert iceberg_delete(spark, t, "id % 10 = 0") == 0  # no-op re-delete
+    # time travel to the pre-delete snapshot sees everything
+    assert iceberg_scan(spark, t, snapshot_id=pre_snapshot).count() == 100
+    # metadata upgraded to v2
+    import json as _json
+    metas = sorted(
+        n for n in os.listdir(os.path.join(t, "metadata"))
+        if n.endswith(".metadata.json")
+    )
+    latest = _json.loads(
+        open(os.path.join(t, "metadata", metas[-1])).read()
+    )
+    assert latest["format-version"] == 2
+    # appends still work after the delete commit (manifests carried)
+    iceberg_write(
+        spark.createDataFrame([(999, "z", 9.9)], "id long, grp string, v double"),
+        t,
+        mode="append",
+    )
+    assert iceberg_scan(spark, t).count() == 81
+
+
+def test_iceberg_equality_deletes_still_gate(spark, tmp_path):
+    """The honest gate narrows but stays precise: equality deletes raise."""
+    import pytest as _pytest
+
+    from hive_person_service_spark.sources.avro_ocf import read_ocf, write_ocf
+    from hive_person_service_spark.sources.iceberg import (
+        _MANIFEST_SCHEMA,
+        iceberg_scan,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "eqdel")
+    iceberg_write(
+        spark.createDataFrame([(1, "a", 1.0)], "id long, grp string, v double"), t
+    )
+    # hand-craft an equality-delete entry into the live manifest
+    import os
+    from pathlib import Path
+
+    mdir = os.path.join(t, "metadata")
+    man = next(
+        os.path.join(mdir, n) for n in os.listdir(mdir)
+        if n.startswith("manifest-")
+    )
+    _, entries = read_ocf(Path(man).read_bytes())
+    entries.append(
+        {
+            "status": 1,
+            "snapshot_id": 1,
+            "data_file": {
+                "content": 2,
+                "file_path": "/nope/eq-delete.parquet",
+                "file_format": "PARQUET",
+                "record_count": 1,
+                "file_size_in_bytes": 10,
+            },
+        }
+    )
+    Path(man).write_bytes(write_ocf(entries, _MANIFEST_SCHEMA))
+    with _pytest.raises(ValueError, match="EQUALITY deletes"):
+        iceberg_scan(spark, t).collect()
