@@ -10,13 +10,18 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMALL
 
 
-def _reference_bpe(word_counts: dict[str, int], n_merges: int):
-    """The identical algorithm, replayed sequentially: arg-max adjacent
-    pair (count desc, lexicographic ties), merge left-to-right
-    non-overlapping with a single carried symbol."""
+def _reference_bpe(word_counts: dict[str, int], n_merges: int, batch_k: int = 1):
+    """The identical algorithm, replayed in pure Python: per round, rank
+    adjacent pairs (count desc, lexicographic ties), greedily accept up
+    to batch_k NON-INTERACTING pairs (no symbol or concatenation touching
+    an accepted pair's -- the same rule as
+    operators/tokenize.py::select_batch_merges), then merge them all
+    left-to-right non-overlapping in one pass with a single carried
+    symbol. batch_k=1 is classic sequential BPE."""
     state = {w: tuple(w) for w in word_counts}
     merges = []
-    for step in range(n_merges):
+    while len(merges) < n_merges:
+        want = min(batch_k, n_merges - len(merges))
         pairs: Counter = Counter()
         for w, syms in state.items():
             c = word_counts[w]
@@ -24,16 +29,27 @@ def _reference_bpe(word_counts: dict[str, int], n_merges: int):
                 pairs[(a, b)] += c
         if not pairs:
             break
-        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((step, a, b, n))
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        batch, touched = [], set()
+        for (a, b), n in ranked:
+            if len(batch) >= want:
+                break
+            cand = {a, b, a + b}
+            if cand & touched:
+                continue
+            batch.append((a, b, n))
+            touched |= cand
+        for a, b, n in batch:
+            merges.append((len(merges), a, b, n))
+        pairset = {(a, b): a + b for a, b, _ in batch}
         new_state = {}
         for w, syms in state.items():
             out, carry = [], None
             for x in syms:
                 if carry is None:
                     carry = x
-                elif carry == a and x == b:
-                    out.append(a + b)
+                elif (carry, x) in pairset:
+                    out.append(pairset[(carry, x)])
                     carry = None
                 else:
                     out.append(carry)
@@ -43,6 +59,20 @@ def _reference_bpe(word_counts: dict[str, int], n_merges: int):
             new_state[w] = tuple(out)
         state = new_state
     return merges
+
+
+def test_batched_bpe_unit_semantics(spark):
+    """batch_k=1 reproduces classic sequential BPE; batch_k>1 selects
+    non-interacting pairs and applies them in ONE fold with identical
+    within-round counts -- pinned against the pure-Python replay on a
+    tiny synthetic vocabulary (fast, engine-level)."""
+    from hive_person_service_spark.operators.tokenize import bpe_train
+
+    wc = {"banana": 30, "bandana": 20, "cabana": 10, "anagram": 5, "naan": 4}
+    words = spark.createDataFrame(list(wc.items()), "word string, cnt long")
+    for k in (1, 3):
+        got = [(s, a, b, n) for s, a, b, n in bpe_train(words, n_merges=6, batch_k=k)]
+        assert got == _reference_bpe(wc, 6, batch_k=k), f"batch_k={k}"
 
 
 def test_bpe_train_matches_reference(spark):
@@ -64,7 +94,7 @@ def test_bpe_train_matches_reference(spark):
             .collect()
         )
     }
-    expected = _reference_bpe(wc, 10)
+    expected = _reference_bpe(wc, 10, batch_k=5)  # the declared schedule
     assert got == expected
     assert len(got) == 10
     # learned merges must be strictly useful: every count > 0 and
