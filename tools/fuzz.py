@@ -811,6 +811,120 @@ def q_null_dense(rng, metas):
     )
 
 
+def q_window_mixed(rng, metas):
+    # ROWS and RANGE frames MIXED in one query (round-5 verdict fuzzer
+    # item): same relation, several window specs with different orderings
+    # -- exercises Spark's window-exec grouping/ordering reuse against
+    # DuckDB's. All deterministic: ROWS frames order by the unique key
+    # (total order); the RANGE frame sums ints so value-ties are included
+    # symmetrically in both engines.
+    t = rng.choice([x for x in TABLES if x in _UNIQUE_KEY])
+    m = metas[t]
+    uniq = _UNIQUE_KEY[t]
+    part = _group_cols(rng, m)[0]
+    ints = m.of_kind("int")
+    if not ints:
+        return q_window(rng, metas)
+    s = rng.choice(ints)
+    o = rng.choice(ints)
+    k = rng.choice([1, 2, 5])
+    rows_frame = rng.choice(
+        ["ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+         "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING"]
+    )
+    range_frame = rng.choice(
+        [f"RANGE BETWEEN {k} PRECEDING AND CURRENT ROW",
+         f"RANGE BETWEEN {k} PRECEDING AND {k} FOLLOWING",
+         "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"]
+    )
+    sel = [
+        f"{uniq} AS c0",
+        f"{part} AS c1",
+        f"CAST(SUM({s}) OVER (PARTITION BY {part} ORDER BY {uniq} "
+        f"{rows_frame}) AS BIGINT) AS rws",
+        f"CAST(SUM({s}) OVER (PARTITION BY {part} ORDER BY {o} "
+        f"{range_frame}) AS BIGINT) AS rng",
+        f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {uniq}) AS rn",
+    ]
+    if rng.random() < 0.5:
+        sel.append(
+            f"CAST(COUNT(*) OVER (PARTITION BY {part} ORDER BY {o} "
+            f"RANGE BETWEEN CURRENT ROW AND {k} FOLLOWING) AS BIGINT) AS cnt_fwd"
+        )
+    where = f" WHERE {_where(rng, m)}" if rng.random() < 0.5 else ""
+    return f"SELECT {', '.join(sel)} FROM {t}{where}"
+
+
+def q_anti_join(rng, metas):
+    # Anti-join grammar beyond plain NOT EXISTS (round-5 verdict fuzzer
+    # item): LEFT JOIN ... IS NULL, NOT EXISTS with a NON-EQUI residual on
+    # the correlation, and the two-sided semi+anti mix. FK columns are
+    # non-null in the fixtures, so NOT IN's three-valued trap can't make
+    # the whole result silently empty -- both engines agree on standard
+    # semantics either way.
+    child, fk, parent, pk = rng.choice(_FKS)
+    cm, pm = metas[child], metas[parent]
+    shape = rng.random()
+    if shape < 0.4:
+        # anti via LEFT JOIN + IS NULL against a FILTERED parent
+        proj = _proj_cols(rng, cm, "c.")
+        return (
+            f"SELECT {', '.join(proj)} FROM {child} c "
+            f"LEFT JOIN (SELECT {pk} FROM {parent} "
+            f"WHERE {_where(rng, pm)}) p ON c.{fk} = p.{pk} "
+            f"WHERE p.{pk} IS NULL AND ({_where(rng, cm, 'c.')})"
+        )
+    if shape < 0.7:
+        # NOT EXISTS with a non-equi residual on the correlation
+        cints = [c for c in cm.of_kind("int") if c in cm.samples]
+        pints = [c for c in pm.of_kind("int") if c in pm.samples]
+        if not cints or not pints:
+            return q_exists(rng, metas)
+        ci, pi = rng.choice(cints), rng.choice(pints)
+        op = rng.choice(["<", ">", "<="])
+        proj = _proj_cols(rng, cm, "c.")
+        return (
+            f"SELECT {', '.join(proj)} FROM {child} c "
+            f"WHERE ({_where(rng, cm, 'c.')}) AND NOT EXISTS "
+            f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk} "
+            f"AND p.{pi} {op} c.{ci})"
+        )
+    # semi AND anti against two different filtered parent subsets
+    proj = _proj_cols(rng, cm, "c.")
+    return (
+        f"SELECT {', '.join(proj)} FROM {child} c "
+        f"WHERE EXISTS (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk} "
+        f"AND ({_where(rng, pm, 'p.')})) "
+        f"AND NOT EXISTS (SELECT 1 FROM {parent} p2 WHERE p2.{pk} = c.{fk} "
+        f"AND ({_where(rng, pm, 'p2.')}))"
+    )
+
+
+def q_asof_scalar(rng, metas):
+    # As-of pattern (round-5 verdict fuzzer item) as portable SQL: for
+    # each left row, the greatest right key <= the left key (backward
+    # as-of), via a correlated scalar MAX -- Catalyst decorrelates it to
+    # the aggregate-join plan, DuckDB runs it natively; results compare
+    # exactly. Optionally grouped (per-partition as-of).
+    t_left, t_right = rng.sample(
+        [x for x in TABLES if x in _UNIQUE_KEY and metas[x].of_kind("int")], 2
+    )
+    lm, rm = metas[t_left], metas[t_right]
+    lints = [c for c in lm.of_kind("int") if c in lm.samples]
+    rints = [c for c in rm.of_kind("int") if c in rm.samples]
+    if not lints or not rints:
+        return q_scalar_subquery(rng, metas)
+    lk, rk = rng.choice(lints), rng.choice(rints)
+    uniq = _UNIQUE_KEY[t_left]
+    where = f" WHERE {_where(rng, lm)}" if rng.random() < 0.6 else ""
+    return (
+        f"SELECT {uniq} AS c0, {lk} AS c1, "
+        f"(SELECT MAX({rk}) FROM {t_right} r WHERE r.{rk} <= {t_left}.{lk}) "
+        f"AS asof_val FROM {t_left}{where}"
+    )
+
+
 _TEMPLATES = [
     (q_filter_project, 16),
     (q_groupby, 17),
@@ -836,6 +950,9 @@ _TEMPLATES = [
     (q_decimal_cast, 4),
     (q_exists_depth2, 3),
     (q_null_dense, 4),
+    (q_window_mixed, 4),
+    (q_anti_join, 4),
+    (q_asof_scalar, 3),
 ]
 
 
