@@ -121,7 +121,19 @@ def main() -> int:
 
     setup_bucketed_join3(spark, sf_dir)
     extras = run(
-        {"q_join3_revenue_bucketed": lambda: join3_revenue_bucketed(spark, sf_dir)}
+        {
+            "q_join3_revenue_bucketed": lambda: join3_revenue_bucketed(spark, sf_dir),
+            # round-6 headline additions (tracked here so `value` stays
+            # comparable with prior rounds / BASELINE.md's original set;
+            # baseline counterparts are in BASELINE.md methodology notes):
+            # an open-table-format scan (Delta log replay + pruned parquet
+            # scan) and a real multimodal decode (PGM/BMP/PNG decode +
+            # resize + checksum through Arrow batches).
+            "q_table_delta_scan": lambda: qs["table_delta_scan"](spark, sf_dir),
+            "q_multimodal_decode": lambda: qs["multimodal_decode_resize"](
+                spark, sf_dir
+            ),
+        }
     )
 
     # Lake-realistic layout: same tables rewritten as 32 files/table
