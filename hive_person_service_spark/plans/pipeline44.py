@@ -305,6 +305,81 @@ def _iceberg_layout(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def _delta_cm_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) a NAME-mode column-mapped
+    Delta table: data files carry physical col-<n> names; the logical
+    schema (s_suppkey/s_nationkey/s_acctbal) lives only in the
+    metaData.schemaString field metadata -- the layout modern Databricks
+    writers produce after ALTER COLUMN operations."""
+    import json as _json
+
+    from ..sources.delta_log import _commit, delta_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:deltacm".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_deltacm_{digest}")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        logical = [("s_suppkey", "long"), ("s_nationkey", "long"),
+                   ("s_acctbal", "double")]
+        sup = load_table(spark, sf_dir, "supplier").select(
+            *[F.col(n).cast(t).alias(f"col-{i}")
+              for i, (n, t) in enumerate(logical)]
+        )
+        delta_write(sup, path)
+        fields = [
+            {"name": n, "type": t, "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": f"col-{i}"}}
+            for i, (n, t) in enumerate(logical)
+        ]
+        _commit(path, 1, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": digest,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "name"},
+                "createdTime": 0,
+            }},
+        ])
+    return path
+
+
+@declare(
+    "table_delta_column_mapping",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal,
+           MAX(s_suppkey) AS max_key
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def table_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAME-mode column mapping read path (the second half of the
+    round-5 verdict's Delta gate): parquet files hold only physical
+    col-<n> names; delta_scan renames them to the logical schema from the
+    metaData field metadata (a pure projection over the pruned physical
+    scan). Oracle over the original supplier proves the mapping
+    end-to-end. id-mode (parquet field-id resolution) remains the one
+    precise gate."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_cm_layout(spark, sf_dir)
+    s = delta_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.max("s_suppkey").alias("max_key"),
+    )
+
+
 def _iceberg_v2_layout(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per fixture identity) an Iceberg table whose
     negative-balance suppliers are removed by a v2 POSITION-DELETE commit

@@ -143,12 +143,15 @@ def _snapshot(table: str, version_as_of: int | None = None):
             elif "protocol" in action:
                 proto = action["protocol"]
     if proto and proto.get("minReaderVersion", 1) > 1:
+        mrv = proto.get("minReaderVersion", 1)
         feats = set(proto.get("readerFeatures") or [])
-        # deletion vectors ARE supported (sources/delta_dv.py); anything
-        # else (column mapping, v2 checkpoints, ...) still gates precisely
-        if not (proto.get("minReaderVersion") == 3 and feats <= {"deletionVectors"}):
-            unsupported = sorted(feats - {"deletionVectors"}) or (
-                f"minReaderVersion={proto['minReaderVersion']}"
+        supported = {"deletionVectors", "columnMapping"}
+        # deletion vectors (sources/delta_dv.py) and NAME-mode column
+        # mapping (delta_scan renames physical -> logical) are supported;
+        # anything else (v2 checkpoints, ...) still gates precisely
+        if not (mrv == 2 or (mrv == 3 and feats <= supported)):
+            unsupported = sorted(feats - supported) or (
+                f"minReaderVersion={mrv}"
             )
             raise ValueError(
                 f"Delta reader features unsupported by this minimal client: {unsupported}"
@@ -205,6 +208,26 @@ def delta_scan(
                 how="left_anti",
             )
             .select(*cols)
+        )
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if mode == "name":
+        # NAME-mode column mapping: data files carry physical names
+        # (col-<uuid>); the logical schema lives in metaData.schemaString
+        # field metadata. A pure projection rename -- pushdowns and
+        # pruning still act on the physical scan underneath.
+        from pyspark.sql import functions as F
+
+        rename = []
+        for f in json.loads(meta["schemaString"])["fields"]:
+            phys = (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            rename.append(F.col(f"`{phys}`").alias(f["name"]))
+        df = df.select(*rename)
+    elif mode == "id":
+        raise ValueError(
+            "Delta column mapping mode 'id' (parquet field-id resolution) "
+            "unsupported by this minimal client (mode 'name' is supported)"
         )
     return df
 

@@ -98,11 +98,14 @@ def test_delta_reader_version_gate(spark, tmp_path):
     # deletionVectors is a SUPPORTED reader feature now (delta_dv.py):
     # the v3 table scans fine
     assert {r.id for r in delta_scan(spark, t).collect()} == {1}
-    # a v2 (column-mapping era) table still gates precisely
+    # a v2 (column-mapping era) protocol passes the gate too -- the mode
+    # config drives the rename (tested in the column-mapping test); an
+    # UNKNOWN v3 feature still gates precisely
     with open(os.path.join(log, f"{2:020d}.json"), "w") as fh:
         fh.write(json.dumps({"protocol": {
-            "minReaderVersion": 2, "minWriterVersion": 5}}) + "\n")
-    with pytest.raises(ValueError, match="minReaderVersion=2"):
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"]}}) + "\n")
+    with pytest.raises(ValueError, match="v2Checkpoint"):
         delta_scan(spark, t)
     # not-a-delta-table error is precise too
     with pytest.raises(ValueError, match="_delta_log"):
@@ -246,8 +249,9 @@ def test_delta_dv_checkpoint_skipped_not_lossy(spark, tmp_path):
     assert all(int(n.split(".")[0]) < 3 for n in ckpts)
 
 
-def test_delta_column_mapping_still_gates(spark, tmp_path):
-    """Narrowed gate: deletionVectors passes, columnMapping still raises."""
+def test_delta_dv_plus_cm_features_pass_gate(spark, tmp_path):
+    """Both supported reader features together pass the protocol gate;
+    with no columnMapping mode configured the table scans as-is."""
     import os
 
     from hive_person_service_spark.sources.delta_log import (
@@ -264,5 +268,65 @@ def test_delta_column_mapping_still_gates(spark, tmp_path):
         fh.write(json.dumps({"protocol": {
             "minReaderVersion": 3, "minWriterVersion": 7,
             "readerFeatures": ["deletionVectors", "columnMapping"]}}) + "\n")
-    with pytest.raises(ValueError, match="columnMapping"):
+    assert {r.id for r in delta_scan(spark, t).collect()} == {1}
+
+
+def test_delta_column_mapping_name_mode(spark, tmp_path):
+    """NAME-mode column mapping: data files carry physical col-<uuid>
+    names; the scan renames them to the logical schema from
+    metaData.schemaString field metadata. id mode still gates."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.sources.delta_log import (
+        _commit,
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "cmname")
+    physical = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, grp string, v double"
+    ).select(
+        F.col("id").alias("col-aaa111"),
+        F.col("grp").alias("col-bbb222"),
+        F.col("v").alias("col-ccc333"),
+    )
+    delta_write(physical, t)
+    fields = [
+        {"name": "id", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 1,
+                      "delta.columnMapping.physicalName": "col-aaa111"}},
+        {"name": "grp", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-bbb222"}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-ccc333"}},
+    ]
+    _commit(t, 1, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cm-test", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 0,
+        }},
+    ])
+    got = delta_scan(spark, t)
+    assert got.columns == ["id", "grp", "v"]
+    assert {(r.id, r.grp, r.v) for r in got.collect()} == {
+        (1, "a", 1.5), (2, "b", 2.5)
+    }
+    # id mode gates precisely
+    _commit(t, 2, [
+        {"metaData": {
+            "id": "cm-test", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }},
+    ])
+    with pytest.raises(ValueError, match="mode 'id'"):
         delta_scan(spark, t)
