@@ -21,10 +21,14 @@ Protocol subset implemented:
 Deletion vectors (readerVersion 3, ``deletionVectors`` feature) are
 SUPPORTED: sources/delta_dv.py implements the spec's z85 + RoaringBitmap
 portable format + DV file layout, ``delta_delete`` writes deletes as DVs
-(no data-file rewrite), and ``delta_scan`` applies them as a broadcast
-anti-join on ``_metadata.row_index``. Remaining reader-version gates
-(column mapping, v2 checkpoints) raise a precise ValueError naming the
-feature -- the honest-gate pattern (same as the JPEG codec's
+(no data-file rewrite), ``delta_update`` composes DV-delete + append,
+and ``delta_scan`` applies DVs as a broadcast anti-join on
+``_metadata.row_index``. NAME-mode column mapping (readerVersion 2 /
+the ``columnMapping`` feature) is SUPPORTED as a projection rename from
+the schemaString field metadata. Classic multi-part checkpoints read by
+unioning the parts. Remaining reader-version gates (id-mode column
+mapping, v2 checkpoints, unknown features) raise a precise ValueError
+naming the feature -- the honest-gate pattern (same as the JPEG codec's
 arithmetic-coding gate).
 
 Scale shape: the log replay is driver-side (a few KB of JSON per commit;
@@ -74,17 +78,25 @@ def _read_checkpoint(table: str) -> tuple[int, dict[str, dict], dict, dict]:
     info = json.loads(last.read_text())
     v = int(info["version"])
     ckpt = _log_dir(table) / f"{v:020d}.checkpoint.parquet"
-    if not ckpt.exists():
+    if ckpt.exists():
+        sources = [ckpt]
+    else:
+        # multi-part classic checkpoint:
+        # <v>.checkpoint.<part>.<n_parts>.parquet -- the union of the
+        # parts IS the snapshot (order irrelevant: one action per row)
         parts = sorted(_log_dir(table).glob(f"{v:020d}.checkpoint.*.parquet"))
-        if parts:
+        if not parts:
+            return -1, {}, {}, {}  # dangling _last_checkpoint: replay JSON
+        n_expected = int(parts[0].name.split(".")[-2])
+        if len(parts) != n_expected:
             raise ValueError(
-                f"multi-part Delta checkpoint at version {v} unsupported by "
-                f"this minimal client ({len(parts)} parts)"
+                f"multi-part Delta checkpoint at version {v} incomplete: "
+                f"{len(parts)} of {n_expected} parts present"
             )
-        return -1, {}, {}, {}  # dangling _last_checkpoint: replay the JSON log
+        sources = parts
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(str(ckpt)).to_pylist()
+    tbl = [row for p in sources for row in pq.read_table(str(p)).to_pylist()]
     files: dict[str, dict] = {}
     meta: dict = {}
     proto: dict = {}
@@ -543,3 +555,36 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
         actions.append({"add": new_add})
     _commit(table, version + 1, actions)
     return n_new
+
+
+def delta_update(
+    spark: SparkSession,
+    table: str,
+    predicate: str,
+    assignments: dict[str, str],
+) -> int:
+    """``UPDATE table SET col = expr, ... WHERE predicate`` the way a
+    DV-capable writer executes it: the matched rows are deletion-vector
+    deleted IN PLACE (no data-file rewrite) and their updated images are
+    appended as new files -- one commit's worth of add actions, two log
+    entries total. Assignments are SQL expression strings evaluated over
+    the matched rows. Returns rows updated.
+
+    Scale shape: both halves are distributed (predicate scan -> DV
+    bitmaps; matched-row projection -> parquet append); only the KB-scale
+    bitmaps and the commit JSON touch the driver."""
+    from pyspark.sql import functions as F
+
+    matched = delta_scan(spark, table).where(F.expr(predicate))
+    updated = matched.select(
+        *[
+            F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
+            for c in matched.columns
+        ]
+    ).localCheckpoint(eager=True)  # snapshot BEFORE the delete flips rows
+    n = updated.count()
+    if n == 0:
+        return 0
+    delta_delete(spark, table, predicate)
+    delta_write(updated, table, mode="append")
+    return n

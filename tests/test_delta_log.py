@@ -330,3 +330,69 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="mode 'id'"):
         delta_scan(spark, t)
+
+
+def test_delta_update_via_dv(spark, tmp_path):
+    """UPDATE = DV-delete the matches + append their updated images; the
+    final table equals a plain CASE projection of the original."""
+    from hive_person_service_spark.sources.delta_log import (
+        delta_scan,
+        delta_update,
+        delta_write,
+    )
+
+    t = str(tmp_path / "upd")
+    delta_write(_mk(spark, [(i, "g", float(i)) for i in range(20)]), t)
+    n = delta_update(
+        spark, t, "id >= 15", {"v": "v * 10", "grp": "'boosted'"}
+    )
+    assert n == 5
+    got = {(r.id, r.grp, r.v) for r in delta_scan(spark, t).collect()}
+    expected = {
+        (i, "boosted" if i >= 15 else "g", float(i) * (10 if i >= 15 else 1))
+        for i in range(20)
+    }
+    assert got == expected
+    # idempotence guard: predicate no longer matches anything new with
+    # the same effect (re-running multiplies again -- standard UPDATE)
+    assert delta_scan(spark, t).count() == 20
+
+
+def test_delta_multipart_checkpoint(spark, tmp_path):
+    """Classic multi-part checkpoints (<v>.checkpoint.<i>.<n>.parquet)
+    reconstruct by unioning the parts; an incomplete part set errors."""
+    import os
+    import shutil
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "mp")
+    for i in range(3):
+        delta_write(_mk(spark, [(i, "g", float(i))]), t, checkpoint_interval=2)
+    log = os.path.join(t, "_delta_log")
+    single = os.path.join(log, f"{2:020d}.checkpoint.parquet")
+    assert os.path.exists(single)
+    # split the single-part checkpoint into a 2-part one by duplicating
+    # rows across parts via pyarrow
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(single)
+    pq.write_table(
+        tbl.slice(0, len(tbl) // 2),
+        os.path.join(log, f"{2:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        tbl.slice(len(tbl) // 2),
+        os.path.join(log, f"{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    os.remove(single)
+    assert {r.id for r in delta_scan(spark, t).collect()} == {0, 1, 2}
+    # drop one part -> precise incompleteness error
+    os.remove(os.path.join(log, f"{2:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incomplete"):
+        delta_scan(spark, t)
