@@ -906,10 +906,13 @@ def q_asof_scalar(rng, metas):
     # each left row, the greatest right key <= the left key (backward
     # as-of), via a correlated scalar MAX -- Catalyst decorrelates it to
     # the aggregate-join plan, DuckDB runs it natively; results compare
-    # exactly. Optionally grouped (per-partition as-of).
-    t_left, t_right = rng.sample(
-        [x for x in TABLES if x in _UNIQUE_KEY and metas[x].of_kind("int")], 2
-    )
+    # exactly. The right side is restricted to the TINY dims (an
+    # inequality correlation decorrelates to a non-equi join -- a large
+    # right side makes the plan quadratic in BOTH engines; left is always
+    # filtered for the same reason).
+    t_left = rng.choice([x for x in TABLES if x in _UNIQUE_KEY])
+    t_right = rng.choice([x for x in ("region", "nation", "supplier")
+                          if x != t_left])
     lm, rm = metas[t_left], metas[t_right]
     lints = [c for c in lm.of_kind("int") if c in lm.samples]
     rints = [c for c in rm.of_kind("int") if c in rm.samples]
@@ -917,11 +920,10 @@ def q_asof_scalar(rng, metas):
         return q_scalar_subquery(rng, metas)
     lk, rk = rng.choice(lints), rng.choice(rints)
     uniq = _UNIQUE_KEY[t_left]
-    where = f" WHERE {_where(rng, lm)}" if rng.random() < 0.6 else ""
     return (
         f"SELECT {uniq} AS c0, {lk} AS c1, "
         f"(SELECT MAX({rk}) FROM {t_right} r WHERE r.{rk} <= {t_left}.{lk}) "
-        f"AS asof_val FROM {t_left}{where}"
+        f"AS asof_val FROM {t_left} WHERE {_where(rng, lm)}"
     )
 
 
