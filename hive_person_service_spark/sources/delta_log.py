@@ -407,16 +407,37 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
     )
 
 
+def delta_txn_version(table: str, app_id: str) -> int:
+    """Latest committed ``txn`` version for ``app_id`` (-1 when none):
+    the protocol's idempotent-write primitive. A streaming writer embeds
+    ``txn {appId, version}`` in each commit; on restart it skips batches
+    whose version is <= this. Replays the JSON log's txn actions (KBs,
+    driver-side, like the rest of the snapshot)."""
+    last = -1
+    for v in _list_versions(table):
+        for line in _version_file(table, v).read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            t = action.get("txn")
+            if t and t.get("appId") == app_id:
+                last = max(last, int(t["version"]))
+    return last
+
+
 def delta_write(
     df: DataFrame,
     table: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit df to a Delta table (``append`` or ``overwrite``); creates
     the table (protocol + metaData actions) on first commit. Returns the
-    committed version."""
+    committed version. ``txn=(app_id, version)`` embeds the protocol's
+    idempotent-transaction action -- pair with delta_txn_version for
+    exactly-once streaming sinks."""
     partition_by = partition_by or []
     exists = _log_dir(table).is_dir() and _list_versions(table)
     version = (_list_versions(table)[-1] + 1) if exists else 0
@@ -429,6 +450,11 @@ def delta_write(
             }
         }
     ]
+    if txn is not None:
+        actions.append(
+            {"txn": {"appId": txn[0], "version": int(txn[1]),
+                     "lastUpdated": int(time.time() * 1000)}}
+        )
     if not exists:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
         actions.append(

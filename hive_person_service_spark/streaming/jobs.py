@@ -496,3 +496,55 @@ def run_stream_until_idle(
     if not drained:
         raise TimeoutError(f"stream did not go idle within {timeout_s}s")
     return spark.table(name)
+
+
+def stream_into_delta(
+    stream: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    app_id: str = "delta-ingest",
+    timeout_s: int = 120,
+    crash_after_batch: int | None = None,
+) -> None:
+    """EXACTLY-ONCE streaming ingest into a Delta table via the
+    protocol's ``txn`` action (sources/delta_log.py): each micro-batch
+    commit embeds ``txn {appId, version=batch_id}``; on redelivery (crash
+    between sink and Spark's own checkpoint commit, or a rebuilt
+    checkpoint re-running from batch 0) the sink consults
+    delta_txn_version and SKIPS batches already in the log -- the
+    table-side idempotence every Delta streaming writer relies on, so
+    at-least-once delivery composes to exactly-once.
+
+    ``crash_after_batch`` injects a failure AFTER the delta commit of
+    that batch but BEFORE Spark records the batch as complete -- the
+    worst-case window (tests restart from the same checkpoint and must
+    not double-ingest)."""
+    from ..sources.delta_log import delta_txn_version, delta_write
+
+    class _Injected(RuntimeError):
+        pass
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            committed = delta_txn_version(table, app_id)
+        except ValueError:
+            committed = -1  # table not created yet
+        if batch_id > committed:
+            delta_write(batch_df, table, mode="append",
+                        txn=(app_id, batch_id))
+        if crash_after_batch is not None and batch_id == crash_after_batch:
+            raise _Injected(f"injected crash after batch {batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"stream_into_delta: no drain in {timeout_s}s")
+    except Exception as e:
+        if "injected crash" not in str(e):
+            raise

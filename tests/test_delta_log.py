@@ -396,3 +396,46 @@ def test_delta_multipart_checkpoint(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="incomplete"):
         delta_scan(spark, t)
+
+
+def test_stream_into_delta_exactly_once(spark, tmp_path):
+    """Streaming ingest into Delta is exactly-once through BOTH failure
+    windows: (a) crash after the delta commit but before Spark's own
+    batch checkpoint -> restart redelivers the batch -> txn skip; (b) a
+    REBUILT checkpoint re-running every batch from 0 -> all skipped."""
+    import os
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_history,
+        delta_scan,
+    )
+    from hive_person_service_spark.streaming.jobs import stream_into_delta
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i in range(3):
+        spark.createDataFrame(
+            [(i * 10 + j, float(j)) for j in range(10)], "id long, v double"
+        ).coalesce(1).write.parquet(os.path.join(landing, f"batch{i}.parquet"))
+    src = lambda: (  # noqa: E731
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/batch*.parquet")
+    )
+    table = str(tmp_path / "delta_sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    # (a) crash after batch 1's delta commit, resume from SAME checkpoint
+    stream_into_delta(src(), table, ckpt, crash_after_batch=1)
+    mid = delta_scan(spark, table).count()
+    assert mid >= 20  # batches 0 and 1 are in
+    stream_into_delta(src(), table, ckpt)  # resume: redelivery must skip
+    assert delta_scan(spark, table).count() == 30
+    assert delta_scan(spark, table).select("id").distinct().count() == 30
+
+    # (b) checkpoint LOST: a fresh checkpoint replays batches 0..2 -- the
+    # txn versions in the log make every one a no-op
+    versions_before = [h["version"] for h in delta_history(table)]
+    stream_into_delta(src(), table, str(tmp_path / "ckpt2"))
+    assert delta_scan(spark, table).count() == 30
+    assert [h["version"] for h in delta_history(table)] == versions_before
