@@ -128,9 +128,11 @@ def reco_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     over order baskets -- the co-occurrence precompute behind "customers
     who bought X also bought Y". Pair generation is the basket self-join
     on the order key (co-partitioned shuffle, pair count bounded by
-    sum of basket-size^2, never corpus^2); item supports and the order
-    total are broadcast back. Counts are exact integers so lift is
-    reproducible IEEE arithmetic."""
+    sum of basket-size^2, never corpus^2 -- measured max basket 17 at
+    sf0.1, SCALE.md; a pathological 10^4-item basket would need the
+    standard cap-or-salt-above-threshold guard before the self-join);
+    item supports and the order total are broadcast back. Counts are
+    exact integers so lift is reproducible IEEE arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
     item_n = baskets.groupBy("l_partkey").agg(
