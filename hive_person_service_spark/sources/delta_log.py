@@ -614,3 +614,82 @@ def delta_update(
     delta_delete(spark, table, predicate)
     delta_write(updated, table, mode="append")
     return n
+
+
+def delta_optimize(spark: SparkSession, table: str, target_files: int = 1) -> dict:
+    """OPTIMIZE (bin-packing compaction): rewrite the live data files of
+    each partition into ``target_files`` larger files and commit the swap
+    as remove+add actions with ``dataChange: false`` -- the protocol's
+    marker that the commit reorganizes bytes without changing rows, so
+    streaming readers skip it. Files carrying deletion vectors are
+    compacted too: the DV is APPLIED during the rewrite (the surviving
+    rows are what gets written), so the new files need no DV. Returns
+    {files_before, files_after, version}.
+
+    Scale shape: the rewrite is a distributed read->repartition->write
+    per partition; only the commit JSON is driver-side. At 100 TB this
+    runs per-partition on a schedule, exactly like OPTIMIZE in any
+    lakehouse."""
+    files, meta, proto, version = _snapshot(table)
+    if not files:
+        return {"files_before": 0, "files_after": 0, "version": version}
+    partition_by = meta.get("partitionColumns", []) or []
+    live = delta_scan(spark, table)  # DVs applied -> survivors only
+    n_before = len(files)
+    df = live.repartition(target_files) if not partition_by else live
+    adds = _write_data_files(df, table, partition_by)
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "OPTIMIZE",
+                "operationParameters": {"targetFiles": target_files},
+            }
+        }
+    ]
+    for path in sorted(files):
+        actions.append(
+            {"remove": {"path": path, "deletionTimestamp": now,
+                        "dataChange": False}}
+        )
+    for a in adds:
+        actions.append({"add": {**a, "dataChange": False}})
+    _commit(table, version + 1, actions)
+    return {
+        "files_before": n_before,
+        "files_after": len(adds),
+        "version": version + 1,
+    }
+
+
+def delta_vacuum(spark: SparkSession, table: str, retain_ms: int = 0) -> list[str]:
+    """VACUUM: physically delete data files that are NOT referenced by
+    the CURRENT snapshot and whose remove-action deletionTimestamp is
+    older than ``retain_ms`` ago (default 0 keeps nothing -- tests; the
+    protocol default is 7 days). After a vacuum, time travel to versions
+    that referenced the deleted files correctly fails at scan time --
+    the same contract as any Delta implementation. Returns the deleted
+    relative paths."""
+    files, _, _, _ = _snapshot(table)
+    live = set(files)
+    cutoff = int(time.time() * 1000) - retain_ms
+    candidates: dict[str, int] = {}
+    for v in _list_versions(table):
+        for line in _version_file(table, v).read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "remove" in action:
+                r = action["remove"]
+                ts = int(r.get("deletionTimestamp") or 0)
+                candidates[r["path"]] = max(candidates.get(r["path"], 0), ts)
+    deleted = []
+    for path, ts in sorted(candidates.items()):
+        if path in live or ts > cutoff:
+            continue
+        full = os.path.join(table, path)
+        if os.path.exists(full):
+            os.remove(full)
+            deleted.append(path)
+    return deleted

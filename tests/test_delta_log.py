@@ -439,3 +439,49 @@ def test_stream_into_delta_exactly_once(spark, tmp_path):
     stream_into_delta(src(), table, str(tmp_path / "ckpt2"))
     assert delta_scan(spark, table).count() == 30
     assert [h["version"] for h in delta_history(table)] == versions_before
+
+
+def test_delta_optimize_and_vacuum(spark, tmp_path):
+    """OPTIMIZE compacts the live file set (dataChange=false commit,
+    content invariant, DVs applied into the rewrite); VACUUM physically
+    deletes unreferenced files, after which HEAD still scans but time
+    travel to a vacuumed version fails at scan time."""
+    import os
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_delete,
+        delta_history,
+        delta_optimize,
+        delta_scan,
+        delta_vacuum,
+        delta_write,
+    )
+
+    t = str(tmp_path / "opt")
+    for i in range(4):  # 4 commits -> >= 4 data files
+        delta_write(
+            spark.createDataFrame(
+                [(i * 10 + j, float(j)) for j in range(10)], "id long, v double"
+            ),
+            t,
+        )
+    delta_delete(spark, t, "id % 10 = 0")  # DV on every file
+    before = {r.id for r in delta_scan(spark, t).collect()}
+    assert len(before) == 36
+    stats = delta_optimize(spark, t, target_files=1)
+    assert stats["files_before"] >= 4
+    assert stats["files_after"] == 1
+    after = {r.id for r in delta_scan(spark, t).collect()}
+    assert after == before  # content-invariant, DV applied into rewrite
+    hist = delta_history(t)
+    assert hist[-1]["operation"] == "OPTIMIZE"
+    # old versions still reconstruct pre-vacuum
+    assert delta_scan(spark, t, version_as_of=0).count() == 10
+    removed = delta_vacuum(spark, t, retain_ms=0)
+    assert removed  # the pre-OPTIMIZE files are physically gone
+    assert {r.id for r in delta_scan(spark, t).collect()} == before
+    # time travel to a vacuumed version now fails at SCAN time
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        delta_scan(spark, t, version_as_of=0).collect()
