@@ -132,6 +132,13 @@ def run_gate(
         if not explicit and name.startswith(SKIP_PREFIXES):
             continue
         try:
+            # Audit each query CACHE-FREE: another query's persist() can
+            # substitute an InMemoryRelation for a semantically-identical
+            # subplan (observed: reco_item_cooccurrence's persisted basket
+            # matches orders_market_basket's), making the audited plan
+            # depend on sweep order -- scans lose PushedFilters and the
+            # gate flags a phantom regression.
+            spark.catalog.clearCache()
             found, plan = audit_one(spark, qs[name], name)
         except Exception as e:  # noqa: BLE001 - report, keep auditing
             errors.append(f"{name}: {type(e).__name__}: {e}")
