@@ -507,3 +507,99 @@ def iceberg_delete(spark: SparkSession, table: str, predicate: str) -> int:
     os.rename(tmp, d / f"v{new_version}.metadata.json")
     (d / "version-hint.text").write_text(str(new_version))
     return len(rows)
+
+
+def iceberg_compact(spark: SparkSession, table: str, target_files: int = 1) -> dict:
+    """Rewrite-data-files compaction (the ``rewrite_data_files`` action
+    every Iceberg deployment schedules): read the CURRENT live rows
+    (position deletes applied), rewrite them as ``target_files`` parquet
+    files, and commit a replace snapshot whose manifest carries ONLY the
+    new files -- so the delete files stop being needed and the read path
+    sheds its anti-join. Old snapshots remain time-travelable until
+    expired. Returns {files_before, files_after, snapshot_id}."""
+    meta = _load_metadata(table)
+    files, delete_files = _snapshot_files(table, meta, None)
+    live = iceberg_scan(spark, table)
+    compacted = live.repartition(target_files)
+    snapshot_id = iceberg_write(compacted, table, mode="overwrite")
+    return {
+        "files_before": len(files) + len(delete_files),
+        "files_after": target_files,
+        "snapshot_id": snapshot_id,
+    }
+
+
+def iceberg_expire_snapshots(
+    spark: SparkSession, table: str, keep_last: int = 1
+) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots (the
+    ``expire_snapshots`` maintenance action): drop them from the
+    metadata's snapshot log, then physically delete their manifest
+    lists, any manifests referenced ONLY by expired snapshots, and any
+    data/delete files referenced ONLY by expired snapshots (orphan
+    cleanup). Time travel to an expired snapshot then raises the precise
+    not-in-log error. Returns counts of deleted artifacts."""
+    meta = _load_metadata(table)
+    snaps = meta.get("snapshots", [])
+    if len(snaps) <= keep_last:
+        return {"expired": 0, "files_deleted": 0, "manifests_deleted": 0}
+    keep = snaps[-keep_last:]
+    expired = snaps[:-keep_last]
+
+    def _referenced(snapshot) -> tuple[set, set]:
+        """(manifest paths, data-file paths) a snapshot reaches."""
+        mans: set[str] = set()
+        datas: set[str] = set()
+        mlist = _resolve(table, snapshot["manifest-list"])
+        _, records = read_ocf(Path(mlist).read_bytes())
+        for m in records:
+            mp = _resolve(table, m["manifest_path"])
+            mans.add(mp)
+            _, entries = read_ocf(Path(mp).read_bytes())
+            for e in entries:
+                if e.get("status", 0) == 2:
+                    continue
+                datas.add(_resolve(table, e["data_file"]["file_path"]))
+        return mans, datas
+
+    keep_mans: set[str] = set()
+    keep_datas: set[str] = set()
+    for s in keep:
+        m, d = _referenced(s)
+        keep_mans |= m
+        keep_datas |= d
+    # union ALL expired references BEFORE deleting anything -- expired
+    # snapshots share manifests (appends carry them forward), so deleting
+    # while iterating would break a later snapshot's walk
+    exp_mans: set[str] = set()
+    exp_datas: set[str] = set()
+    for s in expired:
+        m, d = _referenced(s)
+        exp_mans |= m
+        exp_datas |= d
+    n_files = n_mans = 0
+    for p in sorted(exp_datas - keep_datas):
+        if os.path.exists(p):
+            os.remove(p)
+            n_files += 1
+    for p in sorted(exp_mans - keep_mans):
+        if os.path.exists(p):
+            os.remove(p)
+            n_mans += 1
+    for s in expired:
+        mlist = _resolve(table, s["manifest-list"])
+        if os.path.exists(mlist):
+            os.remove(mlist)
+
+    meta["snapshots"] = keep
+    version = int(_current_metadata_path(table).stem[1:].split(".")[0])
+    d = _meta_dir(table)
+    tmp = d / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(meta, indent=1))
+    os.rename(tmp, d / f"v{version + 1}.metadata.json")
+    (d / "version-hint.text").write_text(str(version + 1))
+    return {
+        "expired": len(expired),
+        "files_deleted": n_files,
+        "manifests_deleted": n_mans,
+    }

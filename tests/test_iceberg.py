@@ -195,3 +195,49 @@ def test_iceberg_equality_deletes_still_gate(spark, tmp_path):
     Path(man).write_bytes(write_ocf(entries, _MANIFEST_SCHEMA))
     with _pytest.raises(ValueError, match="EQUALITY deletes"):
         iceberg_scan(spark, t).collect()
+
+
+def test_iceberg_compact_and_expire(spark, tmp_path):
+    """rewrite_data_files folds position deletes into a clean snapshot
+    (content invariant, delete files no longer consulted);
+    expire_snapshots drops old snapshots and orphan-cleans their files,
+    after which time travel to an expired snapshot raises."""
+    import os
+
+    import pytest as _pytest
+
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_compact,
+        iceberg_delete,
+        iceberg_expire_snapshots,
+        iceberg_scan,
+        iceberg_snapshots,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "maint")
+    for i in range(3):
+        iceberg_write(
+            spark.createDataFrame(
+                [(i * 10 + j, float(j)) for j in range(10)], "id long, v double"
+            ),
+            t,
+            mode="append",
+        )
+    iceberg_delete(spark, t, "id % 10 < 2")  # 6 rows out
+    before = {r.id for r in iceberg_scan(spark, t).collect()}
+    assert len(before) == 24
+    first_snapshot = iceberg_snapshots(t)[0]["snapshot_id"]
+
+    stats = iceberg_compact(spark, t, target_files=1)
+    assert stats["files_before"] >= 4
+    assert {r.id for r in iceberg_scan(spark, t).collect()} == before
+    # pre-compaction snapshots still time-travelable
+    assert iceberg_scan(spark, t, snapshot_id=first_snapshot).count() == 10
+
+    res = iceberg_expire_snapshots(spark, t, keep_last=1)
+    assert res["expired"] >= 4
+    assert res["files_deleted"] > 0
+    assert {r.id for r in iceberg_scan(spark, t).collect()} == before
+    with _pytest.raises(ValueError, match="not in table log"):
+        iceberg_scan(spark, t, snapshot_id=first_snapshot)
