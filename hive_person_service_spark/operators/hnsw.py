@@ -122,13 +122,22 @@ class HNSW:
             self.entry = i
 
     def search(self, q: np.ndarray, k: int = 10, ef: int = 64) -> list[tuple[int, float]]:
-        """Top-k (index, cosine) most similar to q."""
+        """Top-k (index, cosine) most similar to q. ``ef >= n`` engages
+        EXHAUSTIVE mode: the layer-0 search is seeded with every node, so
+        the result is exactly the brute-force top-k by construction --
+        graph reachability is NOT relied on (bidirectional-edge pruning
+        during insert can orphan a node's incoming edges, so an
+        ef-of-everything beam over the graph alone would not be a
+        guarantee)."""
         if self.entry < 0:
             return []
         q = np.asarray(q, dtype=np.float64)
-        ep = [self.entry]
-        for layer in range(self.levels[self.entry], 0, -1):
-            ep = self._search_layer(q, ep, 1, layer)[:1]
+        if ef >= len(self.vecs):
+            ep = list(range(len(self.vecs)))
+        else:
+            ep = [self.entry]
+            for layer in range(self.levels[self.entry], 0, -1):
+                ep = self._search_layer(q, ep, 1, layer)[:1]
         found = self._search_layer(q, ep, max(ef, k), 0)[:k]
         return [(int(i), float(self.vecs[i] @ q)) for i in found]
 
@@ -141,11 +150,19 @@ def hnsw_shard_topk(
     ef: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    ef_construction: int | None = None,
 ):
     """Distributed HNSW query: each partition builds its shard graph and
     answers locally (Arrow-batched, zero shuffle); the global answer is
     the relational top-k over the (shards x k) candidate union. Returns
-    a DataFrame (id_col, cos, rank)."""
+    a DataFrame (id_col, cos, rank).
+
+    ``ef_construction`` defaults to max(ef, 2m) but can be set
+    independently: a huge SEARCH ef (the exhaustive-exactness mode) does
+    not require a huge BUILD ef -- insertion links every new node
+    bidirectionally into the entry point's component, so the graph is
+    connected by construction at ANY ef_construction, and an ef >= shard
+    size beam therefore visits every node."""
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -160,7 +177,8 @@ def hnsw_shard_topk(
             vecs.extend(np.array(list(pdf[vec_col]), dtype=np.float64))
         if not ids:
             return
-        index = HNSW(m=m, ef_construction=max(ef, 2 * m)).build(np.array(vecs))
+        efc = ef_construction if ef_construction is not None else max(ef, 2 * m)
+        index = HNSW(m=m, ef_construction=max(efc, 2 * m)).build(np.array(vecs))
         hits = index.search(q, k=k, ef=ef)
         yield pd.DataFrame(
             {

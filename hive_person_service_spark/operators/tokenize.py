@@ -209,8 +209,11 @@ def bpe_train(
     (tests/test_pipeline36.py) pins the identical batched algorithm.
 
     The driver sees at most ~8*batch_k ROWS per round (the ranked
-    candidate prefix) -- the same bounded per-round reduction the
-    pagerank loop uses; corpus bytes never leave the executors. State is
+    candidate prefix -- this window is PART of the algorithm definition:
+    the greedy selection only ever considers the top 8*batch_k ranked
+    pairs of a round, and the pure-Python reference mirrors the same
+    bound) -- the same bounded per-round reduction the pagerank loop
+    uses; corpus bytes never leave the executors. State is
     re-cached per round and the lineage cut every 4 rounds
     (localCheckpoint) so plan depth stays constant however many merges
     are trained."""

@@ -35,6 +35,35 @@ from .registry import declare
 
 _LAYOUT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_layouts")
 
+
+class _atomic_layout:
+    """Build a cached fixture layout ATOMICALLY: the context yields a
+    temp dir; on clean exit it renames into ``path`` (one syscall), on
+    failure it removes the partial build. Without this, a crash/timeout
+    mid-build leaves a directory the exists()-guard treats as complete,
+    permanently caching a partial fixture (round-6 review finding)."""
+
+    def __init__(self, path: str):
+        import uuid as _uuid
+
+        self.path = path
+        self.tmp = f"{path}.building-{_uuid.uuid4().hex[:8]}"
+
+    def __enter__(self) -> str:
+        os.makedirs(self.tmp, exist_ok=True)
+        return self.tmp
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        import shutil
+
+        if exc_type is None:
+            if not os.path.isdir(self.path):  # racing builder may have won
+                os.rename(self.tmp, self.path)
+            else:
+                shutil.rmtree(self.tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(self.tmp, ignore_errors=True)
+
 JDBC_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
@@ -174,9 +203,10 @@ def _delta_layout(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"supplier_delta_{digest}")
     if not os.path.isdir(os.path.join(path, "_delta_log")):
-        sup = load_table(spark, sf_dir, "supplier")
-        delta_write(sup.where(F.col("s_suppkey") % 2 == 0), path, mode="append")
-        delta_write(sup.where(F.col("s_suppkey") % 2 == 1), path, mode="append")
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            delta_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp, mode="append")
+            delta_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp, mode="append")
     return path
 
 
@@ -248,10 +278,11 @@ def _delta_dv_layout(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"supplier_deltadv_{digest}")
     if not os.path.isdir(os.path.join(path, "_delta_log")):
-        sup = load_table(spark, sf_dir, "supplier")
-        delta_write(sup.where(F.col("s_suppkey") % 2 == 0), path, mode="append")
-        delta_write(sup.where(F.col("s_suppkey") % 2 == 1), path, mode="append")
-        delta_delete(spark, path, "s_acctbal < 0")
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            delta_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp, mode="append")
+            delta_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp, mode="append")
+            delta_delete(spark, tmp, "s_acctbal < 0")
     return path
 
 
@@ -299,9 +330,10 @@ def _iceberg_layout(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"supplier_iceberg_{digest}")
     if not os.path.isdir(os.path.join(path, "metadata")):
-        sup = load_table(spark, sf_dir, "supplier")
-        iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), path)
-        iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), path)
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp)
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp)
     return path
 
 
@@ -322,20 +354,21 @@ def _delta_cm_layout(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"supplier_deltacm_{digest}")
     if not os.path.isdir(os.path.join(path, "_delta_log")):
+      with _atomic_layout(path) as tmp:
         logical = [("s_suppkey", "long"), ("s_nationkey", "long"),
                    ("s_acctbal", "double")]
         sup = load_table(spark, sf_dir, "supplier").select(
             *[F.col(n).cast(t).alias(f"col-{i}")
               for i, (n, t) in enumerate(logical)]
         )
-        delta_write(sup, path)
+        delta_write(sup, tmp)
         fields = [
             {"name": n, "type": t, "nullable": True,
              "metadata": {"delta.columnMapping.id": i + 1,
                           "delta.columnMapping.physicalName": f"col-{i}"}}
             for i, (n, t) in enumerate(logical)
         ]
-        _commit(path, 1, [
+        _commit(tmp, 1, [
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
             {"metaData": {
                 "id": digest,
@@ -395,10 +428,11 @@ def _iceberg_v2_layout(spark: SparkSession, sf_dir: str) -> str:
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"supplier_icebergv2_{digest}")
     if not os.path.isdir(os.path.join(path, "metadata")):
-        sup = load_table(spark, sf_dir, "supplier")
-        iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), path)
-        iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), path)
-        iceberg_delete(spark, path, "s_acctbal < 0")
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp)
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp)
+            iceberg_delete(spark, tmp, "s_acctbal < 0")
     return path
 
 
@@ -549,6 +583,10 @@ def sim_hnsw_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
     q = np.array(qrow.embedding, dtype=np.float64)
     corpus = emb.where(F.col("vec_id") != 0)
-    # ef = corpus size >= any shard's node count => exhaustive per shard
+    # SEARCH ef = corpus size >= any shard's node count => the beam visits
+    # every node (the graph is connected by construction) => exact. The
+    # BUILD ef stays at the serving tier's 64: exhaustiveness comes from
+    # the search beam, so an O(n^2)-ish exhaustive build is unnecessary.
     n = corpus.count()
-    return hnsw_shard_topk(corpus, q, k=10, m=8, ef=max(n, 64))
+    return hnsw_shard_topk(corpus, q, k=10, m=8, ef=max(n, 64),
+                           ef_construction=64)

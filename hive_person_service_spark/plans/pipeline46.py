@@ -38,34 +38,40 @@ def _delta_stream_layout(spark: SparkSession, sf_dir: str) -> str:
     root = os.path.join(_LAYOUT_ROOT, f"orders_deltastream_{digest}")
     table = os.path.join(root, "table")
     if not os.path.isdir(os.path.join(table, "_delta_log")):
-        landing = os.path.join(root, "landing")
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
-        )
-        for i in range(3):
-            orders.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(landing, f"part{i}.parquet"))
+        from .pipeline44 import _atomic_layout
 
-        def stream():
-            return (
-                spark.readStream.schema(
-                    "o_orderkey long, o_custkey long, o_orderstatus string,"
-                    " o_totalprice double"
-                )
-                .option("maxFilesPerTrigger", 1)
-                .parquet(f"{landing}/part*.parquet")
+        # atomic build: a crash/timeout mid-stream must not cache a
+        # partial table as "complete" (the guard above checks existence)
+        with _atomic_layout(root) as tmp_root:
+            tmp_table = os.path.join(tmp_root, "table")
+            landing = os.path.join(tmp_root, "landing")
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
             )
+            for i in range(3):
+                orders.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(landing, f"part{i}.parquet"))
 
-        stream_into_delta(stream(), table, os.path.join(root, "ckpt"),
-                          app_id="orders-ingest")
-        n_versions = len(delta_history(table))
-        # replay from a LOST checkpoint: txn idempotence must no-op it
-        stream_into_delta(stream(), table, os.path.join(root, "ckpt2"),
-                          app_id="orders-ingest")
-        assert len(delta_history(table)) == n_versions, (
-            "txn idempotence failed: replayed batches re-committed"
-        )
+            def stream():
+                return (
+                    spark.readStream.schema(
+                        "o_orderkey long, o_custkey long, o_orderstatus string,"
+                        " o_totalprice double"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(f"{landing}/part*.parquet")
+                )
+
+            stream_into_delta(stream(), tmp_table, os.path.join(tmp_root, "ckpt"),
+                              app_id="orders-ingest")
+            n_versions = len(delta_history(tmp_table))
+            # replay from a LOST checkpoint: txn idempotence must no-op it
+            stream_into_delta(stream(), tmp_table, os.path.join(tmp_root, "ckpt2"),
+                              app_id="orders-ingest")
+            assert len(delta_history(tmp_table)) == n_versions, (
+                "txn idempotence failed: replayed batches re-committed"
+            )
     return table
 
 

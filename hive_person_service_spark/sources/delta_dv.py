@@ -240,7 +240,11 @@ def write_dv_file(table: str, bitmaps: list[bytes]) -> tuple[str, list[dict]]:
             offset = fh.tell()
             fh.write(struct.pack(">i", len(data)))
             fh.write(data)
-            fh.write(struct.pack(">i", zlib.crc32(data) & 0x7FFFFFFF))
+            # FULL 32-bit CRC: real engines write the unmasked value (as a
+            # signed int, but the BYTES equal the unsigned big-endian
+            # form) -- masking to 31 bits would reject ~half of all real
+            # DV files and make ours look corrupt to them
+            fh.write(struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF))
             descs.append(
                 {
                     "storageType": "u",
@@ -281,7 +285,7 @@ def read_dv(table: str, desc: dict) -> np.ndarray:
                 f"file says {size}, descriptor says {desc['sizeInBytes']}"
             )
         data = fh.read(size)
-        (crc,) = struct.unpack(">i", fh.read(4))
-    if zlib.crc32(data) & 0x7FFFFFFF != crc:
+        (crc,) = struct.unpack(">I", fh.read(4))
+    if zlib.crc32(data) & 0xFFFFFFFF != crc:
         raise ValueError("deletion vector checksum mismatch (corrupt DV)")
     return deserialize_bitmap(data)

@@ -69,12 +69,15 @@ def _list_versions(table: str) -> list[int]:
     )
 
 
-def _read_checkpoint(table: str) -> tuple[int, dict[str, dict], dict, dict]:
-    """Return (checkpoint_version, live_files, metaData, protocol) from the
-    newest parquet checkpoint, or (-1, {}, {}, {}) when none exists."""
+def _read_checkpoint(
+    table: str,
+) -> tuple[int, dict[str, dict], dict, dict, dict[str, int]]:
+    """Return (checkpoint_version, live_files, metaData, protocol,
+    txn app versions) from the newest parquet checkpoint, or
+    (-1, {}, {}, {}, {}) when none exists."""
     last = _log_dir(table) / "_last_checkpoint"
     if not last.exists():
-        return -1, {}, {}, {}
+        return -1, {}, {}, {}, {}
     info = json.loads(last.read_text())
     v = int(info["version"])
     ckpt = _log_dir(table) / f"{v:020d}.checkpoint.parquet"
@@ -86,8 +89,16 @@ def _read_checkpoint(table: str) -> tuple[int, dict[str, dict], dict, dict]:
         # parts IS the snapshot (order irrelevant: one action per row)
         parts = sorted(_log_dir(table).glob(f"{v:020d}.checkpoint.*.parquet"))
         if not parts:
-            return -1, {}, {}, {}  # dangling _last_checkpoint: replay JSON
-        n_expected = int(parts[0].name.split(".")[-2])
+            return -1, {}, {}, {}, {}  # dangling _last_checkpoint: replay JSON
+        try:
+            n_expected = int(parts[0].name.split(".")[-2])
+        except ValueError:
+            # UUID-named V2 checkpoint (<v>.checkpoint.<uuid>.parquet):
+            # keep the precise honest-gate error, not a raw int() crash
+            raise ValueError(
+                f"Delta V2 (UUID-named) checkpoint at version {v} "
+                "unsupported by this minimal client"
+            ) from None
         if len(parts) != n_expected:
             raise ValueError(
                 f"multi-part Delta checkpoint at version {v} incomplete: "
@@ -100,6 +111,7 @@ def _read_checkpoint(table: str) -> tuple[int, dict[str, dict], dict, dict]:
     files: dict[str, dict] = {}
     meta: dict = {}
     proto: dict = {}
+    txns: dict[str, int] = {}
     for row in tbl:
         if row.get("add"):
             a = dict(row["add"])
@@ -111,7 +123,10 @@ def _read_checkpoint(table: str) -> tuple[int, dict[str, dict], dict, dict]:
             meta = row["metaData"]
         if row.get("protocol"):
             proto = row["protocol"]
-    return v, files, meta, proto
+        if row.get("txn") and row["txn"].get("appId") is not None:
+            t = row["txn"]
+            txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+    return v, files, meta, proto, txns
 
 
 def _snapshot(table: str, version_as_of: int | None = None):
@@ -120,8 +135,10 @@ def _snapshot(table: str, version_as_of: int | None = None):
     versions = _list_versions(table)
     if not versions:
         raise ValueError(f"empty Delta log: {table}")
-    ckpt_v, files, meta, proto = _read_checkpoint(table)
-    if version_as_of is not None and version_as_of not in versions and version_as_of > versions[-1]:
+    ckpt_v, files, meta, proto, _txns = _read_checkpoint(table)
+    if version_as_of is not None and (
+        version_as_of < 0 or version_as_of > versions[-1]
+    ):
         raise ValueError(
             f"version {version_as_of} does not exist (latest is {versions[-1]})"
         )
@@ -170,6 +187,22 @@ def _snapshot(table: str, version_as_of: int | None = None):
             )
     snap_v = version_as_of if version_as_of is not None else versions[-1]
     return files, meta, proto, snap_v
+
+
+def _cm_phys_map(meta: dict) -> dict[str, str]:
+    """logical column name -> physical name when NAME-mode column mapping
+    is active; empty dict otherwise. Writers MUST map through this before
+    emitting data files, or the table becomes unreadable (the scan
+    renames physical -> logical and would find no physical columns)."""
+    mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
+    if mode != "name":
+        return {}
+    return {
+        f["name"]: (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
 
 
 def delta_scan(
@@ -369,6 +402,15 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
                     ]
                 ),
             ),
+            pa.field(
+                "txn",
+                pa.struct(
+                    [
+                        ("appId", pa.string()),
+                        ("version", pa.int64()),
+                    ]
+                ),
+            ),
         ]
     )
 
@@ -381,8 +423,10 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
             "dataChange": a.get("dataChange", True),
         }
 
-    rows = [{"add": add_row(a), "metaData": None, "protocol": None}
-            for a in files.values()]
+    rows = [
+        {"add": add_row(a), "metaData": None, "protocol": None, "txn": None}
+        for a in files.values()
+    ]
     rows.append(
         {
             "add": None,
@@ -396,8 +440,31 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
                 "minReaderVersion": proto.get("minReaderVersion", 1),
                 "minWriterVersion": proto.get("minWriterVersion", 2),
             },
+            "txn": None,
         }
     )
+    # carry the idempotent-transaction state: retention may delete the
+    # pre-checkpoint JSON commits that held the txn actions, and a
+    # checkpoint that dropped them would break streaming exactly-once
+    txns: dict[str, int] = {}
+    for v in _list_versions(table):
+        if v > version:
+            break
+        for line in _version_file(table, v).read_text().splitlines():
+            if not line.strip():
+                continue
+            t = json.loads(line).get("txn")
+            if t and t.get("appId") is not None:
+                txns[t["appId"]] = max(txns.get(t["appId"], -1),
+                                       int(t["version"]))
+    ckpt_txns = _read_checkpoint(table)[4]
+    for app, ver in ckpt_txns.items():
+        txns[app] = max(txns.get(app, -1), ver)
+    for app, ver in sorted(txns.items()):
+        rows.append(
+            {"add": None, "metaData": None, "protocol": None,
+             "txn": {"appId": app, "version": ver}}
+        )
     pq.write_table(
         pa.Table.from_pylist(rows, schema=schema),
         str(_log_dir(table) / f"{version:020d}.checkpoint.parquet"),
@@ -411,9 +478,11 @@ def delta_txn_version(table: str, app_id: str) -> int:
     """Latest committed ``txn`` version for ``app_id`` (-1 when none):
     the protocol's idempotent-write primitive. A streaming writer embeds
     ``txn {appId, version}`` in each commit; on restart it skips batches
-    whose version is <= this. Replays the JSON log's txn actions (KBs,
-    driver-side, like the rest of the snapshot)."""
-    last = -1
+    whose version is <= this. State is read from the newest CHECKPOINT's
+    txn rows (so retention deleting pre-checkpoint JSON cannot erase the
+    idempotence marker) plus every surviving JSON commit."""
+    ckpt_v, _f, _m, _p, txns = _read_checkpoint(table)
+    last = txns.get(app_id, -1)
     for v in _list_versions(table):
         for line in _version_file(table, v).read_text().splitlines():
             if not line.strip():
@@ -441,6 +510,25 @@ def delta_write(
     partition_by = partition_by or []
     exists = _log_dir(table).is_dir() and _list_versions(table)
     version = (_list_versions(table)[-1] + 1) if exists else 0
+    if exists:
+        # column-mapped tables store PHYSICAL names in data files: map the
+        # incoming logical frame through the schema metadata before writing
+        _f0, meta0, _p0, _v0 = _snapshot(table)
+        pm = _cm_phys_map(meta0)
+        if pm:
+            from pyspark.sql import functions as F
+
+            if partition_by:
+                raise ValueError(
+                    "partitioned writes to a column-mapped Delta table "
+                    "unsupported by this minimal client"
+                )
+            missing = [l for l in pm if l not in df.columns]
+            if missing:
+                raise ValueError(
+                    f"column-mapped write missing logical columns: {missing}"
+                )
+            df = df.select(*[F.col(l).alias(p) for l, p in pm.items()])
     actions: list[dict] = [
         {
             "commitInfo": {
@@ -513,20 +601,32 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
     df = spark.read.option("basePath", table).parquet(
         *[os.path.join(table, p) for p in paths]
     )
+    # the predicate speaks LOGICAL names: on a column-mapped table the
+    # raw scan yields physical names, so project the logical view first
+    pm = _cm_phys_map(meta)
+    data_cols = (
+        [F.col(f"`{p}`").alias(l) for l, p in pm.items()]
+        if pm
+        else [F.col(c) for c in df.columns]
+    )
     matches = (
-        df.where(F.expr(predicate))
-        .select(
+        df.select(
+            *data_cols,
             # normalize file:/p, file:///p -> /p (Hadoop URI form varies)
             F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("p"),
-            F.col("_metadata.row_index").alias("i"),
+            ).alias("_dv_p"),
+            F.col("_metadata.row_index").alias("_dv_i"),
         )
+        .where(F.expr(predicate))
+        .select("_dv_p", "_dv_i")
         .collect()
     )
     new_by_file: dict[str, set[int]] = {}
     for r in matches:
-        new_by_file.setdefault(rel_by_plain[r.p], set()).add(int(r.i))
+        new_by_file.setdefault(rel_by_plain[r["_dv_p"]], set()).add(
+            int(r["_dv_i"])
+        )
 
     from .delta_dv import read_dv
 
@@ -636,6 +736,17 @@ def delta_optimize(spark: SparkSession, table: str, target_files: int = 1) -> di
     partition_by = meta.get("partitionColumns", []) or []
     live = delta_scan(spark, table)  # DVs applied -> survivors only
     n_before = len(files)
+    pm = _cm_phys_map(meta)
+    if pm:
+        # the rewrite must emit PHYSICAL names or the table goes unreadable
+        from pyspark.sql import functions as F
+
+        if partition_by:
+            raise ValueError(
+                "OPTIMIZE on a partitioned column-mapped Delta table "
+                "unsupported by this minimal client"
+            )
+        live = live.select(*[F.col(l).alias(p) for l, p in pm.items()])
     df = live.repartition(target_files) if not partition_by else live
     adds = _write_data_files(df, table, partition_by)
     now = int(time.time() * 1000)
@@ -692,4 +803,34 @@ def delta_vacuum(spark: SparkSession, table: str, retain_ms: int = 0) -> list[st
         if os.path.exists(full):
             os.remove(full)
             deleted.append(path)
+    # DV files orphaned by OPTIMIZE/re-delete are not named by remove
+    # actions: clean any deletion_vector_*.bin no live add references
+    # (mtime stands in for the deletion timestamp), else they leak
+    # forever on a delete+optimize+vacuum cycle
+    import uuid as _uuid_mod
+
+    from .delta_dv import z85_decode
+
+    live_dvs: set[str] = set()
+    for a in files.values():
+        desc = a.get("deletionVector")
+        if not desc or desc.get("storageType") != "u":
+            continue
+        raw = desc["pathOrInlineDv"]
+        uid = _uuid_mod.UUID(bytes=z85_decode(raw[-20:]))
+        live_dvs.add(os.path.join(raw[:-20], f"deletion_vector_{uid}.bin"))
+    for root_dir, _dirs, names in os.walk(table):
+        if "_delta_log" in root_dir:
+            continue
+        for n in names:
+            if not n.startswith("deletion_vector_") or not n.endswith(".bin"):
+                continue
+            rel = os.path.relpath(os.path.join(root_dir, n), table)
+            full = os.path.join(table, rel)
+            if rel in live_dvs:
+                continue
+            if os.path.getmtime(full) * 1000 > cutoff:
+                continue
+            os.remove(full)
+            deleted.append(rel)
     return deleted

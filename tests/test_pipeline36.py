@@ -30,6 +30,9 @@ def _reference_bpe(word_counts: dict[str, int], n_merges: int, batch_k: int = 1)
         if not pairs:
             break
         ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        # the candidate window is PART of the algorithm (bpe_train collects
+        # only the top 8*want ranked pairs per round) -- mirror it exactly
+        ranked = ranked[: max(8 * want, 8)]
         batch, touched = [], set()
         for (a, b), n in ranked:
             if len(batch) >= want:
