@@ -485,3 +485,55 @@ def test_delta_optimize_and_vacuum(spark, tmp_path):
 
     with _pytest.raises(Exception):
         delta_scan(spark, t, version_as_of=0).collect()
+
+
+def test_txn_state_survives_checkpoint_retention(spark, tmp_path):
+    """The exactly-once marker must outlive log retention: txn versions
+    are carried into checkpoints, so deleting every pre-checkpoint JSON
+    commit (standard cleanup) must NOT let a rebuilt streaming
+    checkpoint re-ingest old batches."""
+    import os
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_scan,
+        delta_txn_version,
+        delta_write,
+    )
+    from hive_person_service_spark.streaming.jobs import stream_into_delta
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    for i in range(2):
+        spark.createDataFrame(
+            [(i * 10 + j, float(j)) for j in range(10)], "id long, v double"
+        ).coalesce(1).write.parquet(os.path.join(landing, f"b{i}.parquet"))
+    src = lambda: (  # noqa: E731
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{landing}/b*.parquet")
+    )
+    table = str(tmp_path / "t")
+    stream_into_delta(src(), table, str(tmp_path / "ck1"))
+    assert delta_txn_version(table, "delta-ingest") == 1
+    # non-stream writes push the log past a checkpoint boundary
+    for j in range(3):
+        delta_write(
+            spark.createDataFrame([(900 + j, 0.0)], "id long, v double"),
+            table,
+            checkpoint_interval=2,
+        )
+    log = os.path.join(table, "_delta_log")
+    ckpts = [n for n in os.listdir(log) if n.endswith(".checkpoint.parquet")]
+    assert ckpts, "test setup: expected a checkpoint"
+    ckpt_v = max(int(n.split(".")[0]) for n in ckpts)
+    # retention deletes every pre-checkpoint commit -- including the ones
+    # that carried the txn actions
+    for v in range(ckpt_v):
+        p = os.path.join(log, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    # the marker survives via the checkpoint's txn rows
+    assert delta_txn_version(table, "delta-ingest") == 1
+    before = delta_scan(spark, table).count()
+    stream_into_delta(src(), table, str(tmp_path / "ck2"))  # rebuilt ckpt
+    assert delta_scan(spark, table).count() == before  # no re-ingest
