@@ -468,6 +468,65 @@ def table_iceberg_v2_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _iceberg_eq_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) an Iceberg table carrying
+    a v2 EQUALITY-DELETE commit plus a post-delete re-append -- the CDC
+    upsert shape: suppliers of nations 3 and 7 are deleted BY KEY
+    (content=2 delete file listing s_nationkey values), then nation 3's
+    rows are appended back at a higher data sequence number."""
+    from ..sources.iceberg import iceberg_delete_equality, iceberg_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:icebergeq".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_icebergeq_{digest}")
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp)
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp)
+            keys = spark.createDataFrame([(3,), (7,)], "s_nationkey int")
+            iceberg_delete_equality(spark, tmp, keys)
+            iceberg_write(sup.where(F.col("s_nationkey") == 3), tmp)
+    return path
+
+
+@declare(
+    "table_iceberg_equality_deletes",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal,
+           MAX(s_suppkey) AS max_key
+    FROM supplier
+    WHERE s_nationkey <> 7
+    GROUP BY s_nationkey
+    """,
+)
+def table_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY-DELETE read path (closes the last row-level-
+    delete gate): suppliers of nations 3 and 7 are deleted by key
+    (a content=2 parquet delete file + equality_ids manifest entry, the
+    shape Flink CDC/upsert writers emit), then nation 3's rows are
+    re-appended AFTER the delete. The scan applies the delete as a
+    broadcast null-safe anti-join on s_nationkey restricted to data
+    files with a strictly smaller data sequence number -- so nation 3
+    survives (the re-append) while nation 7 stays deleted. The oracle
+    over the ORIGINAL parquet (`s_nationkey <> 7`) proves both the
+    delete application AND the sequence-number exemption exactly."""
+    from ..sources.iceberg import iceberg_scan
+
+    path = _iceberg_eq_layout(spark, sf_dir)
+    s = iceberg_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.max("s_suppkey").alias("max_key"),
+    )
+
+
 @declare(
     "table_iceberg_scan",
     oracle="""

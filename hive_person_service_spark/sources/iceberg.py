@@ -28,11 +28,26 @@ v2 POSITION deletes are SUPPORTED (round-5 verdict "missing" #1):
 ``iceberg_delete`` writes row-level deletes the way Flink/Spark writers
 do (parquet delete files of (file_path, pos) + a ``content=1`` delete
 manifest, format-version 2), and ``iceberg_scan`` applies them as a
-broadcast anti-join on ``_metadata.row_index``. Remaining reader gates,
-each a precise ValueError: format-version > 2; EQUALITY deletes
-(``content == 2``); ORC/Avro data files. The metadata layer is
-driver-side (KBs of JSON/Avro; this mirrors how Iceberg's own planning
-works), so every Catalyst pushdown still applies to the data scan.
+broadcast anti-join on ``_metadata.row_index``.
+
+v2 EQUALITY deletes are SUPPORTED too (round-6; closes the last
+row-level-delete gate): ``iceberg_delete_equality`` writes the delete
+shape CDC writers (Flink upsert sink) produce -- a parquet file holding
+the key columns, referenced by a manifest entry with ``content=2`` and
+``equality_ids`` (schema field ids) -- and ``iceberg_scan`` applies each
+delete as a broadcast null-safe anti-join on those columns, restricted
+by the spec's sequence-number rule: an equality delete removes rows only
+from data files whose data sequence number is STRICTLY LESS than the
+delete's, so a row re-appended after the delete (the upsert pattern)
+survives. Sequence numbers ride the manifest-list entries
+(``sequence_number``; absent/legacy records read as 0) and
+``last-sequence-number`` in the table metadata, exactly the v2 spec
+fields.
+
+Remaining reader gates, each a precise ValueError: format-version > 2;
+ORC/Avro data files. The metadata layer is driver-side (KBs of
+JSON/Avro; this mirrors how Iceberg's own planning works), so every
+Catalyst pushdown still applies to the data scan.
 """
 
 from __future__ import annotations
@@ -105,15 +120,19 @@ def _resolve(table: str, location: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _snapshot_files(
-    table: str, meta: dict, snapshot_id: int | None
-) -> tuple[list[str], list[str]]:
-    """Plan a snapshot -> (data parquet paths, position-delete parquet
-    paths). v2 POSITION deletes (``content == 1``) are supported; equality
-    deletes (``content == 2``) still gate precisely."""
+def _plan_snapshot(table: str, meta: dict, snapshot_id: int | None) -> dict:
+    """Plan a snapshot into its three v2 file classes::
+
+        {"data": [(path, seq)], "pos": [path],
+         "eq": [(path, (field_id, ...), seq)]}
+
+    ``seq`` is the manifest's data sequence number (v2); legacy/v1
+    records without one read as 0, matching the spec's v1->v2 upgrade
+    rule (all pre-upgrade files get sequence number 0)."""
+    plan: dict = {"data": [], "pos": [], "eq": []}
     snaps = meta.get("snapshots", [])
     if not snaps:
-        return [], []
+        return plan
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
     snap = next((s for s in snaps if s["snapshot-id"] == snapshot_id), None)
@@ -121,9 +140,9 @@ def _snapshot_files(
         raise ValueError(f"snapshot {snapshot_id} not in table log")
     mlist_path = _resolve(table, snap["manifest-list"])
     _, mlist = read_ocf(Path(mlist_path).read_bytes())
-    files: list[str] = []
-    deletes: list[str] = []
+    seen: set[str] = set()
     for m in mlist:
+        man_seq = int(m.get("sequence_number") or 0)
         man_path = _resolve(table, m["manifest_path"])
         _, entries = read_ocf(Path(man_path).read_bytes())
         for e in entries:
@@ -131,19 +150,125 @@ def _snapshot_files(
                 continue
             df_rec = e["data_file"]
             content = df_rec.get("content", 0) or 0
-            if content == 2:
-                raise ValueError(
-                    "Iceberg v2 EQUALITY deletes unsupported by this "
-                    "minimal client (position deletes are supported)"
-                )
-            if content not in (0, 1):
+            if content not in (0, 1, 2):
                 raise ValueError(f"Iceberg content={content} files unsupported")
             fmt = (df_rec.get("file_format") or "PARQUET").upper()
             if fmt != "PARQUET":
                 raise ValueError(f"Iceberg {fmt} data files unsupported")
             path = _resolve(table, df_rec["file_path"])
-            (deletes if content == 1 else files).append(path)
-    return sorted(set(files)), sorted(set(deletes))
+            if path in seen:
+                continue
+            seen.add(path)
+            if content == 0:
+                plan["data"].append((path, man_seq))
+            elif content == 1:
+                plan["pos"].append(path)
+            else:
+                ids = df_rec.get("equality_ids") or []
+                if not ids:
+                    raise ValueError(
+                        "Iceberg equality-delete file without equality_ids: "
+                        f"{path}"
+                    )
+                plan["eq"].append((path, tuple(int(i) for i in ids), man_seq))
+    plan["data"].sort()
+    plan["pos"].sort()
+    plan["eq"].sort()
+    return plan
+
+
+def _snapshot_files(
+    table: str, meta: dict, snapshot_id: int | None
+) -> tuple[list[str], list[str]]:
+    """Back-compat wrapper: (data paths, row-level-delete paths)."""
+    plan = _plan_snapshot(table, meta, snapshot_id)
+    return (
+        [p for p, _ in plan["data"]],
+        plan["pos"] + [p for p, _ids, _s in plan["eq"]],
+    )
+
+
+def _field_names_by_id(meta: dict) -> dict[int, str]:
+    schema = meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    return {f["id"]: f["name"] for f in schema.get("fields", [])}
+
+
+def _live_tagged(
+    spark: SparkSession, table: str, meta: dict, snapshot_id: int | None = None
+):
+    """The snapshot's LIVE rows with ``__p`` (normalized file path) and
+    ``__i`` (row index) tags still attached, position AND equality
+    deletes applied -- the shared core of ``iceberg_scan`` and the
+    delete writers. Returns (tagged DataFrame | None, plan)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    plan = _plan_snapshot(table, meta, snapshot_id)
+    if not plan["data"]:
+        return None, plan
+    df = spark.read.parquet(*[p for p, _ in plan["data"]])
+    # normalize file:/p, file:///p -> /p (Hadoop URI form varies)
+    df = df.withColumn(
+        "__p", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    ).withColumn("__i", F.col("_metadata.row_index"))
+    if plan["pos"]:
+        dels = spark.read.parquet(*plan["pos"]).select("file_path", "pos")
+        # manifest paths may be re-rooted on relocated tables: map each
+        # DISTINCT referenced path (bounded by file count) driver-side
+        referenced = [
+            r.file_path for r in dels.select("file_path").distinct().collect()
+        ]
+        mapping = [(p, _resolve(table, p)) for p in referenced]
+        map_df = spark.createDataFrame(mapping, "file_path string, plain string")
+        dels = dels.join(F.broadcast(map_df), "file_path").select(
+            F.col("plain").alias("__del_path"), F.col("pos").alias("__del_pos")
+        )
+        df = df.join(
+            F.broadcast(dels),
+            on=[F.col("__p") == F.col("__del_path"),
+                F.col("__i") == F.col("__del_pos")],
+            how="left_anti",
+        )
+    if plan["eq"]:
+        # each data row carries its file's data sequence number so the
+        # strict seq < delete-seq rule can exempt rows appended AFTER the
+        # delete (the CDC upsert shape); the file->seq map is metadata-
+        # sized and broadcast
+        seq_df = spark.createDataFrame(
+            plan["data"], "___path string, __seq long"
+        )
+        df = df.join(
+            F.broadcast(seq_df), df["__p"] == seq_df["___path"], "left"
+        ).drop("___path")
+        names = _field_names_by_id(meta)
+        for path, ids, del_seq in plan["eq"]:
+            try:
+                key_cols = [names[i] for i in ids]
+            except KeyError as exc:
+                raise ValueError(
+                    f"equality_ids {list(ids)} reference unknown schema "
+                    f"field ids (have {sorted(names)})"
+                ) from exc
+            keys = (
+                spark.read.parquet(path)
+                .select(
+                    *[F.col(c).alias(f"__k_{c}") for c in key_cols]
+                )
+                .distinct()
+            )
+            cond = reduce(
+                lambda a, b: a & b,
+                [F.col(c).eqNullSafe(F.col(f"__k_{c}")) for c in key_cols]
+                + [F.col("__seq") < F.lit(int(del_seq))],
+            )
+            # broadcast null-safe anti-join per delete commit: delete
+            # files are key-column-only and small next to data (spec
+            # shape); commit count bounds the join chain, and real
+            # deployments compact them away (iceberg_compact here)
+            df = df.join(F.broadcast(keys), cond, "left_anti")
+        df = df.drop("__seq")
+    return df, plan
 
 
 def iceberg_scan(
@@ -154,45 +279,16 @@ def iceberg_scan(
     """Read an Iceberg table at the current snapshot (or ``snapshot_id``
     for time travel): metadata/manifest planning driver-side, data as a
     plain parquet scan over the live file set. v2 position deletes are
-    applied as a broadcast anti-join on (file path, _metadata.row_index)
-    -- the standard MoR read: delete files are KBs-to-MBs keyed by
-    position, never a row-by-row driver loop."""
-    from pyspark.sql import functions as F
-
+    applied as a broadcast anti-join on (file path, _metadata.row_index);
+    v2 equality deletes as broadcast null-safe anti-joins on the
+    ``equality_ids`` columns gated by the data-sequence-number rule --
+    the standard MoR read: delete files are KBs-to-MBs, never a
+    row-by-row driver loop."""
     meta = _load_metadata(table)
-    files, delete_files = _snapshot_files(table, meta, snapshot_id)
-    if not files:
-        from pyspark.sql.types import StructType
-
+    df, _plan = _live_tagged(spark, table, meta, snapshot_id)
+    if df is None:
         return spark.createDataFrame([], _schema_from_iceberg(meta))
-    df = spark.read.parquet(*files)
-    if delete_files:
-        dels = spark.read.parquet(*delete_files).select("file_path", "pos")
-        # manifest paths may be re-rooted on relocated tables: map each
-        # DISTINCT referenced path (bounded by file count) driver-side
-        referenced = [r.file_path for r in dels.select("file_path").distinct().collect()]
-        mapping = [(p, _resolve(table, p)) for p in referenced]
-        map_df = spark.createDataFrame(mapping, "file_path string, plain string")
-        dels = dels.join(F.broadcast(map_df), "file_path").select(
-            F.col("plain").alias("__del_path"), F.col("pos").alias("__del_pos")
-        )
-        cols = df.columns
-        df = (
-            # normalize file:/p, file:///p -> /p (Hadoop URI form varies)
-            df.withColumn(
-                "__p",
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
-            )
-            .withColumn("__i", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(dels),
-                on=[F.col("__p") == F.col("__del_path"),
-                    F.col("__i") == F.col("__del_pos")],
-                how="left_anti",
-            )
-            .select(*cols)
-        )
-    return df
+    return df.drop("__p", "__i")
 
 
 def iceberg_snapshots(table: str) -> list[dict]:
@@ -277,6 +373,13 @@ _MANIFEST_SCHEMA = {
                         {"name": "file_format", "type": ["null", "string"]},
                         {"name": "record_count", "type": ["null", "long"]},
                         {"name": "file_size_in_bytes", "type": ["null", "long"]},
+                        {
+                            "name": "equality_ids",
+                            "type": [
+                                "null",
+                                {"type": "array", "items": "int"},
+                            ],
+                        },
                     ],
                 },
             ],
@@ -293,8 +396,20 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "partition_spec_id", "type": ["null", "int"]},
         {"name": "content", "type": ["null", "int"]},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
     ],
 }
+
+
+def _carry_forward(prev: list[dict]) -> list[dict]:
+    """Re-serialize prior manifest-list records under the CURRENT list
+    schema: records written before a field existed get its v2 default
+    (content=0 data manifest, sequence number 0 -- the spec's v1->v2
+    upgrade rule)."""
+    return [
+        {"content": 0, "sequence_number": 0, "equality_ids": None, **m}
+        for m in prev
+    ]
 
 
 def _write_parquet_files(df: DataFrame, table: str) -> list[dict]:
@@ -351,10 +466,11 @@ def iceberg_write(df: DataFrame, table: str, mode: str = "append") -> int:
         version = 0
 
     snapshot_id = int(time.time() * 1000) * 1000 + version + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
     adds = _write_parquet_files(df, table)
     entries = [
         {"status": 1, "snapshot_id": snapshot_id,
-         "data_file": {"content": 0, **a}}
+         "data_file": {"content": 0, "equality_ids": None, **a}}
         for a in adds
     ]
     man_path = str(d / f"manifest-{uuid.uuid4().hex[:12]}.avro")
@@ -367,6 +483,7 @@ def iceberg_write(df: DataFrame, table: str, mode: str = "append") -> int:
             "partition_spec_id": 0,
             "content": 0,
             "added_snapshot_id": snapshot_id,
+            "sequence_number": seq,
         }
     ]
     if mode == "append" and meta.get("current-snapshot-id", -1) != -1:
@@ -375,10 +492,10 @@ def iceberg_write(df: DataFrame, table: str, mode: str = "append") -> int:
             if s["snapshot-id"] == meta["current-snapshot-id"]
         )
         _, prev = read_ocf(Path(_resolve(table, cur["manifest-list"])).read_bytes())
-        # records written before the content field existed default to 0
-        manifests.extend({"content": 0, **m} for m in prev)
+        manifests.extend(_carry_forward(prev))
     mlist_path = str(d / f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     Path(mlist_path).write_bytes(write_ocf(manifests, _MANIFEST_LIST_SCHEMA))
+    meta["last-sequence-number"] = seq
 
     meta["snapshots"] = meta.get("snapshots", []) + [
         {
@@ -419,18 +536,9 @@ def iceberg_delete(spark: SparkSession, table: str, predicate: str) -> int:
     from pyspark.sql import functions as F
 
     meta = _load_metadata(table)
-    files, delete_files = _snapshot_files(table, meta, None)
-    if not files:
+    tagged, _plan = _live_tagged(spark, table, meta)
+    if tagged is None:
         return 0
-    df = spark.read.parquet(*files)
-    tagged = df.withColumn(
-        "__p", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
-    ).withColumn("__i", F.col("_metadata.row_index"))
-    if delete_files:
-        old = spark.read.parquet(*delete_files).select(
-            F.col("file_path").alias("__p"), F.col("pos").alias("__i")
-        )
-        tagged = tagged.join(F.broadcast(old), ["__p", "__i"], "left_anti")
     matches = (
         tagged.where(F.expr(predicate)).select("__p", "__i").collect()
     )
@@ -439,6 +547,7 @@ def iceberg_delete(spark: SparkSession, table: str, predicate: str) -> int:
     d = _meta_dir(table)
     version = int(_current_metadata_path(table).stem[1:].split(".")[0])
     snapshot_id = int(time.time() * 1000) * 1000 + version + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
 
     # --- the position-delete parquet file (spec: file_path, pos; sorted) ---
     rows = sorted((r["__p"], int(r["__i"])) for r in matches)
@@ -466,9 +575,26 @@ def iceberg_delete(spark: SparkSession, table: str, predicate: str) -> int:
                 "file_format": "PARQUET",
                 "record_count": len(rows),
                 "file_size_in_bytes": os.path.getsize(del_path),
+                "equality_ids": None,
             },
         }
     ]
+    _commit_delete_snapshot(table, meta, version, snapshot_id, seq, entries)
+    return len(rows)
+
+
+def _commit_delete_snapshot(
+    table: str,
+    meta: dict,
+    version: int,
+    snapshot_id: int,
+    seq: int,
+    entries: list[dict],
+) -> None:
+    """Shared tail of the two row-level-delete writers: write the delete
+    manifest, a new manifest list carrying all live manifests, and the
+    v2-upgraded metadata version."""
+    d = _meta_dir(table)
     man_path = str(d / f"manifest-del-{uuid.uuid4().hex[:12]}.avro")
     Path(man_path).write_bytes(write_ocf(entries, _MANIFEST_SCHEMA))
     manifests = [
@@ -478,6 +604,7 @@ def iceberg_delete(spark: SparkSession, table: str, predicate: str) -> int:
             "partition_spec_id": 0,
             "content": 1,
             "added_snapshot_id": snapshot_id,
+            "sequence_number": seq,
         }
     ]
     cur = next(
@@ -485,12 +612,13 @@ def iceberg_delete(spark: SparkSession, table: str, predicate: str) -> int:
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
     _, prev = read_ocf(Path(_resolve(table, cur["manifest-list"])).read_bytes())
-    manifests.extend({"content": 0, **m} for m in prev)
+    manifests.extend(_carry_forward(prev))
     mlist_path = str(d / f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     Path(mlist_path).write_bytes(write_ocf(manifests, _MANIFEST_LIST_SCHEMA))
 
     # --- new metadata: v2 (row-level deletes are a v2 feature) ---
     meta["format-version"] = 2
+    meta["last-sequence-number"] = seq
     meta["snapshots"] = meta.get("snapshots", []) + [
         {
             "snapshot-id": snapshot_id,
@@ -506,7 +634,76 @@ def iceberg_delete(spark: SparkSession, table: str, predicate: str) -> int:
     tmp.write_text(json.dumps(meta, indent=1))
     os.rename(tmp, d / f"v{new_version}.metadata.json")
     (d / "version-hint.text").write_text(str(new_version))
-    return len(rows)
+
+
+def iceberg_delete_equality(
+    spark: SparkSession, table: str, keys: DataFrame
+) -> int:
+    """Commit a v2 EQUALITY-DELETE snapshot: every table row whose
+    values on ``keys``'s columns match ANY key row (null-safe) is
+    deleted -- the shape CDC/upsert writers (e.g. Flink's upsert sink)
+    emit for row-level DELETE/UPDATE by primary key. No data file is
+    touched: a parquet file holding just the distinct key rows is
+    referenced by a ``content=2`` manifest entry carrying
+    ``equality_ids`` (the schema field ids of the key columns) at the
+    next data sequence number; the read path applies it to data files
+    with a STRICTLY SMALLER sequence number, so rows appended after
+    this commit with the same key survive (exactly the spec rule that
+    makes equality deletes safe under concurrent appends).
+
+    Returns the number of distinct key rows committed. The key file is
+    written by Spark (types preserved exactly); delete files are small
+    next to data files by construction (key columns only)."""
+    meta = _load_metadata(table)
+    if meta.get("current-snapshot-id", -1) in (-1, None):
+        raise ValueError(f"equality delete on empty table: {table}")
+    name_to_id = {v: k for k, v in _field_names_by_id(meta).items()}
+    missing = [c for c in keys.columns if c not in name_to_id]
+    if missing:
+        raise ValueError(
+            f"equality-delete columns {missing} not in table schema "
+            f"(have {sorted(name_to_id)})"
+        )
+    eq_ids = [name_to_id[c] for c in keys.columns]
+
+    version = int(_current_metadata_path(table).stem[1:].split(".")[0])
+    snapshot_id = int(time.time() * 1000) * 1000 + version + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+
+    # --- the equality-delete parquet file (distinct key rows only) ---
+    distinct = keys.distinct()
+    stage = os.path.join(table, "data", f".eqdel-stage-{uuid.uuid4().hex[:12]}")
+    distinct.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(
+        os.path.join(stage, n)
+        for n in os.listdir(stage)
+        if n.endswith(".parquet")
+    )
+    del_path = os.path.join(
+        table, "data", f"eqdelete-{uuid.uuid4().hex[:12]}.parquet"
+    )
+    os.rename(part, del_path)
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    n_keys = spark.read.parquet(del_path).count()
+
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 2,
+                "file_path": del_path,
+                "file_format": "PARQUET",
+                "record_count": n_keys,
+                "file_size_in_bytes": os.path.getsize(del_path),
+                "equality_ids": eq_ids,
+            },
+        }
+    ]
+    _commit_delete_snapshot(table, meta, version, snapshot_id, seq, entries)
+    return n_keys
 
 
 def iceberg_compact(spark: SparkSession, table: str, target_files: int = 1) -> dict:

@@ -154,22 +154,111 @@ def test_iceberg_v2_position_deletes(spark, tmp_path):
     assert iceberg_scan(spark, t).count() == 81
 
 
-def test_iceberg_equality_deletes_still_gate(spark, tmp_path):
-    """The honest gate narrows but stays precise: equality deletes raise."""
+def test_iceberg_equality_delete_basic(spark, tmp_path):
+    """content=2 delete file + equality_ids removes every row matching a
+    key row on the equality columns; non-matching rows untouched."""
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_delete_equality,
+        iceberg_scan,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "eq")
+    iceberg_write(
+        _mk(spark, [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0), (4, "c", 4.0)]),
+        t,
+    )
+    n = iceberg_delete_equality(
+        spark, t, spark.createDataFrame([("a",), ("c",)], "grp string")
+    )
+    assert n == 2
+    assert {r.id for r in iceberg_scan(spark, t).collect()} == {2}
+
+
+def test_iceberg_equality_delete_strict_sequence(spark, tmp_path):
+    """The spec's strict rule: an equality delete applies ONLY to data
+    files with a smaller data sequence number, so re-appending a deleted
+    key (the CDC upsert pattern) survives — and a SECOND delete at a
+    higher sequence number removes it again."""
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_delete_equality,
+        iceberg_scan,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "eqseq")
+    iceberg_write(_mk(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    keys = spark.createDataFrame([("a",)], "grp string")
+    iceberg_delete_equality(spark, t, keys)
+    assert {r.id for r in iceberg_scan(spark, t).collect()} == {2}
+    # upsert: new image of the 'a' row lands AFTER the delete
+    iceberg_write(_mk(spark, [(10, "a", 10.0)]), t)
+    assert {r.id for r in iceberg_scan(spark, t).collect()} == {2, 10}
+    # a fresh delete at a higher seq removes the new image too
+    iceberg_delete_equality(spark, t, keys)
+    assert {r.id for r in iceberg_scan(spark, t).collect()} == {2}
+
+
+def test_iceberg_equality_delete_multi_column_and_nulls(spark, tmp_path):
+    """Multi-column equality keys match null-safely (NULL key deletes
+    NULL rows — Iceberg equality semantics, not SQL three-valued)."""
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_delete_equality,
+        iceberg_scan,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "eqnull")
+    rows = [(1, "a", 1.0), (2, "a", 2.0), (3, None, 3.0), (4, "b", 1.0)]
+    iceberg_write(_mk(spark, rows), t)
+    keys = spark.createDataFrame([("a", 1.0), (None, 3.0)], "grp string, v double")
+    iceberg_delete_equality(spark, t, keys)
+    assert {r.id for r in iceberg_scan(spark, t).collect()} == {2, 4}
+
+
+def test_iceberg_equality_delete_time_travel_and_mix(spark, tmp_path):
+    """Pre-delete snapshots still see every row; equality + position
+    deletes compose in one live view."""
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_delete,
+        iceberg_delete_equality,
+        iceberg_scan,
+        iceberg_snapshots,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "eqmix")
+    iceberg_write(
+        _mk(spark, [(1, "a", 1.0), (2, "b", -2.0), (3, "c", 3.0), (4, "a", 4.0)]),
+        t,
+    )
+    iceberg_delete_equality(spark, t, spark.createDataFrame([("a",)], "grp string"))
+    iceberg_delete(spark, t, "v < 0")
+    assert {r.id for r in iceberg_scan(spark, t).collect()} == {3}
+    first = iceberg_snapshots(t)[0]["snapshot_id"]
+    assert len(iceberg_scan(spark, t, snapshot_id=first).collect()) == 4
+
+
+def test_iceberg_equality_delete_gates(spark, tmp_path):
+    """Precise errors: unknown key column; delete entry missing
+    equality_ids (a malformed/foreign manifest)."""
     import pytest as _pytest
 
     from hive_person_service_spark.sources.avro_ocf import read_ocf, write_ocf
     from hive_person_service_spark.sources.iceberg import (
         _MANIFEST_SCHEMA,
+        iceberg_delete_equality,
         iceberg_scan,
         iceberg_write,
     )
 
-    t = str(tmp_path / "eqdel")
-    iceberg_write(
-        spark.createDataFrame([(1, "a", 1.0)], "id long, grp string, v double"), t
-    )
-    # hand-craft an equality-delete entry into the live manifest
+    t = str(tmp_path / "eqgate")
+    iceberg_write(_mk(spark, [(1, "a", 1.0)]), t)
+    with _pytest.raises(ValueError, match="not in table schema"):
+        iceberg_delete_equality(
+            spark, t, spark.createDataFrame([(1,)], "nope int")
+        )
+    # hand-craft a content=2 entry with no equality_ids into the manifest
     import os
     from pathlib import Path
 
@@ -189,11 +278,12 @@ def test_iceberg_equality_deletes_still_gate(spark, tmp_path):
                 "file_format": "PARQUET",
                 "record_count": 1,
                 "file_size_in_bytes": 10,
+                "equality_ids": None,
             },
         }
     )
     Path(man).write_bytes(write_ocf(entries, _MANIFEST_SCHEMA))
-    with _pytest.raises(ValueError, match="EQUALITY deletes"):
+    with _pytest.raises(ValueError, match="without equality_ids"):
         iceberg_scan(spark, t).collect()
 
 
