@@ -268,13 +268,18 @@ def table_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _delta_dv_layout(spark: SparkSession, sf_dir: str) -> str:
     """Materialize (once per fixture identity) a Delta table from supplier
     with a DELETION-VECTOR delete of the negative-balance rows -- the
-    data files stay byte-identical; only bitmaps mark the deletions."""
+    data files stay byte-identical; only bitmaps mark the deletions.
+
+    The digest includes DV_CODEC_TAG: a DV framing change (e.g. the
+    31-bit -> full-32-bit CRC fix) orphans caches written under the old
+    framing instead of poisoning them into checksum failures."""
+    from ..sources.delta_dv import DV_CODEC_TAG
     from ..sources.delta_log import delta_delete, delta_write
 
     src = os.path.join(sf_dir, "supplier.parquet")
     st = os.stat(src)
     digest = hashlib.sha1(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:deltadv".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:deltadv:{DV_CODEC_TAG}".encode()
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"supplier_deltadv_{digest}")
     if not os.path.isdir(os.path.join(path, "_delta_log")):
@@ -410,6 +415,110 @@ def table_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
         F.max("s_suppkey").alias("max_key"),
+    )
+
+
+def _delta_id_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) an ID-mode column-mapped
+    Delta table. The parquet footers carry physical names fcol_<i> that
+    deliberately DISAGREE with the metadata's physicalName (col-<i>) --
+    only true field-id resolution (delta.columnMapping.id matched
+    against PARQUET:field_id) reads this table correctly, so the oracle
+    proves the id path, not a physicalName shortcut. Two data files
+    exercise the cross-file consistency check."""
+    import json as _json
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from ..sources.delta_log import _commit
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:deltaid".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_deltaid_{digest}")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+      with _atomic_layout(path) as tmp:
+        logical = [("s_suppkey", "long", pa.int64()),
+                   ("s_nationkey", "long", pa.int64()),
+                   ("s_acctbal", "double", pa.float64())]
+        tbl = papq.read_table(src, columns=[n for n, _, _ in logical])
+        arrow_fields = [
+            pa.field(
+                f"fcol_{i}", typ,
+                metadata={b"PARQUET:field_id": str(i + 1).encode()},
+            )
+            for i, (_n, _t, typ) in enumerate(logical)
+        ]
+        phys = pa.table(
+            [tbl.column(n).cast(typ) for n, _t, typ in logical],
+            schema=pa.schema(arrow_fields),
+        )
+        os.makedirs(os.path.join(tmp, "_delta_log"), exist_ok=True)
+        half = phys.num_rows // 2
+        adds = []
+        now = int(_time.time() * 1000)
+        for piece in (phys.slice(0, half), phys.slice(half)):
+            rel = f"part-{_uuid.uuid4().hex[:12]}.parquet"
+            full = os.path.join(tmp, rel)
+            papq.write_table(piece, full)
+            adds.append({"add": {
+                "path": rel, "partitionValues": {},
+                "size": os.path.getsize(full),
+                "modificationTime": now, "dataChange": True,
+            }})
+        fields = [
+            {"name": n, "type": t, "nullable": True,
+             "metadata": {"delta.columnMapping.id": i + 1,
+                          "delta.columnMapping.physicalName": f"col-{i}"}}
+            for i, (n, t, _typ) in enumerate(logical)
+        ]
+        _commit(tmp, 0, [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {"metaData": {
+                "id": digest,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps(
+                    {"type": "struct", "fields": fields}
+                ),
+                "partitionColumns": [],
+                "configuration": {"delta.columnMapping.mode": "id"},
+                "createdTime": 0,
+            }},
+            *adds,
+        ])
+    return path
+
+
+@declare(
+    "table_delta_id_mapping",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal,
+           MIN(s_suppkey) AS min_key
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def table_delta_id_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-mode column mapping read path (closes the last Delta
+    column-mapping gate): the footers' physical names disagree with the
+    metadata's physicalName, so only resolving delta.columnMapping.id
+    against the PARQUET:field_id footer tags -- the protocol's id-mode
+    rule -- yields the logical schema. Oracle over the original supplier
+    proves the field-id resolution end-to-end across two data files."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_id_layout(spark, sf_dir)
+    s = delta_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.min("s_suppkey").alias("min_key"),
     )
 
 

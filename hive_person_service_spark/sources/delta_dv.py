@@ -36,6 +36,11 @@ import zlib
 
 import numpy as np
 
+# Bumped whenever the on-disk DV framing changes (fixture caches key on
+# it so a framing fix orphans old layouts instead of corrupting them).
+# "crc32full": full 32-bit CRC after the 31-bit-mask interop fix.
+DV_CODEC_TAG = "crc32full"
+
 # ---------------------------------------------------------------------------
 # Z85 (ZeroMQ RFC 32)
 # ---------------------------------------------------------------------------

@@ -23,11 +23,15 @@ SUPPORTED: sources/delta_dv.py implements the spec's z85 + RoaringBitmap
 portable format + DV file layout, ``delta_delete`` writes deletes as DVs
 (no data-file rewrite), ``delta_update`` composes DV-delete + append,
 and ``delta_scan`` applies DVs as a broadcast anti-join on
-``_metadata.row_index``. NAME-mode column mapping (readerVersion 2 /
-the ``columnMapping`` feature) is SUPPORTED as a projection rename from
-the schemaString field metadata. Classic multi-part checkpoints read by
-unioning the parts. Remaining reader-version gates (id-mode column
-mapping, v2 checkpoints, unknown features) raise a precise ValueError
+``_metadata.row_index``. Column mapping (readerVersion 2 / the
+``columnMapping`` feature) is SUPPORTED in BOTH modes: name mode as a
+projection rename from the schemaString field metadata, id mode by
+resolving ``delta.columnMapping.id`` against the ``PARQUET:field_id``
+footer metadata of the live files (authoritative over physical names,
+per the protocol), with physicalName fallback for untagged fields.
+Classic multi-part checkpoints read by unioning the parts. Remaining
+reader-version gates (v2 checkpoints, unknown features, per-file
+divergent physical names) raise a precise ValueError
 naming the feature -- the honest-gate pattern (same as the JPEG codec's
 arithmetic-coding gate).
 
@@ -190,12 +194,15 @@ def _snapshot(table: str, version_as_of: int | None = None):
 
 
 def _cm_phys_map(meta: dict) -> dict[str, str]:
-    """logical column name -> physical name when NAME-mode column mapping
-    is active; empty dict otherwise. Writers MUST map through this before
-    emitting data files, or the table becomes unreadable (the scan
-    renames physical -> logical and would find no physical columns)."""
+    """logical column name -> physical name when column mapping (name or
+    id mode) is active; empty dict otherwise. Writers MUST map through
+    this before emitting data files, or the table becomes unreadable
+    (the scan renames physical -> logical and would find no physical
+    columns). In id mode the metadata's physicalName is what this
+    writer emits (footer field-id resolution still wins on read for
+    files that carry ids)."""
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
-    if mode != "name":
+    if mode not in ("name", "id"):
         return {}
     return {
         f["name"]: (f.get("metadata") or {}).get(
@@ -255,25 +262,65 @@ def delta_scan(
             .select(*cols)
         )
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
-    if mode == "name":
-        # NAME-mode column mapping: data files carry physical names
-        # (col-<uuid>); the logical schema lives in metaData.schemaString
-        # field metadata. A pure projection rename -- pushdowns and
-        # pruning still act on the physical scan underneath.
+    if mode in ("name", "id"):
+        # Column mapping: data files carry physical names; the logical
+        # schema lives in metaData.schemaString field metadata. A pure
+        # projection rename -- pushdowns and pruning still act on the
+        # physical scan underneath.
+        #
+        # NAME mode resolves by delta.columnMapping.physicalName. ID mode
+        # resolves by parquet FIELD ID (delta.columnMapping.id matched
+        # against the PARQUET:field_id footer metadata of the live files
+        # -- driver-side footer reads, the same KB-scale planning tier as
+        # the log replay), falling back to physicalName for any field the
+        # footers don't id-tag. Footer names that disagree across files
+        # for one field id gate precisely: a single relational scan
+        # cannot remap per-file.
         from pyspark.sql import functions as F
 
-        rename = []
-        for f in json.loads(meta["schemaString"])["fields"]:
-            phys = (f.get("metadata") or {}).get(
+        fields = json.loads(meta["schemaString"])["fields"]
+        phys_of = {
+            f["name"]: (f.get("metadata") or {}).get(
                 "delta.columnMapping.physicalName", f["name"]
             )
-            rename.append(F.col(f"`{phys}`").alias(f["name"]))
+            for f in fields
+        }
+        if mode == "id":
+            import pyarrow.parquet as papq
+
+            id_to_logical: dict[int, str] = {}
+            for f in fields:
+                fid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+                if fid is None:
+                    raise ValueError(
+                        "Delta id-mode column mapping: field "
+                        f"{f['name']!r} has no delta.columnMapping.id"
+                    )
+                id_to_logical[int(fid)] = f["name"]
+            resolved: dict[str, str] = {}
+            for rel in sorted(files):
+                sch = papq.ParquetFile(os.path.join(table, rel)).schema_arrow
+                for fld in sch:
+                    raw = (fld.metadata or {}).get(b"PARQUET:field_id")
+                    if raw is None:
+                        continue
+                    logical = id_to_logical.get(int(raw))
+                    if logical is None:
+                        continue
+                    prev = resolved.get(logical)
+                    if prev is not None and prev != fld.name:
+                        raise ValueError(
+                            f"Delta id-mode: field id {int(raw)} maps to "
+                            f"different physical names across files "
+                            f"({prev!r} vs {fld.name!r}); per-file remap "
+                            "unsupported by this minimal client"
+                        )
+                    resolved[logical] = fld.name
+            phys_of.update(resolved)
+        rename = [
+            F.col(f"`{phys_of[f['name']]}`").alias(f["name"]) for f in fields
+        ]
         df = df.select(*rename)
-    elif mode == "id":
-        raise ValueError(
-            "Delta column mapping mode 'id' (parquet field-id resolution) "
-            "unsupported by this minimal client (mode 'name' is supported)"
-        )
     return df
 
 

@@ -318,7 +318,8 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
     assert {(r.id, r.grp, r.v) for r in got.collect()} == {
         (1, "a", 1.5), (2, "b", 2.5)
     }
-    # id mode gates precisely
+    # switching the same table to id mode: files carry no field ids, so
+    # resolution falls back to physicalName — still readable, same rows
     _commit(t, 2, [
         {"metaData": {
             "id": "cm-test", "format": {"provider": "parquet", "options": {}},
@@ -328,7 +329,131 @@ def test_delta_column_mapping_name_mode(spark, tmp_path):
             "createdTime": 0,
         }},
     ])
-    with pytest.raises(ValueError, match="mode 'id'"):
+    got2 = delta_scan(spark, t)
+    assert {(r.id, r.grp, r.v) for r in got2.collect()} == {
+        (1, "a", 1.5), (2, "b", 2.5)
+    }
+
+
+def _id_mode_table(tmp_path, name, files):
+    """Build an id-mode Delta table whose parquet FOOTER names disagree
+    with the metadata physicalName; ``files`` is a list of
+    (footer_names, rows) per data file."""
+    import os as _os
+    import time as _time
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from hive_person_service_spark.sources.delta_log import _commit
+
+    t = str(tmp_path / name)
+    _os.makedirs(_os.path.join(t, "_delta_log"), exist_ok=True)
+    types = [pa.int64(), pa.string(), pa.float64()]
+    adds = []
+    for footer_names, rows in files:
+        schema = pa.schema(
+            [
+                pa.field(n, ty, metadata={b"PARQUET:field_id": str(i + 1).encode()})
+                for i, (n, ty) in enumerate(zip(footer_names, types))
+            ]
+        )
+        tbl = pa.table(
+            [pa.array([r[i] for r in rows], ty) for i, ty in enumerate(types)],
+            schema=schema,
+        )
+        rel = f"part-{_uuid.uuid4().hex[:10]}.parquet"
+        papq.write_table(tbl, _os.path.join(t, rel))
+        adds.append({"add": {
+            "path": rel, "partitionValues": {},
+            "size": _os.path.getsize(_os.path.join(t, rel)),
+            "modificationTime": int(_time.time() * 1000), "dataChange": True,
+        }})
+    fields = [
+        {"name": n, "type": ty, "nullable": True,
+         "metadata": {"delta.columnMapping.id": i + 1,
+                      "delta.columnMapping.physicalName": f"col-{i}"}}
+        for i, (n, ty) in enumerate(
+            [("id", "long"), ("grp", "string"), ("v", "double")]
+        )
+    ]
+    _commit(t, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "cmid-test", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }},
+        *adds,
+    ])
+    return t
+
+
+def test_delta_column_mapping_id_mode(spark, tmp_path):
+    """ID mode resolves by PARQUET:field_id, authoritative over the
+    metadata physicalName (footer names here are fcol_*, physicalName
+    says col-*)."""
+    from hive_person_service_spark.sources.delta_log import delta_scan
+
+    t = _id_mode_table(
+        tmp_path, "cmid",
+        [
+            (["fcol_a", "fcol_b", "fcol_c"], [(1, "a", 1.5)]),
+            (["fcol_a", "fcol_b", "fcol_c"], [(2, "b", 2.5)]),
+        ],
+    )
+    got = delta_scan(spark, t)
+    assert got.columns == ["id", "grp", "v"]
+    assert {(r.id, r.grp, r.v) for r in got.collect()} == {
+        (1, "a", 1.5), (2, "b", 2.5)
+    }
+
+
+def test_delta_id_mode_divergent_footers_gate(spark, tmp_path):
+    """One field id mapping to different footer names across files gates
+    precisely (a single relational scan cannot remap per-file)."""
+    from hive_person_service_spark.sources.delta_log import delta_scan
+
+    t = _id_mode_table(
+        tmp_path, "cmiddiv",
+        [
+            (["fcol_a", "fcol_b", "fcol_c"], [(1, "a", 1.5)]),
+            (["other_a", "fcol_b", "fcol_c"], [(2, "b", 2.5)]),
+        ],
+    )
+    with pytest.raises(ValueError, match="different physical names"):
+        delta_scan(spark, t)
+
+
+def test_delta_id_mode_missing_id_gate(spark, tmp_path):
+    """id mode with a field missing delta.columnMapping.id gates."""
+    from hive_person_service_spark.sources.delta_log import _commit, delta_scan
+
+    t = _id_mode_table(
+        tmp_path, "cmidmiss", [(["fcol_a", "fcol_b", "fcol_c"], [(1, "a", 1.5)])]
+    )
+    fields = [
+        {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "grp", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 2,
+                      "delta.columnMapping.physicalName": "col-1"}},
+        {"name": "v", "type": "double", "nullable": True,
+         "metadata": {"delta.columnMapping.id": 3,
+                      "delta.columnMapping.physicalName": "col-2"}},
+    ]
+    _commit(t, 1, [
+        {"metaData": {
+            "id": "cmid-test", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": fields}),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"},
+            "createdTime": 0,
+        }},
+    ])
+    with pytest.raises(ValueError, match="no delta.columnMapping.id"):
         delta_scan(spark, t)
 
 
