@@ -20,9 +20,10 @@ Scope:
     full T.81 Annex G successive-approximation process: DC first/refine
     scans (interleaved or not), AC first scans with EOB-run coding, and
     AC refinement scans with correction bits -- coefficients accumulate
-    across scans, IDCT happens once at the end. Arithmetic coding
-    (SOF9/SOF10) and hierarchical/lossless frames raise ValueError --
-    recognized, error precise.
+    across scans, IDCT happens once at the end. Sequential ARITHMETIC
+    frames (SOF9) route to the QM-coder decoder in jpeg_arith.py;
+    progressive-arithmetic (SOF10) and hierarchical/lossless frames
+    raise ValueError -- recognized, error precise.
   * encode_jpeg_progressive_gray / encode_jpeg_progressive_color: emit
     a libjpeg-style multi-scan script (DC Al=1, AC bands 1-5 / 6-63 at
     Al=2, per-band refinements down to Al=0, DC refine) so the decoder's
@@ -389,8 +390,9 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
     all components' blocks to keep the bitstream in sync, and reconstruct
     the Y plane only (gray = luma; chroma coefficients are decoded and
     discarded). Progressive (SOF2) streams route to the multi-scan
-    successive-approximation decoder; arithmetic-coded and hierarchical
-    frames raise ValueError."""
+    successive-approximation decoder and sequential-arithmetic (SOF9)
+    streams to the QM-coder decoder; progressive-arithmetic and
+    hierarchical frames raise ValueError."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -443,8 +445,15 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
             return _decode_progressive_gray(raw)
         elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
             raise ValueError("only baseline (SOF0) or progressive (SOF2) supported")
-        elif marker in (0xFFC9, 0xFFCA, 0xFFCB):
-            raise ValueError("arithmetic-coded JPEG unsupported (Huffman only)")
+        elif marker == 0xFFC9:
+            from .jpeg_arith import decode_jpeg_arith_gray
+
+            return decode_jpeg_arith_gray(raw)
+        elif marker in (0xFFCA, 0xFFCB):
+            raise ValueError(
+                "progressive/lossless ARITHMETIC JPEG unsupported "
+                "(sequential SOF9 is supported)"
+            )
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xFFDA:

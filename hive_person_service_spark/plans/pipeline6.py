@@ -242,6 +242,82 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(checksum, ck_schema)
 
 
+@declare(
+    "multimodal_jpeg_arith",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(16 + doc_id % 8 AS BIGINT) AS width,
+           CAST(16 + doc_id % 5 AS BIGINT) AS height,
+           TRUE AS identical,
+           TRUE AS smaller
+    FROM documents
+    WHERE doc_id % 4 = 0
+    """,
+)
+def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARITHMETIC-coded JPEG (SOF9) through the engine -- the QM coder
+    of T.81 Annexes D/F (operators/jpeg_arith.py), the round-6 close of
+    the last codec gate. Per sampled document: synthesize the
+    deterministic pixel pattern, encode it BOTH ways (Huffman baseline
+    + arithmetic) and decode both through decode_jpeg_gray's frame
+    dispatch. ``identical`` asserts the two decodes are bit-equal
+    (same quantized coefficients -> any coder/model asymmetry flips it
+    to false) and ``smaller`` that the adaptive coder beat Huffman on
+    this blob; the DuckDB oracle predicts both flags TRUE plus the
+    id-derived dimensions, so this lossy-codec path is fully
+    oracle-CHECKED, not rows-only. Arrow-batched mapInPandas, one
+    Python pass per blob -- the declared multimodal extension-point
+    shape."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    from ..operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from ..operators.jpeg_arith import encode_jpeg_arith_gray
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("identical", BooleanType()),
+            StructField("smaller", BooleanType()),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid in pdf["asset_id"].astype("int64"):
+                w = 16 + int(aid) % 8
+                h = 16 + int(aid) % 5
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((3 * x + 7 * y + int(aid)) % 256).astype(np.uint8)
+                huff = encode_jpeg_gray(px, quality=85)
+                arth = encode_jpeg_arith_gray(px, quality=85)
+                ident = bool(
+                    np.array_equal(
+                        decode_jpeg_gray(huff), decode_jpeg_gray(arth)
+                    )
+                )
+                out.append((int(aid), w, h, ident, len(arth) < len(huff)))
+            yield pd.DataFrame(
+                out,
+                columns=["asset_id", "width", "height", "identical",
+                         "smaller"],
+            )
+
+    return d.mapInPandas(work, schema)
+
+
 @declare("multimodal_jpeg_roundtrip", oracle=None)  # rows-only: DCT not SQL
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOSSY codec through the engine: per document, synthesize the

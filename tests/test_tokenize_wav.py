@@ -169,8 +169,10 @@ def test_jpeg_roundtrip_and_variant_errors():
         assert err.max() <= bound, (h, w, q, err.max())
 
     good = encode_jpeg_gray(flat, 90)
-    with pytest.raises(ValueError, match="arithmetic"):
-        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc9", 1))
+    # SOF9 now routes to the sequential-arithmetic decoder; the
+    # remaining precise gate is progressive/lossless arithmetic
+    with pytest.raises(ValueError, match="ARITHMETIC"):
+        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xca", 1))
     with pytest.raises(ValueError, match="SOF0.*SOF2|progressive"):
         decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
     with pytest.raises(ValueError, match="SOI"):
