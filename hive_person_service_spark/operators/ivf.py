@@ -120,19 +120,37 @@ def ivf_add_vectors(spark, root: str, new_emb: DataFrame) -> int:
     return n
 
 
-def ivf_delete_vectors(spark, root: str, ids: list, id_col: str = "vec_id") -> int:
+def ivf_delete_vectors(spark, root: str, ids, id_col: str = "vec_id") -> int:
     """Incrementally DELETE vectors from a persisted IVF index: locate the
     cells holding the ids (one pruned scan), then rewrite ONLY those cell
     partitions via dynamic partition overwrite -- untouched cells keep
-    their files byte-identical (pytest pins this). Returns rows deleted."""
+    their files byte-identical (pytest pins this). Returns rows deleted.
+
+    ``ids`` may be a Python list (small maintenance batches: stays an
+    in-plan literal predicate) or a DataFrame of ids (large delete sets:
+    broadcast semi/anti joins, so the plan size is independent of the
+    delete cardinality -- the 100 TB shape; a million-literal ``isin``
+    would bloat the plan itself)."""
+    from pyspark.sql import DataFrame as _DF
+
     vectors = spark.read.parquet(f"{root}/vectors")
-    id_set = [int(i) for i in ids]
+    if isinstance(ids, _DF):
+        ids_df = F.broadcast(
+            ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
+            .distinct()
+        )
+        matches = vectors.join(ids_df, id_col, "semi")
+
+        def drop_deleted(df):
+            return df.join(ids_df, id_col, "left_anti")
+    else:
+        id_set = [int(i) for i in ids]
+        matches = vectors.where(F.col(id_col).isin(id_set))
+
+        def drop_deleted(df):
+            return df.where(~F.col(id_col).isin(id_set))
     affected = [
-        r.cell
-        for r in vectors.where(F.col(id_col).isin(id_set))
-        .select("cell")
-        .distinct()
-        .collect()
+        r.cell for r in matches.select("cell").distinct().collect()
     ]
     if not affected:
         return 0
@@ -142,8 +160,8 @@ def ivf_delete_vectors(spark, root: str, ids: list, id_col: str = "vec_id") -> i
     # (other versions/committers raise or can corrupt). localCheckpoint
     # snapshots the affected cells' survivors (bounded: only the touched
     # partitions) so the overwrite reads from block storage, not the path.
-    survivors = vectors.where(
-        F.col("cell").isin(affected) & ~F.col(id_col).isin(id_set)
+    survivors = drop_deleted(
+        vectors.where(F.col("cell").isin(affected))
     ).localCheckpoint(eager=True)
     surviving_cells = {
         r.cell for r in survivors.select("cell").distinct().collect()

@@ -363,3 +363,56 @@ def test_ivfpq_recall_floor_and_monotone(spark):
     assert curve[-1] >= 0.9, f"recall@10 floor broken at nprobe=8: {curve}"
     for lo, hi in zip(curve, curve[1:]):
         assert hi >= lo - 1e-9, f"recall not monotone in nprobe: {curve}"
+
+
+def test_ivf_delete_vectors_dataframe_ids(spark, tmp_path):
+    """Large-delete-set path: ids arrive as a DataFrame and are applied
+    via broadcast semi/anti joins (plan size independent of delete
+    cardinality); untouched cells stay byte-identical, same contract as
+    the literal-list path."""
+    import os
+
+    from hive_person_service_spark.operators.ivf import (
+        ivf_delete_vectors,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    n0 = emb.count()
+    root = str(tmp_path / "ivf_dfdel")
+    write_ivf_index(emb, root, nlist=16)
+    vectors, _ = read_ivf_index(spark, root)
+    victims = vectors.limit(40).select("vec_id")
+    victim_ids = {r.vec_id for r in victims.collect()}
+    victim_cells = {
+        r.cell
+        for r in vectors.where(
+            F.col("vec_id").isin([int(i) for i in victim_ids])
+        ).select("cell").distinct().collect()
+    }
+
+    def cell_state():
+        out = {}
+        vdir = os.path.join(root, "vectors")
+        for d in sorted(os.listdir(vdir)):
+            if d.startswith("cell="):
+                out[d] = sorted(
+                    f for f in os.listdir(os.path.join(vdir, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = cell_state()
+    deleted = ivf_delete_vectors(spark, root, victims)
+    assert deleted == len(victim_ids)
+    after = cell_state()
+    for d, files in before.items():
+        cell_id = int(d.split("=")[1])
+        if cell_id not in victim_cells and d in after:
+            assert after[d] == files, f"delete rewrote untouched {d}"
+    vectors2, _ = read_ivf_index(spark, root)
+    assert vectors2.count() == n0 - len(victim_ids)
+    assert vectors2.where(
+        F.col("vec_id").isin([int(i) for i in victim_ids])
+    ).count() == 0
