@@ -21,9 +21,14 @@ Scope:
     scans (interleaved or not), AC first scans with EOB-run coding, and
     AC refinement scans with correction bits -- coefficients accumulate
     across scans, IDCT happens once at the end. Sequential ARITHMETIC
-    frames (SOF9) route to the QM-coder decoder in jpeg_arith.py;
-    progressive-arithmetic (SOF10) and hierarchical/lossless frames
-    raise ValueError -- recognized, error precise.
+    frames (SOF9) route to the QM-coder decoder in jpeg_arith.py and
+    LOSSLESS frames (SOF3) to the Annex-H predictive decoder below;
+    progressive-arithmetic (SOF10) and hierarchical frames raise
+    ValueError -- recognized, error precise.
+  * encode_jpeg_lossless_gray / _decode_lossless_gray: T.81 Annex H
+    lossless process -- per-sample prediction (selectors 1-7, point
+    transform) + Huffman-coded mod-2^16 differences, EXACT roundtrip
+    (pinned bit-for-bit), restart intervals honored.
   * encode_jpeg_progressive_gray / encode_jpeg_progressive_color: emit
     a libjpeg-style multi-scan script (DC Al=1, AC bands 1-5 / 6-63 at
     Al=2, per-band refinements down to Al=0, DC refine) so the decoder's
@@ -443,8 +448,13 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
                 )
         elif marker == 0xFFC2:
             return _decode_progressive_gray(raw)
-        elif marker in (0xFFC1, 0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7):
-            raise ValueError("only baseline (SOF0) or progressive (SOF2) supported")
+        elif marker == 0xFFC3:
+            return _decode_lossless_gray(raw)
+        elif marker in (0xFFC1, 0xFFC5, 0xFFC6, 0xFFC7):
+            raise ValueError(
+                "extended-sequential/hierarchical JPEG frames unsupported "
+                "(SOF0/SOF2/SOF3/SOF9 are supported)"
+            )
         elif marker == 0xFFC9:
             from .jpeg_arith import decode_jpeg_arith_gray
 
@@ -1240,3 +1250,179 @@ def encode_jpeg_progressive_color(rgb: np.ndarray, quality: int = 90) -> bytes:
         [_DC_CODES, _DC_C_CODES, _DC_C_CODES],
         h, w,
     )
+
+
+# ---------------------------------------------------------------------------
+# LOSSLESS JPEG (SOF3, T.81 Annex H): spatial prediction + Huffman-coded
+# differences -- no DCT, no quantization, exact roundtrip.
+# ---------------------------------------------------------------------------
+
+# difference categories 0..16 need their own table (Annex-K DC tables
+# stop at 11); any canonical table works since DHT ships in-stream.
+_LL_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+_LL_VALS = list(range(17))
+_LL_CODES = _build_codes(_LL_BITS, _LL_VALS)
+
+
+def _ll_predict(s: np.ndarray, y: int, x: int, pred: int, default: int) -> int:
+    """T.81 H.1.2 prediction: a=left, b=above, c=above-left; the first
+    sample uses the default (2^(P-Pt-1)), the rest of the first line
+    predictor 1, the first column of later lines predictor 2."""
+    if y == 0 and x == 0:
+        return default
+    if y == 0:
+        return int(s[0, x - 1])
+    if x == 0:
+        return int(s[y - 1, 0])
+    a = int(s[y, x - 1])
+    b = int(s[y - 1, x])
+    c = int(s[y - 1, x - 1])
+    if pred == 1:
+        return a
+    if pred == 2:
+        return b
+    if pred == 3:
+        return c
+    if pred == 4:
+        return a + b - c
+    if pred == 5:
+        return a + ((b - c) >> 1)
+    if pred == 6:
+        return b + ((a - c) >> 1)
+    if pred == 7:
+        return (a + b) >> 1
+    raise ValueError(f"lossless predictor {pred} out of range 1-7")
+
+
+def encode_jpeg_lossless_gray(
+    px: np.ndarray, predictor: int = 1, pt: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w) uint8 array LOSSLESSLY (SOF3): per-sample
+    prediction (selector 1-7 in SOS.Ss, optional point transform
+    SOS.Al) and Huffman-coded modulo-2^16 differences with the 0..16
+    category alphabet (16 = diff 32768, no extra bits). Exact
+    roundtrip -- decode returns the input bit-for-bit, which is the
+    pin lossy DCT paths can never offer. Restart intervals flush the
+    bit stream and reset prediction every R samples."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} out of range 1-7")
+    h, w = px.shape
+    s = (px.astype(np.int64) >> pt)
+    default = 1 << (8 - pt - 1)
+    wr = _BitWriter()
+    pieces: list[bytes] = []
+    n = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n and n % restart_interval == 0:
+                wr.flush()
+                pieces.append(bytes(wr.out))
+                pieces.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) & 7
+                wr = _BitWriter()
+            # a restart resets prediction to scan-start state: the next
+            # sample is coded as the FIRST sample (default predictor)
+            first = restart_interval and n and n % restart_interval == 0
+            p = default if first else _ll_predict(s, y, x, predictor, default)
+            n += 1
+            diff = (int(s[y, x]) - p) & 0xFFFF
+            if diff == 0x8000:
+                c, ln = _LL_CODES[16]
+                wr.put(c, ln)  # category 16: no extra bits
+                continue
+            if diff >= 0x8000:
+                diff -= 0x10000
+            size, amp = _magnitude(diff)
+            c, ln = _LL_CODES[size]
+            wr.put(c, ln)
+            if size:
+                wr.put(amp, size)
+    wr.flush()
+    pieces.append(bytes(wr.out))
+    scan = b"".join(pieces)
+    sof = _seg(0xFFC3, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = _seg(0xFFC4, b"\x00" + bytes(_LL_BITS) + bytes(_LL_VALS))
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    sos = _seg(0xFFDA, bytes([1, 1, 0x00, predictor, 0, pt]))
+    app0 = _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + sof + dht + dri + sos + scan + b"\xff\xd9"
+
+
+def _decode_lossless_gray(raw: bytes) -> np.ndarray:
+    """Decode a single-component SOF3 stream: parse DHT/SOF3/DRI/SOS,
+    then reverse the prediction sample by sample (mod 2^16), honoring
+    restart markers (prediction + bit stream reset)."""
+    pos = 2
+    htables: dict[int, dict[tuple[int, int], int]] = {}
+    h = w = 0
+    prec = 8
+    ncomp = 0
+    restart_interval = 0
+    predictor = 1
+    pt = 0
+    dc_tab = 0
+    scan_data = b""
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = struct.unpack_from(">H", raw, pos)[0]
+        if marker == 0xFFD9:
+            break
+        length = struct.unpack_from(">H", raw, pos + 2)[0]
+        payload = raw[pos + 4 : pos + 2 + length]
+        if marker == 0xFFC4:
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0xF
+                bits = list(payload[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(payload[i + 17 : i + 17 + cnt])
+                if tc == 0:
+                    htables[th] = _build_decode_map(bits, vals)
+                i += 17 + cnt
+        elif marker == 0xFFC3:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit lossless JPEG supported")
+            if ncomp != 1:
+                raise ValueError(
+                    "multi-component lossless JPEG unsupported "
+                    "(single-component grayscale is supported)"
+                )
+        elif marker == 0xFFDD:
+            restart_interval = struct.unpack_from(">H", payload, 0)[0]
+        elif marker == 0xFFDA:
+            dc_tab = payload[2] >> 4
+            predictor = payload[3]  # Ss = predictor selector
+            pt = payload[5] & 0xF  # Al = point transform
+            scan_data = raw[pos + 2 + length :]
+            break
+        pos += 2 + length
+    if not scan_data or h == 0:
+        raise ValueError("truncated lossless JPEG (no scan data)")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} out of range 1-7")
+    table = htables[dc_tab]
+    default = 1 << (8 - pt - 1)
+    s = np.zeros((h, w), dtype=np.int64)
+    rd = _BitReader(scan_data)
+    n = 0
+    for y in range(h):
+        for x in range(w):
+            restarted = restart_interval and n and n % restart_interval == 0
+            if restarted:
+                rd.sync_restart()
+            p = default if restarted else _ll_predict(
+                s, y, x, predictor, default
+            )
+            n += 1
+            size = _read_huff(rd, table)
+            if size == 16:
+                diff = 0x8000
+            else:
+                diff = _extend(rd.bits(size), size)
+            s[y, x] = (p + diff) & 0xFFFF
+    return np.clip((s & 0xFFFF) << pt, 0, 255).astype(np.uint8)

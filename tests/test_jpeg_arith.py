@@ -178,3 +178,47 @@ def test_flat_and_extreme_images():
             d_h = decode_jpeg_gray(encode_jpeg_gray(px, q))
             d_a = decode_jpeg_arith_gray(encode_jpeg_arith_gray(px, q))
             assert np.array_equal(d_h, d_a)
+
+
+# --- lossless (SOF3) pins: exact roundtrip is the strongest possible ---
+
+from hive_person_service_spark.operators.jpeg import (  # noqa: E402
+    encode_jpeg_lossless_gray,
+)
+
+
+def test_lossless_exact_roundtrip_all_predictors():
+    rng = np.random.default_rng(3)
+    for hw in [(1, 1), (5, 3), (16, 24), (48, 64)]:
+        px = rng.integers(0, 256, hw, dtype=np.uint8)
+        for pred in range(1, 8):
+            raw = encode_jpeg_lossless_gray(px, predictor=pred)
+            assert np.array_equal(decode_jpeg_gray(raw), px), (hw, pred)
+
+
+def test_lossless_compresses_smooth_images():
+    yy, xx = np.mgrid[0:64, 0:64]
+    px = (128 + 60 * np.sin(yy / 9) + 50 * np.cos(xx / 7)).clip(
+        0, 255
+    ).astype(np.uint8)
+    raw = encode_jpeg_lossless_gray(px, predictor=4)
+    assert len(raw) < 64 * 64 * 0.6  # prediction removes most entropy
+    assert np.array_equal(decode_jpeg_gray(raw), px)
+
+
+def test_lossless_point_transform_and_restarts():
+    px = _image(40, 56, 9)
+    for pt in (1, 2):
+        dec = decode_jpeg_gray(encode_jpeg_lossless_gray(px, 4, pt=pt))
+        assert np.array_equal(dec, (px >> pt) << pt)
+    raw = encode_jpeg_lossless_gray(px, predictor=7, restart_interval=64)
+    assert b"\xff\xd0" in raw
+    assert np.array_equal(decode_jpeg_gray(raw), px)
+
+
+def test_lossless_gates():
+    px = _image(16, 16)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless_gray(px, predictor=0)
+    with pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless_gray(px, predictor=8)

@@ -173,8 +173,8 @@ def test_jpeg_roundtrip_and_variant_errors():
     # remaining precise gate is progressive/lossless arithmetic
     with pytest.raises(ValueError, match="ARITHMETIC"):
         decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xca", 1))
-    with pytest.raises(ValueError, match="SOF0.*SOF2|progressive"):
-        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    with pytest.raises(ValueError, match="hierarchical"):
+        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc5", 1))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_gray(b"\x00\x01" + good[2:])
     # a baseline SCAN mislabeled as a progressive frame is rejected, not
