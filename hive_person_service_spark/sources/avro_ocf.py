@@ -181,10 +181,18 @@ def _encoder(node: Any) -> Callable[[io.BytesIO, Any], None]:
     if t == "record":
         fenc = [_encoder(f["type"]) for f in node["fields"]]
         names = [f["name"] for f in node["fields"]]
+        # a record may predate a later-added optional field (e.g. an old
+        # manifest entry re-encoded under a newer schema): a missing key
+        # encodes as null ONLY when the field type admits null -- for
+        # required fields the KeyError stays, it's a real schema breach
+        nullable = [
+            isinstance(f["type"], list) and "null" in f["type"]
+            for f in node["fields"]
+        ]
 
         def enc_rec(buf, v):
-            for n, e in zip(names, fenc):
-                e(buf, v[n])
+            for n, e, opt in zip(names, fenc, nullable):
+                e(buf, v.get(n) if opt else v[n])
 
         return enc_rec
     if t == "array":

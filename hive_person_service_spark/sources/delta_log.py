@@ -212,16 +212,134 @@ def _cm_phys_map(meta: dict) -> dict[str, str]:
     }
 
 
+def _version_at_timestamp(table: str, ts_ms: int) -> int:
+    """Latest version whose commit timestamp (commitInfo.timestamp,
+    falling back to the commit file's mtime) is <= ts_ms. Errors when
+    the earliest reconstructable commit is already later."""
+    best = None
+    for v in _list_versions(table):
+        t = None
+        for line in _version_file(table, v).read_text().splitlines():
+            if not line.strip():
+                continue
+            ci = json.loads(line).get("commitInfo")
+            if ci and ci.get("timestamp") is not None:
+                t = int(ci["timestamp"])
+                break
+        if t is None:
+            t = int(_version_file(table, v).stat().st_mtime * 1000)
+        if t <= ts_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before timestamp {ts_ms} in {table}"
+        )
+    return best
+
+
+def _typed_stat(v, spark_type: str):
+    """Canonicalize one stats/partition value for comparison by the
+    column's Spark type. Date/timestamp stats serialize as fixed-width
+    ISO strings, so string compare IS chronological -- pass them through;
+    callers supply literals in the same ISO form."""
+    if v is None:
+        return None
+    if spark_type in ("long", "integer", "short", "byte"):
+        return int(v)
+    if spark_type in ("double", "float"):
+        return float(v)
+    if spark_type == "boolean":
+        return v if isinstance(v, bool) else str(v).lower() == "true"
+    return str(v)
+
+
+def _prune_adds(
+    files: dict[str, dict], meta: dict, skip_filters: list[tuple] | None
+) -> dict[str, dict]:
+    """Data skipping from add-action metadata alone: drop files whose
+    per-file ``stats`` (minValues/maxValues -- the Delta spec's skipping
+    payload) or hive partitionValues PROVE the (col, op, value) filters
+    can't match. Conservative on every unknown (no stats, column absent,
+    all-null)."""
+    if not skip_filters:
+        return files
+    type_of = {
+        f["name"]: f["type"] if isinstance(f["type"], str) else "complex"
+        for f in json.loads(meta["schemaString"])["fields"]
+    }
+    part_cols = set(meta.get("partitionColumns") or [])
+
+    def possible(op, lo, hi, val) -> bool:
+        if op == "=":
+            return (lo is None or not val < lo) and (hi is None or not hi < val)
+        if op == ">=":
+            return hi is None or not hi < val
+        if op == ">":
+            return hi is None or val < hi
+        if op == "<=":
+            return lo is None or not val < lo
+        if op == "<":
+            return lo is None or lo < val
+        raise ValueError(f"unsupported pruning op {op!r}")
+
+    kept: dict[str, dict] = {}
+    for rel, add in files.items():
+        stats = add.get("stats")
+        st = json.loads(stats) if isinstance(stats, str) else None
+        ok = True
+        for col, op, val in skip_filters:
+            t = type_of.get(col)
+            if t is None or t == "complex":
+                continue
+            if col in part_cols:
+                raw = (add.get("partitionValues") or {}).get(col)
+                if raw is not None:
+                    pv = _typed_stat(raw, t)
+                    if not possible(op, pv, pv, _typed_stat(val, t)):
+                        ok = False
+                        break
+                continue
+            if not st:
+                continue
+            lo = _typed_stat((st.get("minValues") or {}).get(col), t)
+            hi = _typed_stat((st.get("maxValues") or {}).get(col), t)
+            if lo is None and hi is None:
+                continue
+            if not possible(op, lo, hi, _typed_stat(val, t)):
+                ok = False
+                break
+        if ok:
+            kept[rel] = add
+    return kept
+
+
 def delta_scan(
     spark: SparkSession,
     table: str,
     version_as_of: int | None = None,
+    skip_filters: list[tuple] | None = None,
+    timestamp_as_of_ms: int | None = None,
 ) -> DataFrame:
-    """Read a Delta table at HEAD (or ``version_as_of``): replay the log
-    driver-side, then scan exactly the live files as plain parquet.
-    basePath keeps hive-style partition columns; an empty snapshot
-    returns an empty DataFrame with the schema from metaData."""
+    """Read a Delta table at HEAD (or ``version_as_of`` /
+    ``timestamp_as_of_ms`` -- the latest commit at or before the
+    timestamp, SQL's ``TIMESTAMP AS OF``): replay the log driver-side,
+    then scan exactly the live files as plain parquet. basePath keeps
+    hive-style partition columns; an empty snapshot returns an empty
+    DataFrame with the schema from metaData.
+
+    ``skip_filters`` = [(column, op, value)] prunes files from the
+    add-actions' per-file ``stats`` and partitionValues BEFORE Spark
+    lists them (the Delta data-skipping design). It is an optimization
+    hint, not a row filter -- callers still apply their real predicate;
+    date/timestamp literals are ISO strings matching the stats form."""
+    if timestamp_as_of_ms is not None:
+        if version_as_of is not None:
+            raise ValueError(
+                "pass version_as_of OR timestamp_as_of_ms, not both"
+            )
+        version_as_of = _version_at_timestamp(table, timestamp_as_of_ms)
     files, meta, _, _ = _snapshot(table, version_as_of)
+    files = _prune_adds(files, meta, skip_filters)
     if not files:
         from pyspark.sql.types import StructType
 
@@ -343,9 +461,69 @@ def delta_history(table: str) -> list[dict]:
     return out
 
 
+def _file_stats_json(full: str) -> str | None:
+    """Per-file statistics for the add action's ``stats`` field (the
+    Delta spec's data-skipping payload): numRecords, minValues,
+    maxValues, nullCount -- aggregated from the parquet FOOTER's
+    row-group statistics (no data read). Timestamps/dates serialize as
+    fixed-width ISO strings, so lexicographic compare = chronological
+    (what the skipping reader relies on). Columns without footer stats
+    are simply absent (absent = unknown = never prune)."""
+    import datetime as _dt
+
+    import pyarrow.parquet as papq
+
+    def _js(v):
+        if isinstance(v, _dt.datetime):
+            return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return None  # binary min/max not representable in JSON stats
+        return v
+
+    try:
+        md = papq.ParquetFile(full).metadata
+    except Exception:
+        return None
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue  # nested leaves: skip (top-level skipping only)
+            st = col.statistics
+            if st is None:
+                continue
+            if st.null_count is not None:
+                nulls[name] = nulls.get(name, 0) + int(st.null_count)
+            if not st.has_min_max:
+                continue
+            mn, mx = _js(st.min), _js(st.max)
+            if mn is None or mx is None:
+                continue
+            if name not in mins or mn < mins[name]:
+                mins[name] = mn
+            if name not in maxs or mx > maxs[name]:
+                maxs[name] = mx
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
 def _write_data_files(df: DataFrame, table: str, partition_by: list[str]) -> list[dict]:
     """Write df's rows as parquet files under a unique subdir; return
-    add-actions (path relative to the table root)."""
+    add-actions (path relative to the table root) carrying per-file
+    ``stats`` harvested from the parquet footers."""
     sub = f"part-{uuid.uuid4().hex[:12]}"
     staging = os.path.join(table, sub)
     w = df.write.mode("overwrite")
@@ -365,6 +543,7 @@ def _write_data_files(df: DataFrame, table: str, partition_by: list[str]) -> lis
                 if "=" in piece:
                     k, val = piece.split("=", 1)
                     pvals[k] = val
+            stats = _file_stats_json(full)
             adds.append(
                 {
                     "path": rel,
@@ -372,6 +551,7 @@ def _write_data_files(df: DataFrame, table: str, partition_by: list[str]) -> lis
                     "size": os.path.getsize(full),
                     "modificationTime": now,
                     "dataChange": True,
+                    **({"stats": stats} if stats else {}),
                 }
             )
     # drop the _SUCCESS marker -- the delta log IS the commit protocol
@@ -426,6 +606,10 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        # the spec's checkpoint stats column (JSON string);
+                        # dropping it would silently disable data skipping
+                        # for files only reachable through the checkpoint
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -468,6 +652,7 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
             "size": a.get("size"),
             "modificationTime": a.get("modificationTime"),
             "dataChange": a.get("dataChange", True),
+            "stats": a.get("stats"),
         }
 
     rows = [
@@ -669,13 +854,31 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
         .select("_dv_p", "_dv_i")
         .collect()
     )
-    new_by_file: dict[str, set[int]] = {}
-    for r in matches:
-        new_by_file.setdefault(rel_by_plain[r["_dv_p"]], set()).add(
-            int(r["_dv_i"])
-        )
+    pairs = [(rel_by_plain[r["_dv_p"]], int(r["_dv_i"])) for r in matches]
+    return _commit_dv_deletes(
+        table, files, proto, version, pairs,
+        op="DELETE", params={"predicate": predicate},
+    )
 
-    from .delta_dv import read_dv
+
+def _commit_dv_deletes(
+    table: str,
+    files: dict,
+    proto: dict,
+    version: int,
+    pairs: list[tuple[str, int]],
+    op: str,
+    params: dict,
+) -> int:
+    """Shared DV-delete commit tail (delta_delete / delta_merge): merge
+    the (relative path, row index) pairs into each file's complete
+    deletion bitmap, write one DV file, and commit remove+add flips.
+    Returns rows newly deleted."""
+    from .delta_dv import read_dv, serialize_bitmap, write_dv_file
+
+    new_by_file: dict[str, set[int]] = {}
+    for rel, idx in pairs:
+        new_by_file.setdefault(rel, set()).add(idx)
 
     affected: list[str] = []
     bitmaps: list[bytes] = []
@@ -701,8 +904,8 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
         {
             "commitInfo": {
                 "timestamp": now,
-                "operation": "DELETE",
-                "operationParameters": {"predicate": predicate},
+                "operation": op,
+                "operationParameters": params,
             }
         }
     ]
@@ -728,6 +931,67 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
         actions.append({"add": new_add})
     _commit(table, version + 1, actions)
     return n_new
+
+
+def delta_merge(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    keys: list[str],
+) -> dict:
+    """``MERGE INTO table USING source ON keys WHEN MATCHED THEN UPDATE
+    SET * WHEN NOT MATCHED THEN INSERT *`` -- the upsert form, executed
+    the way a DV-capable writer does: matched target rows are deletion-
+    vector deleted (no data-file rewrite), then ALL source rows are
+    appended (matched rows as their updated images, unmatched as
+    inserts). One delete commit + one append commit. ``source`` must be
+    key-unique (checked) and carry the table's columns. Returns
+    {"updated": n, "inserted": n}.
+
+    Scale shape: matching is a broadcast-or-shuffle equi-join emitting
+    only (file, row_index) pairs for matched rows (bounded by source
+    cardinality); the appended images never touch the driver."""
+    from pyspark.sql import functions as F
+
+    files, meta, proto, version = _snapshot(table)
+    if source.groupBy(*keys).count().where("count > 1").limit(1).count():
+        raise ValueError(f"merge source is not unique on keys {keys}")
+    src = source.localCheckpoint(eager=True)  # pin: read twice below
+    n_src = src.count()
+    n_matched = 0
+    if files:
+        paths = sorted(files)
+        rel_by_plain = {
+            os.path.abspath(os.path.join(table, p)): p for p in paths
+        }
+        df = spark.read.option("basePath", table).parquet(
+            *[os.path.join(table, p) for p in paths]
+        )
+        pm = _cm_phys_map(meta)
+        data_cols = (
+            [F.col(f"`{p}`").alias(l) for l, p in pm.items()]
+            if pm
+            else [F.col(c) for c in df.columns]
+        )
+        tagged = df.select(
+            *data_cols,
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("_dv_p"),
+            F.col("_metadata.row_index").alias("_dv_i"),
+        )
+        matches = (
+            tagged.join(F.broadcast(src.select(*keys).distinct()), on=keys)
+            .select("_dv_p", "_dv_i")
+            .collect()
+        )
+        pairs = [(rel_by_plain[r["_dv_p"]], int(r["_dv_i"])) for r in matches]
+        n_matched = _commit_dv_deletes(
+            table, files, proto, version, pairs,
+            op="MERGE", params={"matchedPredicate": f"keys={keys}"},
+        )
+    delta_write(src, table, mode="append")
+    return {"updated": n_matched, "inserted": n_src - n_matched}
 
 
 def delta_update(

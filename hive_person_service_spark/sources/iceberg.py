@@ -44,6 +44,36 @@ survives. Sequence numbers ride the manifest-list entries
 ``last-sequence-number`` in the table metadata, exactly the v2 spec
 fields.
 
+PARTITIONED tables are SUPPORTED (round 6): ``iceberg_write`` takes a
+``partition_spec`` of spec transforms (identity / bucket[N] / truncate[W]
+/ day / month / year -- bucket is the spec's Murmur3-x86-32, validated
+against the spec appendix test vectors in iceberg_transforms.py), records
+per-file partition values in manifest entries, and ``iceberg_scan``
+prunes files DRIVER-SIDE from the manifests before Spark ever lists them
+-- including inclusive predicate PROJECTION of source-column filters
+through the transforms. Manifest entries also carry per-column
+``lower_bounds``/``upper_bounds`` (spec Appendix D single-value
+serialization, harvested from parquet footers at write time -- footers
+only, no data read), so ``skip_filters`` prunes on column ranges too.
+At 100 TB this is the feature that matters: planning touches KBs of
+manifest metadata instead of listing/opening the files themselves.
+
+Deviations from the binary spec in the minimal client's manifests (both
+honest supersets -- entries written by this client remain self-
+describing Avro): partition values are stored as an array of
+(name, string) pairs rather than the per-spec ``r102`` record, and
+bounds as arrays of (field_id, bytes) records rather than Avro maps
+(the bytes themselves ARE the spec's single-value serialization).
+
+Schema evolution is SUPPORTED (round 6): data files carry parquet FIELD
+IDs (the spec requirement), ``iceberg_alter`` commits add-column /
+rename-column / drop-column schema versions, and the scan resolves
+columns by field id (Spark's native parquet field-id resolution), so
+renames re-map old files and added columns null-backfill -- no rewrite.
+
+Time travel accepts ``snapshot_id`` or ``as_of_timestamp_ms`` (latest
+snapshot at or before the timestamp, the SQL ``FOR TIMESTAMP AS OF``).
+
 Remaining reader gates, each a precise ValueError: format-version > 2;
 ORC/Avro data files. The metadata layer is driver-side (KBs of
 JSON/Avro; this mirrors how Iceberg's own planning works), so every
@@ -58,6 +88,8 @@ import re
 import time
 import uuid
 from pathlib import Path
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -123,12 +155,15 @@ def _resolve(table: str, location: str) -> str:
 def _plan_snapshot(table: str, meta: dict, snapshot_id: int | None) -> dict:
     """Plan a snapshot into its three v2 file classes::
 
-        {"data": [(path, seq)], "pos": [path],
+        {"data": [(path, seq, info)], "pos": [path],
          "eq": [(path, (field_id, ...), seq)]}
 
     ``seq`` is the manifest's data sequence number (v2); legacy/v1
     records without one read as 0, matching the spec's v1->v2 upgrade
-    rule (all pre-upgrade files get sequence number 0)."""
+    rule (all pre-upgrade files get sequence number 0). ``info`` carries
+    the pruning metadata the manifest entry recorded: ``partition``
+    ({name: raw-string-or-None}), ``lower``/``upper``
+    ({field_id: raw bytes})."""
     plan: dict = {"data": [], "pos": [], "eq": []}
     snaps = meta.get("snapshots", [])
     if not snaps:
@@ -160,7 +195,23 @@ def _plan_snapshot(table: str, meta: dict, snapshot_id: int | None) -> dict:
                 continue
             seen.add(path)
             if content == 0:
-                plan["data"].append((path, man_seq))
+                info = {
+                    "partition": {
+                        p["name"]: p["value"]
+                        for p in (df_rec.get("partition") or [])
+                    }
+                    if df_rec.get("partition") is not None
+                    else None,
+                    "lower": {
+                        b["field_id"]: b["value"]
+                        for b in (df_rec.get("lower_bounds") or [])
+                    },
+                    "upper": {
+                        b["field_id"]: b["value"]
+                        for b in (df_rec.get("upper_bounds") or [])
+                    },
+                }
+                plan["data"].append((path, man_seq, info))
             elif content == 1:
                 plan["pos"].append(path)
             else:
@@ -183,18 +234,80 @@ def _snapshot_files(
     """Back-compat wrapper: (data paths, row-level-delete paths)."""
     plan = _plan_snapshot(table, meta, snapshot_id)
     return (
-        [p for p, _ in plan["data"]],
+        [p for p, _s, _i in plan["data"]],
         plan["pos"] + [p for p, _ids, _s in plan["eq"]],
     )
 
 
 def _field_names_by_id(meta: dict) -> dict[int, str]:
-    schema = meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    schema = _current_schema(meta)
     return {f["id"]: f["name"] for f in schema.get("fields", [])}
 
 
+def _prune_plan(
+    plan: dict, meta: dict, skip_filters: list[tuple] | None
+) -> dict:
+    """Drop data files the manifests PROVE can't match ``skip_filters``
+    ((column, op, value) tuples; date/timestamp literals in canonical
+    days/micros). Partition values are compared typed; bounds decode via
+    the spec single-value serialization. Purely metadata-driven -- the
+    files are never listed, let alone opened."""
+    if not skip_filters:
+        return plan
+    from .iceberg_transforms import (
+        file_may_match,
+        partition_value_from_dir,
+        sv_decode,
+        transform_result_type,
+    )
+
+    schema = meta.get("schema") or (meta.get("schemas") or [{}])[0]
+    types_by_name = {f["name"]: f["type"] for f in schema.get("fields", [])}
+    name_to_id = {f["name"]: f["id"] for f in schema.get("fields", [])}
+    spec_fields = _spec_fields_from_meta(meta)
+    result_types = {
+        f["name"]: transform_result_type(
+            f["transform"], types_by_name[f["source"]]
+        )
+        for f in spec_fields
+    }
+    kept = []
+    for path, seq, info in plan["data"]:
+        partition = None
+        if info.get("partition") is not None:
+            partition = {
+                k: None
+                if v is None
+                else partition_value_from_dir(str(v), result_types[k])
+                for k, v in info["partition"].items()
+                if k in result_types
+            }
+        lower = {
+            fid: sv_decode(raw, types_by_name[nm])
+            for nm, fid in name_to_id.items()
+            for raw in [info.get("lower", {}).get(fid)]
+            if raw is not None
+        }
+        upper = {
+            fid: sv_decode(raw, types_by_name[nm])
+            for nm, fid in name_to_id.items()
+            for raw in [info.get("upper", {}).get(fid)]
+            if raw is not None
+        }
+        if file_may_match(
+            list(skip_filters), partition, lower, upper,
+            spec_fields, name_to_id, types_by_name,
+        ):
+            kept.append((path, seq, info))
+    return {**plan, "data": kept}
+
+
 def _live_tagged(
-    spark: SparkSession, table: str, meta: dict, snapshot_id: int | None = None
+    spark: SparkSession,
+    table: str,
+    meta: dict,
+    snapshot_id: int | None = None,
+    skip_filters: list[tuple] | None = None,
 ):
     """The snapshot's LIVE rows with ``__p`` (normalized file path) and
     ``__i`` (row index) tags still attached, position AND equality
@@ -204,10 +317,18 @@ def _live_tagged(
 
     from pyspark.sql import functions as F
 
-    plan = _plan_snapshot(table, meta, snapshot_id)
+    plan = _prune_plan(_plan_snapshot(table, meta, snapshot_id), meta, skip_filters)
     if not plan["data"]:
         return None, plan
-    df = spark.read.parquet(*[p for p, _ in plan["data"]])
+    reader = spark.read
+    if len(meta.get("schemas") or []) > 1:
+        # schema-evolved table: resolve columns by parquet FIELD ID so
+        # renamed columns re-map old files and added columns backfill
+        # null (Spark's native field-id resolution; our writer always
+        # stamps ids)
+        reader = reader.schema(_schema_from_iceberg(meta, with_field_ids=True))
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    df = reader.parquet(*[p for p, _s, _i in plan["data"]])
     # normalize file:/p, file:///p -> /p (Hadoop URI form varies)
     df = df.withColumn(
         "__p", F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
@@ -236,7 +357,8 @@ def _live_tagged(
         # delete (the CDC upsert shape); the file->seq map is metadata-
         # sized and broadcast
         seq_df = spark.createDataFrame(
-            plan["data"], "___path string, __seq long"
+            [(p, s) for p, s, _i in plan["data"]],
+            "___path string, __seq long",
         )
         df = df.join(
             F.broadcast(seq_df), df["__p"] == seq_df["___path"], "left"
@@ -275,20 +397,98 @@ def iceberg_scan(
     spark: SparkSession,
     table: str,
     snapshot_id: int | None = None,
+    skip_filters: list[tuple] | None = None,
+    as_of_timestamp_ms: int | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at the current snapshot (or ``snapshot_id``
-    for time travel): metadata/manifest planning driver-side, data as a
-    plain parquet scan over the live file set. v2 position deletes are
-    applied as a broadcast anti-join on (file path, _metadata.row_index);
-    v2 equality deletes as broadcast null-safe anti-joins on the
-    ``equality_ids`` columns gated by the data-sequence-number rule --
-    the standard MoR read: delete files are KBs-to-MBs, never a
-    row-by-row driver loop."""
+    / ``as_of_timestamp_ms`` for time travel): metadata/manifest planning
+    driver-side, data as a plain parquet scan over the live file set.
+    v2 position deletes are applied as a broadcast anti-join on
+    (file path, _metadata.row_index); v2 equality deletes as broadcast
+    null-safe anti-joins on the ``equality_ids`` columns gated by the
+    data-sequence-number rule -- the standard MoR read: delete files are
+    KBs-to-MBs, never a row-by-row driver loop.
+
+    ``skip_filters`` = [(column, op, value), ...] with op in
+    {=, <, <=, >, >=} prunes data files from MANIFEST METADATA ALONE
+    (partition values incl. transform projection + column bounds) before
+    Spark lists them. It is an optimization hint, not a row filter:
+    callers still apply their real predicate to the returned frame;
+    date/timestamp literals are given in canonical days/micros."""
     meta = _load_metadata(table)
-    df, _plan = _live_tagged(spark, table, meta, snapshot_id)
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
+        eligible = [
+            s for s in meta.get("snapshots", [])
+            if (s.get("timestamp-ms") or 0) <= as_of_timestamp_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before timestamp {as_of_timestamp_ms}"
+            )
+        snapshot_id = max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+    df, _plan = _live_tagged(spark, table, meta, snapshot_id, skip_filters)
     if df is None:
         return spark.createDataFrame([], _schema_from_iceberg(meta))
     return df.drop("__p", "__i")
+
+
+def iceberg_alter(
+    table: str,
+    add_columns: list[tuple[str, str]] | None = None,
+    rename_columns: dict[str, str] | None = None,
+    drop_columns: list[str] | None = None,
+) -> int:
+    """Commit a schema-evolution metadata version (no data rewrite --
+    the spec's core promise): add columns (null-backfilled on read),
+    rename columns (old files re-resolve by parquet field id), drop
+    columns (projected away). Returns the new schema id."""
+    meta = _load_metadata(table)
+    cur = _current_schema(meta)
+    fields = [dict(f) for f in cur.get("fields", [])]
+    last_id = int(meta.get("last-column-id") or max(
+        (f["id"] for f in fields), default=0
+    ))
+    by_name = {f["name"]: f for f in fields}
+    for old, new in (rename_columns or {}).items():
+        if old not in by_name:
+            raise ValueError(f"rename: no column {old!r}")
+        if new in by_name:
+            raise ValueError(f"rename: column {new!r} already exists")
+        by_name[old]["name"] = new
+        by_name = {f["name"]: f for f in fields}
+    for col in drop_columns or []:
+        if col not in by_name:
+            raise ValueError(f"drop: no column {col!r}")
+        fields = [f for f in fields if f["name"] != col]
+        by_name = {f["name"]: f for f in fields}
+    for name, ice_type in add_columns or []:
+        if name in by_name:
+            raise ValueError(f"add: column {name!r} already exists")
+        if ice_type not in _ICE_TO_SPARK:
+            raise ValueError(f"add: unsupported Iceberg type {ice_type!r}")
+        last_id += 1
+        fields.append(
+            {"id": last_id, "name": name, "required": False, "type": ice_type}
+        )
+    new_sid = int(cur.get("schema-id", 0)) + 1
+    new_schema = {"type": "struct", "schema-id": new_sid, "fields": fields}
+    schemas = list(meta.get("schemas") or [])
+    if not schemas:
+        schemas = [dict(cur, **{"schema-id": cur.get("schema-id", 0)})]
+    schemas.append(new_schema)
+    meta["schemas"] = schemas
+    meta["current-schema-id"] = new_sid
+    meta["schema"] = new_schema  # keep the v1 key coherent
+    meta["last-column-id"] = last_id
+    version = int(_current_metadata_path(table).stem[1:].split(".")[0])
+    d = _meta_dir(table)
+    tmp = d / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(meta, indent=1))
+    os.rename(tmp, d / f"v{version + 1}.metadata.json")
+    (d / "version-hint.text").write_text(str(version + 1))
+    return new_sid
 
 
 def iceberg_snapshots(table: str) -> list[dict]:
@@ -316,21 +516,40 @@ _ICE_TO_SPARK = {
 _SPARK_TO_ICE = {
     "long": "long", "integer": "int", "double": "double", "float": "float",
     "string": "string", "boolean": "boolean", "binary": "binary",
-    "date": "date", "timestamp": "timestamp",
+    "date": "date", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
 }
 
 
-def _schema_from_iceberg(meta: dict):
-    from pyspark.sql.types import StructType, _parse_datatype_string
+def _current_schema(meta: dict) -> dict:
+    schemas = meta.get("schemas")
+    if schemas:
+        sid = meta.get("current-schema-id", 0)
+        for s in schemas:
+            if s.get("schema-id", 0) == sid:
+                return s
+        return schemas[-1]
+    return meta.get("schema") or {}
 
-    schema = meta.get("schema") or (meta.get("schemas") or [{}])[0]
-    parts = []
+
+def _schema_from_iceberg(meta: dict, with_field_ids: bool = False):
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    schema = _current_schema(meta)
+    fields = []
     for f in schema.get("fields", []):
         t = f["type"]
         if not isinstance(t, str) or t not in _ICE_TO_SPARK:
             raise ValueError(f"Iceberg type {t!r} unsupported in minimal client")
-        parts.append(f"{f['name']} {_ICE_TO_SPARK[t]}")
-    return _parse_datatype_string(", ".join(parts)) if parts else StructType([])
+        md = {"parquet.field.id": f["id"]} if with_field_ids else None
+        fields.append(
+            StructField(
+                f["name"],
+                _parse_datatype_string(_ICE_TO_SPARK[t]),
+                nullable=True,
+                metadata=md,
+            )
+        )
+    return StructType(fields)
 
 
 def _schema_to_iceberg(struct) -> dict:
@@ -380,11 +599,80 @@ _MANIFEST_SCHEMA = {
                                 {"type": "array", "items": "int"},
                             ],
                         },
+                        {
+                            # minimal-client shape: (name, value-string)
+                            # pairs; None value = null partition
+                            "name": "partition",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "pval",
+                                        "fields": [
+                                            {"name": "name",
+                                             "type": ["null", "string"]},
+                                            {"name": "value",
+                                             "type": ["null", "string"]},
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
+                        {
+                            # value bytes = spec single-value serialization
+                            "name": "lower_bounds",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "bnd_lo",
+                                        "fields": [
+                                            {"name": "field_id",
+                                             "type": ["null", "int"]},
+                                            {"name": "value",
+                                             "type": ["null", "bytes"]},
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
+                        {
+                            "name": "upper_bounds",
+                            "type": [
+                                "null",
+                                {
+                                    "type": "array",
+                                    "items": {
+                                        "type": "record",
+                                        "name": "bnd_hi",
+                                        "fields": [
+                                            {"name": "field_id",
+                                             "type": ["null", "int"]},
+                                            {"name": "value",
+                                             "type": ["null", "bytes"]},
+                                        ],
+                                    },
+                                },
+                            ],
+                        },
                     ],
                 },
             ],
         },
     ],
+}
+
+# defaults for data_file sub-records written before a field existed (the
+# fresh-entry path fills them; _carry_forward operates on manifest-LIST
+# records, so old manifest FILES simply decode without these keys)
+_DATA_FILE_DEFAULTS = {
+    "partition": None,
+    "lower_bounds": None,
+    "upper_bounds": None,
 }
 
 _MANIFEST_LIST_SCHEMA = {
@@ -412,31 +700,272 @@ def _carry_forward(prev: list[dict]) -> list[dict]:
     ]
 
 
-def _write_parquet_files(df: DataFrame, table: str) -> list[dict]:
+def _with_field_ids(df: DataFrame, name_to_id: dict[int, str]) -> DataFrame:
+    """Alias every column with ``parquet.field.id`` metadata so Spark's
+    parquet writer stamps the Iceberg field ids into the footers (the
+    spec requires data files to carry them; they are what makes
+    rename/drop schema evolution resolvable without rewrites)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(f"`{c}`").alias(c, metadata={"parquet.field.id": name_to_id[c]})
+            for c in df.columns
+        ]
+    )
+
+
+def _partition_exprs(spec_fields: list[dict], types_by_name: dict[str, str]):
+    """Spark Column per partition-spec field, matching the driver-side
+    ``apply_transform`` definition exactly (UTC day ordinals via
+    unix_micros -- timezone-independent). Integer buckets are numpy-
+    vectorized Arrow batches; only string buckets loop per value."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    from .iceberg_transforms import murmur3_32, murmur3_32_longs, parse_transform
+
+    def _bucket_long_udf(n: int):
+        @pandas_udf(IntegerType())
+        def _b(s: pd.Series) -> pd.Series:
+            import numpy as np
+
+            mask = s.notna()
+            out = pd.Series([None] * len(s), dtype="object")
+            if mask.any():
+                h = murmur3_32_longs(s[mask].to_numpy(dtype="int64"))
+                out[mask] = ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(
+                    "int64"
+                )
+            return out.astype("Int32")
+
+        return _b
+
+    def _bucket_str_udf(n: int):
+        @pandas_udf(IntegerType())
+        def _b(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: None
+                if v is None
+                else (murmur3_32(str(v).encode("utf-8")) & 0x7FFFFFFF) % n
+            ).astype("Int32")
+
+        return _b
+
+    out = []
+    for f in spec_fields:
+        src, tr = f["source"], f["transform"]
+        base, arg = parse_transform(tr)
+        ice_t = types_by_name[src]
+        c = F.col(f"`{src}`")
+        if base == "identity":
+            e = c
+        elif base in ("day", "month", "year"):
+            if ice_t in ("timestamp", "timestamptz"):
+                days = F.floor(
+                    F.unix_micros(c.cast("timestamp")) / F.lit(86_400_000_000)
+                ).cast("int")  # ntz casts via the session tz (pinned UTC)
+            elif ice_t == "date":
+                days = F.unix_date(c)
+            else:
+                raise ValueError(f"{base} transform unsupported for {ice_t!r}")
+            if base == "day":
+                e = days
+            else:
+                d = F.date_from_unix_date(days)
+                if base == "month":
+                    e = ((F.year(d) - 1970) * 12 + F.month(d) - 1).cast("int")
+                else:
+                    e = (F.year(d) - 1970).cast("int")
+        elif base == "truncate":
+            if ice_t in ("int", "long"):
+                e = c - (((c % arg) + arg) % arg)
+            elif ice_t == "string":
+                e = F.substring(c, 1, arg)
+            else:
+                raise ValueError(f"truncate unsupported for {ice_t!r}")
+        elif base == "bucket":
+            if ice_t in ("int", "long"):
+                e = _bucket_long_udf(arg)(c.cast("long"))
+            elif ice_t == "date":
+                e = _bucket_long_udf(arg)(F.unix_date(c).cast("long"))
+            elif ice_t in ("timestamp", "timestamptz"):
+                e = _bucket_long_udf(arg)(F.unix_micros(c.cast("timestamp")))
+            elif ice_t == "string":
+                e = _bucket_str_udf(arg)(c)
+            else:
+                raise ValueError(f"bucket unsupported for {ice_t!r}")
+        else:
+            raise ValueError(f"unknown transform {tr!r}")
+        out.append((f["name"], e))
+    return out
+
+
+def _footer_bounds(
+    path: str, name_to_id: dict[str, int], types_by_name: dict[str, str]
+) -> tuple[int, list[dict], list[dict]]:
+    """(record_count, lower_bounds, upper_bounds) from the parquet FOOTER
+    only -- row-group statistics aggregated per column, values encoded
+    with the spec's single-value serialization. Columns without stats
+    (or all-null) are simply absent (the reader treats absent as
+    unknown = never prune)."""
+    import pyarrow.parquet as papq
+
+    from .iceberg_transforms import canonical, sv_encode
+
+    md = papq.ParquetFile(path).metadata
+    lo: dict[str, object] = {}
+    hi: dict[str, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            st = col.statistics
+            if st is None or not st.has_min_max or name not in name_to_id:
+                continue
+            t = types_by_name[name]
+            mn, mx = canonical(st.min, t), canonical(st.max, t)
+            if name not in lo or mn < lo[name]:
+                lo[name] = mn
+            if name not in hi or mx > hi[name]:
+                hi[name] = mx
+    lower = [
+        {"field_id": name_to_id[n], "value": sv_encode(v, types_by_name[n])}
+        for n, v in sorted(lo.items())
+    ]
+    upper = [
+        {"field_id": name_to_id[n], "value": sv_encode(v, types_by_name[n])}
+        for n, v in sorted(hi.items())
+    ]
+    return md.num_rows, lower, upper
+
+
+def _write_parquet_files(
+    df: DataFrame,
+    table: str,
+    meta: dict | None = None,
+    spec_fields: list[dict] | None = None,
+) -> list[dict]:
+    from .iceberg_transforms import (
+        partition_value_from_dir,
+        transform_result_type,
+    )
+
+    name_to_id = {}
+    types_by_name = {}
+    if meta is not None:
+        for fid, nm in _field_names_by_id(meta).items():
+            name_to_id[nm] = fid
+        schema = meta.get("schema") or (meta.get("schemas") or [{}])[0]
+        types_by_name = {
+            f["name"]: f["type"] for f in schema.get("fields", [])
+        }
+        df = _with_field_ids(df, name_to_id)
     sub = os.path.join(table, "data", f"commit-{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(sub)
+    part_names: list[str] = []
+    result_types: dict[str, str] = {}
+    if spec_fields:
+        exprs = _partition_exprs(spec_fields, types_by_name)
+        for name, e in exprs:
+            df = df.withColumn(name, e)
+            part_names.append(name)
+        result_types = {
+            f["name"]: transform_result_type(
+                f["transform"], types_by_name[f["source"]]
+            )
+            for f in spec_fields
+        }
+    spark = df.sparkSession
+    prev_fid = spark.conf.get("spark.sql.parquet.fieldId.write.enabled", None)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    try:
+        w = df.write.mode("overwrite")
+        if part_names:
+            w = w.partitionBy(*part_names)
+        w.parquet(sub)
+    finally:
+        if prev_fid is None:
+            spark.conf.unset("spark.sql.parquet.fieldId.write.enabled")
+        else:
+            spark.conf.set("spark.sql.parquet.fieldId.write.enabled", prev_fid)
     out = []
     for root, _dirs, names in os.walk(sub):
         for n in names:
-            if n.endswith(".parquet"):
-                full = os.path.join(root, n)
-                out.append(
-                    {
-                        "file_path": full,
-                        "file_format": "PARQUET",
-                        "record_count": None,
-                        "file_size_in_bytes": os.path.getsize(full),
-                    }
+            if not n.endswith(".parquet"):
+                continue
+            full = os.path.join(root, n)
+            partition = None
+            if part_names:
+                pvals = {}
+                for piece in os.path.relpath(root, sub).split(os.sep):
+                    if "=" in piece:
+                        k, raw = piece.split("=", 1)
+                        if k in result_types:
+                            pvals[k] = partition_value_from_dir(
+                                raw, result_types[k]
+                            )
+                partition = [
+                    {"name": k, "value": None if v is None else str(v)}
+                    for k, v in sorted(pvals.items())
+                ]
+            rc, lower, upper = (None, None, None)
+            if name_to_id:
+                rc, lower, upper = _footer_bounds(
+                    full, name_to_id, types_by_name
                 )
+            out.append(
+                {
+                    "file_path": full,
+                    "file_format": "PARQUET",
+                    "record_count": rc,
+                    "file_size_in_bytes": os.path.getsize(full),
+                    "partition": partition,
+                    "lower_bounds": lower or None,
+                    "upper_bounds": upper or None,
+                }
+            )
     success = os.path.join(sub, "_SUCCESS")
     if os.path.exists(success):
         os.remove(success)
     return out
 
 
-def iceberg_write(df: DataFrame, table: str, mode: str = "append") -> int:
-    """Commit df to an Iceberg v1 table (append/overwrite); creates the
-    table on first commit. Returns the new snapshot id."""
+def _spec_fields_from_meta(meta: dict) -> list[dict]:
+    """The default partition spec as [{name, transform, source}] with
+    source resolved to a column NAME (the spec stores source-id)."""
+    specs = meta.get("partition-specs") or []
+    spec = next(
+        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        {"fields": []},
+    )
+    names = _field_names_by_id(meta)
+    out = []
+    for f in spec.get("fields", []):
+        out.append(
+            {
+                "name": f["name"],
+                "transform": f["transform"],
+                "source": names[f["source-id"]],
+            }
+        )
+    return out
+
+
+def iceberg_write(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_spec: list[dict] | None = None,
+) -> int:
+    """Commit df to an Iceberg table (append/overwrite); creates the
+    table on first commit. ``partition_spec`` (first commit only) is a
+    list of ``{"name", "transform", "source"}`` with spec transforms
+    (identity / bucket[N] / truncate[W] / day / month / year); later
+    commits reuse the table's spec. Data files carry parquet field ids
+    and manifest entries carry partition values + column bounds, so the
+    scan can prune files from metadata alone. Returns the snapshot id."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     d = _meta_dir(table)
@@ -448,16 +977,35 @@ def iceberg_write(df: DataFrame, table: str, mode: str = "append") -> int:
     if has_meta:
         meta = _load_metadata(table)
         version = int(_current_metadata_path(table).stem[1:].split(".")[0])
+        existing = _spec_fields_from_meta(meta)
+        if partition_spec is not None and partition_spec != existing:
+            raise ValueError(
+                "partition_spec may only be set at table creation "
+                f"(table has {existing})"
+            )
+        spec_fields = existing
     else:
+        schema = _schema_to_iceberg(df.schema)
+        name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
+        spec_fields = partition_spec or []
+        spec_json = [
+            {
+                "name": f["name"],
+                "transform": f["transform"],
+                "source-id": name_to_id[f["source"]],
+                "field-id": 1000 + i,
+            }
+            for i, f in enumerate(spec_fields)
+        ]
         meta = {
             "format-version": 1,
             "table-uuid": uuid.uuid4().hex,
             "location": table,
             "last-updated-ms": 0,
             "last-column-id": len(df.schema.fields),
-            "schema": _schema_to_iceberg(df.schema),
-            "partition-spec": [],
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "schema": schema,
+            "partition-spec": spec_json,
+            "partition-specs": [{"spec-id": 0, "fields": spec_json}],
             "default-spec-id": 0,
             "properties": {},
             "snapshots": [],
@@ -467,10 +1015,11 @@ def iceberg_write(df: DataFrame, table: str, mode: str = "append") -> int:
 
     snapshot_id = int(time.time() * 1000) * 1000 + version + 1
     seq = int(meta.get("last-sequence-number") or 0) + 1
-    adds = _write_parquet_files(df, table)
+    adds = _write_parquet_files(df, table, meta=meta, spec_fields=spec_fields)
     entries = [
         {"status": 1, "snapshot_id": snapshot_id,
-         "data_file": {"content": 0, "equality_ids": None, **a}}
+         "data_file": {"content": 0, "equality_ids": None,
+                       **_DATA_FILE_DEFAULTS, **a}}
         for a in adds
     ]
     man_path = str(d / f"manifest-{uuid.uuid4().hex[:12]}.avro")
@@ -576,6 +1125,7 @@ def iceberg_delete(spark: SparkSession, table: str, predicate: str) -> int:
                 "record_count": len(rows),
                 "file_size_in_bytes": os.path.getsize(del_path),
                 "equality_ids": None,
+                **_DATA_FILE_DEFAULTS,
             },
         }
     ]
@@ -699,6 +1249,7 @@ def iceberg_delete_equality(
                 "record_count": n_keys,
                 "file_size_in_bytes": os.path.getsize(del_path),
                 "equality_ids": eq_ids,
+                **_DATA_FILE_DEFAULTS,
             },
         }
     ]
