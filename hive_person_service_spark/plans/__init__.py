@@ -82,7 +82,7 @@ from . import pipeline42  # noqa: F401,E402  (streaming alerting, CSV quarantine
 from . import pipeline43  # noqa: F401,E402  (BM25 ranked retrieval, logistic batch scoring)
 from . import pipeline44  # noqa: F401,E402  (Avro OCF round-trip, JDBC federation)
 from . import pipeline45  # noqa: F401,E402  (BFS shortest path, k-anonymity, DP release, co-occurrence reco, rolling median, JW entity resolution)
-from . import pipeline46  # noqa: F401,E402  (exactly-once streaming ingest into Delta via txn actions)
+from . import pipeline46  # noqa: F401,E402  (exactly-once Delta streaming ingest; Iceberg partitioned scan + manifest pruning, stats skipping both formats, Delta MERGE, schema evolution, timestamp travel)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.

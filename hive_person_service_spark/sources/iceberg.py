@@ -1257,6 +1257,37 @@ def iceberg_delete_equality(
     return n_keys
 
 
+def iceberg_merge(
+    spark: SparkSession, table: str, source: DataFrame, keys: list[str]
+) -> dict:
+    """``MERGE INTO`` as CDC/upsert writers (Flink's upsert sink) execute
+    it on Iceberg: ONE equality-delete commit on the key columns (removes
+    any existing row with a source key from data files at earlier
+    sequence numbers -- no data file rewritten) followed by ONE append of
+    all source rows. The sequence-number rule makes the pair safe: the
+    append lands at a later sequence number, so the delete can never
+    swallow the new images. ``source`` must be key-unique (checked).
+    Returns {"updated": n, "inserted": n} (updated = source keys that
+    existed live before the merge)."""
+    from pyspark.sql import functions as F
+
+    if source.groupBy(*keys).count().where("count > 1").limit(1).count():
+        raise ValueError(f"merge source is not unique on keys {keys}")
+    src = source.localCheckpoint(eager=True)  # pin: read three times below
+    meta = _load_metadata(table)
+    live, _plan = _live_tagged(spark, table, meta)
+    n_src = src.count()
+    n_matched = 0
+    if live is not None:
+        n_matched = (
+            live.join(F.broadcast(src.select(*keys).distinct()), on=keys)
+            .count()
+        )
+        iceberg_delete_equality(spark, table, src.select(*keys))
+    iceberg_write(src, table, mode="append")
+    return {"updated": n_matched, "inserted": n_src - n_matched}
+
+
 def iceberg_compact(spark: SparkSession, table: str, target_files: int = 1) -> dict:
     """Rewrite-data-files compaction (the ``rewrite_data_files`` action
     every Iceberg deployment schedules): read the CURRENT live rows

@@ -415,6 +415,42 @@ def test_delta_merge_stats_survive_checkpoint(spark, tmp_path):
     assert any(isinstance(a.get("stats"), str) for a in files2.values())
 
 
+def test_iceberg_merge_upsert(spark, tmp_path):
+    """Iceberg MERGE = one equality-delete commit + one append: matched
+    keys re-image, unmatched insert, untouched rows survive, and the
+    sequence-number rule keeps the append out of the delete's reach."""
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_merge,
+        iceberg_scan,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "icemerge")
+    base = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(20)],
+        "id long, grp string, v double",
+    )
+    iceberg_write(base.repartition(3), t)
+    src = spark.createDataFrame(
+        [(5, "gX", 500.0), (7, "gY", 700.0), (100, "gZ", 1.0)],
+        "id long, grp string, v double",
+    )
+    res = iceberg_merge(spark, t, src, keys=["id"])
+    assert res == {"updated": 2, "inserted": 1}
+    after = iceberg_scan(spark, t)
+    assert after.count() == 21
+    got = {r.id: (r.grp, r.v) for r in after.where("id IN (5,7,100)").collect()}
+    assert got == {5: ("gX", 500.0), 7: ("gY", 700.0), 100: ("gZ", 1.0)}
+    assert after.where("id = 6 AND v = 6.0").count() == 1
+    assert after.groupBy("id").count().where("count > 1").count() == 0
+    # re-merge: all three keys now exist -> 3 updates, 0 inserts
+    res2 = iceberg_merge(spark, t, src, keys=["id"])
+    assert res2 == {"updated": 3, "inserted": 0}
+    assert iceberg_scan(spark, t).count() == 21
+    with pytest.raises(ValueError, match="not unique"):
+        iceberg_merge(spark, t, src.union(src), keys=["id"])
+
+
 def test_delta_timestamp_time_travel(spark, tmp_path):
     import time as _time
 
