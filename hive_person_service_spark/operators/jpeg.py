@@ -23,7 +23,8 @@ Scope:
     across scans, IDCT happens once at the end. Sequential ARITHMETIC
     frames (SOF9) route to the QM-coder decoder in jpeg_arith.py and
     LOSSLESS frames (SOF3) to the Annex-H predictive decoder below;
-    progressive-arithmetic (SOF10) and hierarchical frames raise
+    PROGRESSIVE-ARITHMETIC (SOF10) to the Annex-G.2 QM decoder;
+    hierarchical frames raise
     ValueError -- recognized, error precise.
   * encode_jpeg_lossless_gray / _decode_lossless_gray: T.81 Annex H
     lossless process -- per-sample prediction (selectors 1-7, point
@@ -396,7 +397,7 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
     the Y plane only (gray = luma; chroma coefficients are decoded and
     discarded). Progressive (SOF2) streams route to the multi-scan
     successive-approximation decoder and sequential-arithmetic (SOF9)
-    streams to the QM-coder decoder; progressive-arithmetic and
+    streams to the QM-coder decoder (SOF10 to its progressive form); and
     hierarchical frames raise ValueError."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -459,10 +460,14 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
             from .jpeg_arith import decode_jpeg_arith_gray
 
             return decode_jpeg_arith_gray(raw)
-        elif marker in (0xFFCA, 0xFFCB):
+        elif marker == 0xFFCA:
+            from .jpeg_arith import decode_jpeg_arith_progressive_gray
+
+            return decode_jpeg_arith_progressive_gray(raw)
+        elif marker == 0xFFCB:
             raise ValueError(
-                "progressive/lossless ARITHMETIC JPEG unsupported "
-                "(sequential SOF9 is supported)"
+                "lossless ARITHMETIC JPEG (SOF11) unsupported "
+                "(SOF9/SOF10 arithmetic frames are supported)"
             )
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", payload, 0)[0]

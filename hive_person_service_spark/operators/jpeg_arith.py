@@ -475,8 +475,8 @@ def decode_jpeg_arith_gray(raw: bytes) -> np.ndarray:
     Interleaved color streams walk the full MCU structure with per-table
     statistics areas (chroma decoded for coder sync, discarded).
     Restart markers reset coder + statistics + DC state. Progressive
-    (SOF10) and lossless (SOF11/CB) arithmetic frames raise the precise
-    remaining gate."""
+    (SOF10) frames route to decode_jpeg_arith_progressive_gray; lossless
+    (SOF11) arithmetic frames raise the precise remaining gate."""
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -614,4 +614,370 @@ def decode_jpeg_arith_gray(raw: bytes) -> np.ndarray:
                             oy = my * mcu_h + v * 8
                             ox = mx * mcu_w + u * 8
                             out[oy : oy + 8, ox : ox + 8] = block
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE arithmetic JPEG (SOF10, T.81 Annex G.2): the sequential QM
+# models above, driven by the progressive scan structure -- DC
+# first/refinement scans (refinement bits on the FIXED 0.5 state), AC
+# band first scans (the sequential AC model restricted to Ss..Se over
+# point-transformed values), and AC successive-approximation refinement
+# (EOBx rule: the EOB decision is coded only beyond the previous stage's
+# end-of-block; correction bits per previously-nonzero coefficient,
+# newly-nonzero insertion with fixed-state signs). Grayscale,
+# non-interleaved single-component scans, no restarts.
+#
+# Verification posture: no reference arithmetic codec ships in this
+# container, so the pin is coefficient-exactness -- the SOF10
+# encode->decode round trip must reproduce EXACTLY the pixels of the
+# sequential SOF9 stream at the same quality (identical quantized
+# coefficients in a different scan order), plus desync-sensitive
+# structure (any model mismatch corrupts every later block).
+# ---------------------------------------------------------------------------
+
+_PROG_ARITH_BANDS = ((1, 5), (6, 63))
+
+
+def _prog_arith_script() -> list[tuple[int, int, int, int]]:
+    """(Ss, Se, Ah, Al) single-component scan script -- DC first at Al=1,
+    AC bands first at Al=2, two AC refinement levels, DC refinement."""
+    script: list[tuple[int, int, int, int]] = [(0, 0, 0, 1)]
+    for ss, se in _PROG_ARITH_BANDS:
+        script.append((ss, se, 0, 2))
+    for ah, al in ((2, 1), (1, 0)):
+        for ss, se in _PROG_ARITH_BANDS:
+            script.append((ss, se, ah, al))
+    script.append((0, 0, 1, 0))
+    return script
+
+
+def _enc_ac_first(enc, st, zz, ss: int, se: int, al: int, kx: int) -> None:
+    """AC band first scan: the sequential AC model over t = |v| >> Al,
+    band-relative statistics bases (3*(k-1) like sequential)."""
+    tvals = [0] * (se + 1)
+    last = 0
+    for k in range(ss, se + 1):
+        t = (int(zz[k]) if zz[k] >= 0 else -int(zz[k])) >> al
+        tvals[k] = t
+        if t:
+            last = k
+    k = ss
+    while k <= last:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB yet
+        while tvals[k] == 0:
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+        enc.encode(st, base + 1, 1)
+        sign = 1 if zz[k] < 0 else 0
+        enc.encode(st, _AC_SIGN_BIN, sign)
+        base += 2
+        v1 = tvals[k] - 1
+        if v1 == 0:
+            enc.encode(st, base, 0)
+            m = 0
+        elif v1 == 1:
+            enc.encode(st, base, 1)
+            enc.encode(st, base, 0)
+            m = 1
+        else:
+            enc.encode(st, base, 1)
+            enc.encode(st, base, 1)
+            m = 1 << (v1.bit_length() - 1)
+            base = 189 if k <= kx else 217
+            mm = 2
+            while mm < m:
+                enc.encode(st, base, 1)
+                mm <<= 1
+                base += 1
+            enc.encode(st, base, 0)
+        base += 14
+        while m >> 1:
+            m >>= 1
+            enc.encode(st, base, 1 if (v1 & m) else 0)
+        k += 1
+    if last < se:
+        enc.encode(st, 3 * last if last >= ss else 3 * (ss - 1), 1)  # EOB
+
+
+def _dec_ac_first(dec, st, zz, ss: int, se: int, al: int, kx: int) -> None:
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB for the rest of the band
+            return
+        while dec.decode(st, base + 1) == 0:
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC-first index out of band")
+        sign = dec.decode(st, _AC_SIGN_BIN)
+        base += 2
+        m = dec.decode(st, base)
+        if m:
+            if dec.decode(st, base):
+                m = 2
+                base = 189 if k <= kx else 217
+                while dec.decode(st, base):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arithmetic AC magnitude overflow")
+                    base += 1
+        v1 = m
+        base += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(st, base):
+                v1 |= m
+        t = (v1 + 1) << al
+        zz[k] = -t if sign else t
+        k += 1
+
+
+def _enc_ac_refine(enc, st, fixed, zz, ss: int, se: int, al: int) -> None:
+    """AC successive-approximation refinement (G.2.3 / jdarith shape)."""
+    ah = al + 1
+    kex = 0
+    for k in range(se, 0, -1):
+        if (abs(int(zz[k])) >> ah) != 0:
+            kex = k
+            break
+    ke = 0
+    for k in range(se, 0, -1):
+        if (abs(int(zz[k])) >> al) != 0:
+            ke = k
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            eob = k > ke
+            enc.encode(st, base, 1 if eob else 0)
+            if eob:
+                return
+        while True:
+            v = int(zz[k])
+            t = abs(v) >> al
+            if (abs(v) >> ah) != 0:  # previously nonzero: correction bit
+                enc.encode(st, base + 2, t & 1)
+                break
+            if t:  # becomes nonzero at this level (t == 1 by construction)
+                enc.encode(st, base + 1, 1)
+                enc.encode(fixed, 0, 1 if v < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC-refine ran past the band")
+        k += 1
+
+
+def _dec_ac_refine(dec, st, fixed, coefs, ss: int, se: int, al: int) -> None:
+    p1 = 1 << al
+    kex = 0
+    for k in range(se, 0, -1):
+        if coefs[k] != 0:
+            kex = k
+            break
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, base):
+                return
+        while True:
+            if coefs[k] != 0:
+                if dec.decode(st, base + 2):
+                    coefs[k] += p1 if coefs[k] > 0 else -p1
+                break
+            if dec.decode(st, base + 1):
+                coefs[k] = -p1 if dec.decode(fixed, 0) else p1
+                break
+            base += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC-refine ran past the band")
+        k += 1
+
+
+def encode_jpeg_arith_progressive_gray(px: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w) uint8 array as a PROGRESSIVE arithmetic-coded
+    grayscale stream (SOI/APP0/DQT/SOF10/DAC/one SOS per scan/EOI).
+    Quantized coefficients are identical to the sequential encoders' at
+    the same quality -- only the scan structure and entropy layer differ,
+    which is what the SOF10==SOF9 decode-identity test pins."""
+    h, w = px.shape
+    qt = _quant_table(quality)
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = np.pad(
+        px.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
+    coefs = np.zeros((bh * bw, 64), dtype=np.int64)
+    b = 0
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = np.round(_dct2(block) / qt).astype(np.int64)
+            coefs[b] = coef.reshape(64)[_ZIGZAG]
+            b += 1
+    lo, up, kx = 0, 1, 5
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz_qt = qt.reshape(64)[_ZIGZAG].astype(np.uint8).tobytes()
+    out = [b"\xff\xd8",
+           seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+           seg(0xFFDB, b"\x00" + zz_qt),
+           seg(0xFFCA, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])),
+           seg(0xFFCC, bytes([0x00, (up << 4) | lo, 0x10, kx]))]
+    for ss, se, ah, al in _prog_arith_script():
+        out.append(seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])))
+        enc = _ArithEncoder()
+        if ss == 0:  # DC scan
+            if ah == 0:
+                dc_st = bytearray(_DC_STAT_BINS)
+                pred = 0
+                ctx = 0
+                for b in range(bh * bw):
+                    v = int(coefs[b, 0]) >> al  # arithmetic shift (floor)
+                    ctx = _encode_dc_diff(enc, dc_st, ctx, v - pred, lo, up)
+                    pred = v
+            else:
+                fixed = bytearray([_FIXED])
+                for b in range(bh * bw):
+                    enc.encode(fixed, 0, (int(coefs[b, 0]) >> al) & 1)
+        else:
+            ac_st = bytearray(_AC_STAT_BINS)
+            ac_st[_AC_SIGN_BIN] = _FIXED
+            fixed = bytearray([_FIXED])
+            for b in range(bh * bw):
+                if ah == 0:
+                    _enc_ac_first(enc, ac_st, coefs[b], ss, se, al, kx)
+                else:
+                    _enc_ac_refine(enc, ac_st, fixed, coefs[b], ss, se, al)
+        out.append(enc.finish())
+    out.append(b"\xff\xd9")
+    return b"".join(out)
+
+
+def decode_jpeg_arith_progressive_gray(raw: bytes) -> np.ndarray:
+    """Decode a progressive arithmetic-coded (SOF10) grayscale stream:
+    accumulate coefficients across DC/AC first+refinement scans, then
+    one dequantize+IDCT pass."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
+    h = w = 0
+    scans: list[tuple] = []  # (tdc, tac, ss, se, ah, al, data_start)
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = struct.unpack_from(">H", raw, pos)[0]
+        if marker == 0xFFD9:
+            break
+        length = struct.unpack_from(">H", raw, pos + 2)[0]
+        payload = raw[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            i = 0
+            while i < len(payload):
+                tq = payload[i] & 0xF
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(payload[i + 1 : i + 65],
+                                             dtype=np.uint8)
+                qtables[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xFFCC:
+            i = 0
+            while i < len(payload):
+                tc, tb = payload[i] >> 4, payload[i] & 0xF
+                cs = payload[i + 1]
+                if tc == 0:
+                    dc_cond[tb] = (cs & 0x0F, cs >> 4)
+                else:
+                    ac_cond[tb] = cs
+                i += 2
+        elif marker == 0xFFCA:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    "only 8-bit single-component progressive arithmetic "
+                    "JPEG supported"
+                )
+            tq0 = payload[8]
+        elif marker == 0xFFDD:
+            if struct.unpack_from(">H", payload, 0)[0]:
+                raise ValueError(
+                    "restart markers in progressive arithmetic JPEG "
+                    "unsupported"
+                )
+        elif marker == 0xFFDA:
+            tabs = payload[2]
+            ss, se, aa = payload[3], payload[4], payload[5]
+            data_start = pos + 2 + length
+            scans.append((tabs >> 4, tabs & 0xF, ss, se, aa >> 4, aa & 0xF,
+                          data_start))
+            # skip the entropy-coded segment: stuffing guarantees any
+            # 0xFF inside it is followed by 0x00
+            j = data_start
+            while j + 1 < len(raw) and not (
+                raw[j] == 0xFF and raw[j + 1] not in (0x00,)
+            ):
+                j += 1
+            pos = j
+            continue
+        pos += 2 + length
+    if h == 0 or not scans:
+        raise ValueError("truncated progressive arithmetic JPEG")
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    coefs = np.zeros((bh * bw, 64), dtype=np.int64)
+    dc_shift = 0  # Al of the most refined DC scan seen
+    for tdc, tac, ss, se, ah, al, start in scans:
+        dec = _ArithDecoder(raw, start)
+        if ss == 0:
+            lo, up = dc_cond.get(tdc, (0, 1))
+            if ah == 0:
+                dc_st = bytearray(_DC_STAT_BINS)
+                pred = 0
+                ctx = 0
+                for b in range(bh * bw):
+                    diff, ctx = _decode_dc_diff(dec, dc_st, ctx, lo, up)
+                    pred += diff
+                    coefs[b, 0] = pred
+                dc_shift = al
+            else:
+                fixed = bytearray([_FIXED])
+                for b in range(bh * bw):
+                    bit = dec.decode(fixed, 0)
+                    coefs[b, 0] = (int(coefs[b, 0]) << 1) | bit
+                dc_shift = al
+        else:
+            kx = ac_cond.get(tac, 5)
+            ac_st = bytearray(_AC_STAT_BINS)
+            ac_st[_AC_SIGN_BIN] = _FIXED
+            fixed = bytearray([_FIXED])
+            for b in range(bh * bw):
+                if ah == 0:
+                    _dec_ac_first(dec, ac_st, coefs[b], ss, se, al, kx)
+                else:
+                    _dec_ac_refine(dec, ac_st, fixed, coefs[b], ss, se, al)
+    if dc_shift:
+        coefs[:, 0] = coefs[:, 0] << dc_shift
+    qt = qtables[tq0].astype(np.float64)
+    out = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    b = 0
+    for by in range(bh):
+        for bx in range(bw):
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = coefs[b]
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _idct2(coef.reshape(8, 8) * qt) + 128.0
+            )
+            b += 1
     return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)

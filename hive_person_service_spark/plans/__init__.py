@@ -119,10 +119,11 @@ _CERT_PRIORITY = [
     # I: event-time windows + stateful dedup (batch equivalents)
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_dedup_events",
-    # J: LLM-data-pipeline surface
+    # J: LLM-data-pipeline surface (text_term_freq's slot now showcases
+    # the r6 lake-planning tier -- text_tfidf subsumes term-freq math)
     "dedup_exact", "dedup_near", "dedup_ngram_jaccard",
-    "sim_topk", "sim_knn_join", "text_term_freq", "text_tfidf",
-    "multimodal_blob",
+    "sim_topk", "sim_knn_join", "table_iceberg_partitioned_scan",
+    "text_tfidf", "multimodal_blob",
     # K: Python extension points
     "udf_scalar", "udaf_grouped", "udtf_python",
 ]

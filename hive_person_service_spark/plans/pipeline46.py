@@ -129,6 +129,83 @@ def _digest(sf_dir: str, table: str, tag: str) -> str:
     ).hexdigest()[:12]
 
 
+def _iceberg_stream_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Iceberg twin of _delta_stream_layout: the same 3-file orders
+    landing zone drained through the exactly-once txn sink
+    (streaming/jobs.py::stream_into_iceberg), run TWICE from a fresh
+    checkpoint -- the replay must no-op via the ingest.<app_id> property
+    so the layout re-proves idempotence on every build."""
+    from ..sources.iceberg import iceberg_snapshots
+    from ..streaming.jobs import stream_into_iceberg
+
+    root = os.path.join(
+        _LAYOUT_ROOT, f"orders_icestream_{_digest(sf_dir, 'orders', 'stream')}"
+    )
+    table = os.path.join(root, "table")
+    if not os.path.isdir(os.path.join(table, "metadata")):
+        landing = os.path.join(root, "landing")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        for i in range(3):
+            orders.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(landing, f"part{i}.parquet"))
+
+        def stream():
+            return (
+                spark.readStream.schema(
+                    "o_orderkey long, o_custkey long, o_orderstatus string,"
+                    " o_totalprice double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{landing}/part*.parquet")
+            )
+
+        stream_into_iceberg(stream(), table, os.path.join(root, "ckpt"),
+                            app_id="orders-ingest")
+        n_snaps = len(iceberg_snapshots(table))
+        stream_into_iceberg(stream(), table, os.path.join(root, "ckpt2"),
+                            app_id="orders-ingest")
+        assert len(iceberg_snapshots(table)) == n_snaps, (
+            "iceberg txn idempotence failed: replayed batches re-committed"
+        )
+    return table
+
+
+@declare(
+    "stream_iceberg_ingest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stream_iceberg_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into ICEBERG (the second lakehouse
+    landing path): each micro-batch appends a snapshot carrying
+    txn=(app_id, batch_id); redelivered/replayed batches are skipped via
+    iceberg_txn_version (snapshot summaries + the ingest.<app_id> table
+    property, which survives expire_snapshots). Same oracle as the Delta
+    twin: the drained table must hash-match the original orders."""
+    from ..sources.iceberg import iceberg_scan
+
+    t = iceberg_scan(spark, _iceberg_stream_layout(spark, sf_dir))
+    return t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Iceberg: partitioned events table (day + bucket transforms)
 # ---------------------------------------------------------------------------

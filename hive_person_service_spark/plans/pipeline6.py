@@ -255,26 +255,30 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ARITHMETIC-coded JPEG (SOF9) through the engine -- the QM coder
-    of T.81 Annexes D/F (operators/jpeg_arith.py), the round-6 close of
-    the last codec gate. Per sampled document: synthesize the
-    deterministic pixel pattern, encode it BOTH ways (Huffman baseline
-    + arithmetic) and decode both through decode_jpeg_gray's frame
-    dispatch. ``identical`` asserts the two decodes are bit-equal
-    (same quantized coefficients -> any coder/model asymmetry flips it
-    to false) and ``smaller`` that the adaptive coder beat Huffman on
-    this blob; the DuckDB oracle predicts both flags TRUE plus the
-    id-derived dimensions, so this lossy-codec path is fully
-    oracle-CHECKED, not rows-only. Arrow-batched mapInPandas, one
-    Python pass per blob -- the declared multimodal extension-point
-    shape."""
+    """ARITHMETIC-coded JPEG (SOF9 sequential AND SOF10 progressive)
+    through the engine -- the QM coder of T.81 Annexes D/F plus the
+    Annex-G.2 progressive models (operators/jpeg_arith.py). Per sampled
+    document: synthesize the deterministic pixel pattern, encode it
+    THREE ways (Huffman baseline, sequential arithmetic, progressive
+    arithmetic) and decode all through decode_jpeg_gray's frame
+    dispatch. ``identical`` asserts all three decodes are bit-equal
+    (same quantized coefficients -> any coder/model/scan-structure
+    asymmetry flips it to false) and ``smaller`` that the adaptive
+    sequential coder beat Huffman on this blob; the DuckDB oracle
+    predicts both flags TRUE plus the id-derived dimensions, so this
+    lossy-codec path is fully oracle-CHECKED, not rows-only.
+    Arrow-batched mapInPandas, one Python pass per blob -- the declared
+    multimodal extension-point shape."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
     from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
     from ..operators.jpeg import decode_jpeg_gray, encode_jpeg_gray
-    from ..operators.jpeg_arith import encode_jpeg_arith_gray
+    from ..operators.jpeg_arith import (
+        encode_jpeg_arith_gray,
+        encode_jpeg_arith_progressive_gray,
+    )
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -303,10 +307,11 @@ def multimodal_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = ((3 * x + 7 * y + int(aid)) % 256).astype(np.uint8)
                 huff = encode_jpeg_gray(px, quality=85)
                 arth = encode_jpeg_arith_gray(px, quality=85)
+                prog = encode_jpeg_arith_progressive_gray(px, quality=85)
+                ref = decode_jpeg_gray(huff)
                 ident = bool(
-                    np.array_equal(
-                        decode_jpeg_gray(huff), decode_jpeg_gray(arth)
-                    )
+                    np.array_equal(ref, decode_jpeg_gray(arth))
+                    and np.array_equal(ref, decode_jpeg_gray(prog))
                 )
                 out.append((int(aid), w, h, ident, len(arth) < len(huff)))
             yield pd.DataFrame(

@@ -152,7 +152,12 @@ def _resolve(table: str, location: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _plan_snapshot(table: str, meta: dict, snapshot_id: int | None) -> dict:
+def _plan_snapshot(
+    table: str,
+    meta: dict,
+    snapshot_id: int | None,
+    skip_filters: list[tuple] | None = None,
+) -> dict:
     """Plan a snapshot into its three v2 file classes::
 
         {"data": [(path, seq, info)], "pos": [path],
@@ -175,8 +180,59 @@ def _plan_snapshot(table: str, meta: dict, snapshot_id: int | None) -> dict:
         raise ValueError(f"snapshot {snapshot_id} not in table log")
     mlist_path = _resolve(table, snap["manifest-list"])
     _, mlist = read_ocf(Path(mlist_path).read_bytes())
+    # manifest-list-level pruning (the spec's field_summary tier): a DATA
+    # manifest whose partition-range summary can't match skip_filters is
+    # never even READ -- at 100 TB this is what keeps planning itself
+    # proportional to the matching fraction, not the manifest count.
+    # Delete manifests (content=1/2) are never skipped: their scope is
+    # decided by sequence numbers, not partitions, in this client.
+    skip_summary = None
+    if skip_filters:
+        from .iceberg_transforms import (
+            partition_value_from_dir,
+            summary_may_match,
+            transform_result_type,
+        )
+
+        schema_now = _current_schema(meta)
+        types_now = {
+            f["name"]: f["type"] for f in schema_now.get("fields", [])
+        }
+        spec_fields_now = _spec_fields_from_meta(meta)
+        result_types_now = {
+            f["name"]: transform_result_type(
+                f["transform"], types_now[f["source"]]
+            )
+            for f in spec_fields_now
+            if f["source"] in types_now
+        }
+
+        def skip_summary(m: dict) -> bool:
+            if (m.get("content") or 0) != 0 or not m.get("partitions"):
+                return False
+            summary = {
+                p["name"]: (
+                    partition_value_from_dir(
+                        str(p["lower"]), result_types_now[p["name"]]
+                    ),
+                    partition_value_from_dir(
+                        str(p["upper"]), result_types_now[p["name"]]
+                    ),
+                )
+                for p in m["partitions"]
+                if p.get("lower") is not None
+                and p["name"] in result_types_now
+            }
+            if not summary:
+                return False
+            return not summary_may_match(
+                list(skip_filters), summary, spec_fields_now, types_now
+            )
+
     seen: set[str] = set()
     for m in mlist:
+        if skip_summary is not None and skip_summary(m):
+            continue
         man_seq = int(m.get("sequence_number") or 0)
         man_path = _resolve(table, m["manifest_path"])
         _, entries = read_ocf(Path(man_path).read_bytes())
@@ -317,7 +373,9 @@ def _live_tagged(
 
     from pyspark.sql import functions as F
 
-    plan = _prune_plan(_plan_snapshot(table, meta, snapshot_id), meta, skip_filters)
+    plan = _prune_plan(
+        _plan_snapshot(table, meta, snapshot_id, skip_filters), meta, skip_filters
+    )
     if not plan["data"]:
         return None, plan
     reader = spark.read
@@ -685,8 +743,63 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "content", "type": ["null", "int"]},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
         {"name": "sequence_number", "type": ["null", "long"]},
+        {
+            # the spec's field_summary list (per partition field, in spec
+            # order): lets the planner skip READING a whole manifest when
+            # its partition range can't match -- the second pruning tier.
+            # Minimal-client shape: (name, lower, upper) as the same
+            # dir-encoded strings the entries use.
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "field_summary",
+                        "fields": [
+                            {"name": "name", "type": ["null", "string"]},
+                            {"name": "lower", "type": ["null", "string"]},
+                            {"name": "upper", "type": ["null", "string"]},
+                        ],
+                    },
+                },
+            ],
+        },
     ],
 }
+
+
+def _partition_summaries(
+    entries: list[dict], spec_fields: list[dict], result_types: dict[str, str]
+) -> list[dict] | None:
+    """Aggregate the entries' partition values into the manifest-list
+    field_summary records (typed min/max, re-encoded as strings). None
+    when unpartitioned or no entry carries values."""
+    if not spec_fields:
+        return None
+    from .iceberg_transforms import partition_value_from_dir
+
+    agg: dict[str, tuple] = {}
+    seen = False
+    for e in entries:
+        part = (e.get("data_file") or {}).get("partition")
+        if not part:
+            continue
+        seen = True
+        for p in part:
+            nm, raw = p["name"], p["value"]
+            if raw is None or nm not in result_types:
+                continue
+            v = partition_value_from_dir(str(raw), result_types[nm])
+            lo, hi = agg.get(nm, (v, v))
+            agg[nm] = (min(lo, v), max(hi, v))
+    if not seen:
+        return None
+    return [
+        {"name": nm, "lower": str(lo), "upper": str(hi)}
+        for nm, (lo, hi) in sorted(agg.items())
+    ]
 
 
 def _carry_forward(prev: list[dict]) -> list[dict]:
@@ -953,11 +1066,30 @@ def _spec_fields_from_meta(meta: dict) -> list[dict]:
     return out
 
 
+def iceberg_txn_version(table: str, app_id: str) -> int:
+    """Highest committed ingest version for ``app_id`` (the Iceberg twin
+    of Delta's txn action): read from the table property
+    ``ingest.<app_id>`` -- properties survive expire_snapshots, so
+    replay protection outlives snapshot retention -- falling back to the
+    snapshot summaries. -1 when the app never committed. Raises the
+    not-a-table error when no metadata exists (callers catch to mean
+    'first ever batch')."""
+    meta = _load_metadata(table)
+    prop = (meta.get("properties") or {}).get(f"ingest.{app_id}")
+    best = int(prop) if prop is not None else -1
+    for s in meta.get("snapshots", []):
+        sm = s.get("summary") or {}
+        if sm.get("ingest-app-id") == app_id:
+            best = max(best, int(sm.get("ingest-version", -1)))
+    return best
+
+
 def iceberg_write(
     df: DataFrame,
     table: str,
     mode: str = "append",
     partition_spec: list[dict] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit df to an Iceberg table (append/overwrite); creates the
     table on first commit. ``partition_spec`` (first commit only) is a
@@ -1025,6 +1157,15 @@ def iceberg_write(
     man_path = str(d / f"manifest-{uuid.uuid4().hex[:12]}.avro")
     Path(man_path).write_bytes(write_ocf(entries, _MANIFEST_SCHEMA))
 
+    from .iceberg_transforms import transform_result_type
+
+    schema_now = _current_schema(meta)
+    types_now = {f["name"]: f["type"] for f in schema_now.get("fields", [])}
+    result_types = {
+        f["name"]: transform_result_type(f["transform"], types_now[f["source"]])
+        for f in spec_fields
+        if f["source"] in types_now
+    }
     manifests = [
         {
             "manifest_path": man_path,
@@ -1033,6 +1174,9 @@ def iceberg_write(
             "content": 0,
             "added_snapshot_id": snapshot_id,
             "sequence_number": seq,
+            "partitions": _partition_summaries(
+                entries, spec_fields, result_types
+            ),
         }
     ]
     if mode == "append" and meta.get("current-snapshot-id", -1) != -1:
@@ -1046,12 +1190,21 @@ def iceberg_write(
     Path(mlist_path).write_bytes(write_ocf(manifests, _MANIFEST_LIST_SCHEMA))
     meta["last-sequence-number"] = seq
 
+    summary: dict = {"operation": mode}
+    if txn is not None:
+        app_id, batch_version = txn
+        summary["ingest-app-id"] = app_id
+        summary["ingest-version"] = int(batch_version)
+        props = dict(meta.get("properties") or {})
+        prev = int(props.get(f"ingest.{app_id}", -1))
+        props[f"ingest.{app_id}"] = str(max(prev, int(batch_version)))
+        meta["properties"] = props
     meta["snapshots"] = meta.get("snapshots", []) + [
         {
             "snapshot-id": snapshot_id,
             "timestamp-ms": int(time.time() * 1000),
             "manifest-list": mlist_path,
-            "summary": {"operation": mode},
+            "summary": summary,
         }
     ]
     meta["current-snapshot-id"] = snapshot_id

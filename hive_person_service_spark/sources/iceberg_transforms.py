@@ -272,6 +272,43 @@ def _cmp_possible(op: str, lo, hi, val) -> bool:
     raise ValueError(f"unsupported pruning op {op!r}")
 
 
+def summary_may_match(
+    filters: list[tuple[str, str, object]],
+    summary: dict[str, tuple],
+    spec_fields: list[dict],
+    types_by_name: dict[str, str],
+) -> bool:
+    """Manifest-LIST-level pruning: ``summary`` maps partition field name
+    -> (typed lower, typed upper) across every file the manifest holds.
+    True unless some filter proves NO file in the manifest can match --
+    the same projection rules as file_may_match, over intervals."""
+    by_source: dict[str, list[dict]] = {}
+    for f in spec_fields:
+        by_source.setdefault(f["source"], []).append(f)
+    for col, op, val in filters:
+        if col in summary:
+            lo, hi = summary[col]
+            if not _cmp_possible(op, lo, hi, val):
+                return False
+            continue
+        ice_t = types_by_name.get(col)
+        if ice_t is None:
+            continue
+        for f in by_source.get(col, []):
+            if f["name"] not in summary:
+                continue
+            base, _ = parse_transform(f["transform"])
+            if base == "bucket" and op != "=":
+                continue
+            if op != "=" and base not in _MONOTONIC:
+                continue
+            tv = apply_transform(val, f["transform"], ice_t)
+            lo, hi = summary[f["name"]]
+            if not _cmp_possible(op, lo, hi, tv):
+                return False
+    return True
+
+
 def file_may_match(
     filters: list[tuple[str, str, object]],
     partition: dict | None,

@@ -548,3 +548,54 @@ def stream_into_delta(
     except Exception as e:
         if "injected crash" not in str(e):
             raise
+
+
+def stream_into_iceberg(
+    stream: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    app_id: str = "iceberg-ingest",
+    timeout_s: int = 120,
+    crash_after_batch: int | None = None,
+) -> None:
+    """EXACTLY-ONCE streaming ingest into an Iceberg table -- the twin of
+    stream_into_delta, carried by snapshot summaries + the
+    ``ingest.<app_id>`` table property (sources/iceberg.py::
+    iceberg_txn_version): each micro-batch appends with
+    ``txn=(app_id, batch_id)``; on redelivery (crash between the Iceberg
+    commit and Spark's checkpoint, or a rebuilt checkpoint replaying from
+    batch 0) the sink skips batches already committed. The property-based
+    record survives expire_snapshots, so replay protection outlives
+    snapshot retention.
+
+    ``crash_after_batch`` injects a failure AFTER the Iceberg commit of
+    that batch but BEFORE Spark records it -- the worst-case window."""
+    from ..sources.iceberg import iceberg_txn_version, iceberg_write
+
+    class _Injected(RuntimeError):
+        pass
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            committed = iceberg_txn_version(table, app_id)
+        except ValueError:
+            committed = -1  # table not created yet
+        if batch_id > committed:
+            iceberg_write(batch_df, table, mode="append",
+                          txn=(app_id, batch_id))
+        if crash_after_batch is not None and batch_id == crash_after_batch:
+            raise _Injected(f"injected crash after batch {batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"stream_into_iceberg: no drain in {timeout_s}s")
+    except Exception as e:
+        if "injected crash" not in str(e):
+            raise

@@ -156,14 +156,65 @@ def test_restart_interval_reset():
     assert np.array_equal(a, decode_jpeg_gray(encode_jpeg_gray(px, 70)))
 
 
-def test_progressive_arithmetic_gates():
+@pytest.mark.parametrize("hw", [(16, 16), (40, 56), (33, 17), (8, 8)])
+@pytest.mark.parametrize("q", [50, 85, 95])
+def test_progressive_arith_identical_to_sequential(hw, q):
+    """SOF10 encode->decode reproduces EXACTLY the sequential SOF9
+    stream's pixels at the same quality: identical quantized
+    coefficients, different scan structure + entropy layer. Any model
+    mismatch (EOBx rule, correction-bit context, fixed-state signs)
+    desyncs the QM coder and corrupts every later block, so bit-equality
+    here pins the whole Annex-G.2 model."""
+    from hive_person_service_spark.operators.jpeg_arith import (
+        decode_jpeg_arith_progressive_gray,
+        encode_jpeg_arith_progressive_gray,
+    )
+
+    px = _image(*hw, seed=sum(hw) + q)
+    seq = decode_jpeg_arith_gray(encode_jpeg_arith_gray(px, q))
+    prog = decode_jpeg_arith_progressive_gray(
+        encode_jpeg_arith_progressive_gray(px, q)
+    )
+    assert np.array_equal(seq, prog)
+
+
+def test_progressive_arith_routes_through_main_decoder():
+    from hive_person_service_spark.operators.jpeg_arith import (
+        encode_jpeg_arith_progressive_gray,
+    )
+
+    px = _image(24, 24, seed=3)
+    raw = encode_jpeg_arith_progressive_gray(px, 85)
+    assert b"\xff\xca" in raw  # SOF10 frame
+    assert raw.count(b"\xff\xda") == 8  # DC first+refine, 2 bands x 3 levels
+    seq = decode_jpeg_arith_gray(encode_jpeg_arith_gray(px, 85))
+    assert np.array_equal(decode_jpeg_gray(raw), seq)
+
+
+def test_progressive_arith_flat_and_extreme():
+    from hive_person_service_spark.operators.jpeg_arith import (
+        decode_jpeg_arith_progressive_gray,
+        encode_jpeg_arith_progressive_gray,
+    )
+
+    for px in (
+        np.zeros((16, 24), dtype=np.uint8),
+        np.full((16, 24), 255, dtype=np.uint8),
+        np.tile(np.array([0, 255] * 12, dtype=np.uint8), (16, 1)),
+    ):
+        seq = decode_jpeg_arith_gray(encode_jpeg_arith_gray(px, 75))
+        prog = decode_jpeg_arith_progressive_gray(
+            encode_jpeg_arith_progressive_gray(px, 75)
+        )
+        assert np.array_equal(seq, prog)
+
+
+def test_lossless_arithmetic_gate_remains():
     px = _image(16, 16)
     raw = bytearray(encode_jpeg_arith_gray(px, 80))
     i = raw.find(b"\xff\xc9")
-    raw[i + 1] = 0xCA  # flip SOF9 -> SOF10
-    with pytest.raises(ValueError, match="progressive/lossless ARITHMETIC"):
-        decode_jpeg_arith_gray(bytes(raw))
-    with pytest.raises(ValueError, match="progressive/lossless ARITHMETIC"):
+    raw[i + 1] = 0xCB  # flip SOF9 -> SOF11 (lossless arithmetic)
+    with pytest.raises(ValueError, match="lossless ARITHMETIC"):
         decode_jpeg_gray(bytes(raw))
 
 

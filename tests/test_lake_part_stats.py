@@ -225,6 +225,135 @@ def test_iceberg_pruning_composes_with_deletes(spark, tmp_path):
     assert all(e % 3 != 0 for e in full)
 
 
+def test_iceberg_manifest_list_pruning(spark, tmp_path):
+    """The second pruning tier: with one manifest per append (disjoint
+    day ranges), a day filter must skip READING the non-matching
+    manifests entirely -- observed by deleting their Avro files from
+    disk: planning with the filter still works; without it, it can't."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.sources.iceberg import (
+        _load_metadata,
+        _plan_snapshot,
+        iceberg_scan,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "mlist")
+    spec = [{"name": "ts_day", "transform": "day", "source": "ts"}]
+    ev = _events(spark, 240)
+    days = ev.select(
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        .cast("int")
+        .alias("d")
+    )
+    lo, hi = days.agg(F.min("d"), F.max("d")).first()
+    mid = (lo + hi) // 2
+    early = ev.where(
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        <= mid
+    )
+    late = ev.where(
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+        > mid
+    )
+    iceberg_write(early, t, partition_spec=spec)
+    iceberg_write(late, t)  # second manifest, disjoint day range
+    meta = _load_metadata(t)
+    full = _plan_snapshot(t, meta, None)
+    pruned = _plan_snapshot(t, meta, None, skip_filters=[("ts_day", ">", mid)])
+    assert 0 < len(pruned["data"]) < len(full["data"])
+    # results with filter+residual == unfiltered scan + predicate
+    want = {
+        r.event_id
+        for r in iceberg_scan(spark, t)
+        .where(
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+            > mid
+        )
+        .collect()
+    }
+    got = {
+        r.event_id
+        for r in iceberg_scan(spark, t, skip_filters=[("ts_day", ">", mid)])
+        .where(
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 86_400_000_000)
+            > mid
+        )
+        .collect()
+    }
+    assert got == want
+    # the early manifest is never READ under the filter: corrupt it and
+    # the filtered plan still succeeds while the full plan fails
+    import glob
+    import os
+
+    early_paths = {p for p, _s, _i in full["data"]} - {
+        p for p, _s, _i in pruned["data"]
+    }
+    for man in glob.glob(os.path.join(t, "metadata", "manifest-*.avro")):
+        from hive_person_service_spark.sources.avro_ocf import read_ocf
+        from pathlib import Path as _P
+
+        _, entries = read_ocf(_P(man).read_bytes())
+        paths = {
+            e["data_file"]["file_path"]
+            for e in entries
+            if e.get("data_file")
+        }
+        if paths and paths <= early_paths:
+            _P(man).write_bytes(b"corrupted")
+    again = _plan_snapshot(t, meta, None, skip_filters=[("ts_day", ">", mid)])
+    assert {p for p, _s, _i in again["data"]} == {
+        p for p, _s, _i in pruned["data"]
+    }
+    with pytest.raises(Exception):
+        _plan_snapshot(t, meta, None)
+
+
+def test_iceberg_streaming_ingest_exactly_once(spark, tmp_path):
+    """stream_into_iceberg: availableNow drain commits each micro-batch
+    with txn idempotence; a crash after commit + restart, AND a fully
+    rebuilt checkpoint, both end with the source ingested exactly once."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_scan,
+        iceberg_snapshots,
+        iceberg_txn_version,
+    )
+    from hive_person_service_spark.streaming.jobs import stream_into_iceberg
+
+    landing = str(tmp_path / "landing")
+    src = _events(spark, 90)
+    for i in range(3):
+        src.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{landing}/part{i}.parquet")
+
+    def stream():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{landing}/part*.parquet")
+        )
+
+    t = str(tmp_path / "icestream")
+    # crash after batch 1's commit, restart from the SAME checkpoint
+    ck = str(tmp_path / "ck")
+    stream_into_iceberg(stream(), t, ck, app_id="ev", crash_after_batch=1)
+    stream_into_iceberg(stream(), t, ck, app_id="ev")
+    assert iceberg_scan(spark, t).count() == 90
+    assert iceberg_txn_version(t, "ev") == 2
+    n_snaps = len(iceberg_snapshots(t))
+    # rebuilt checkpoint: every batch replays; txn versions no-op them all
+    stream_into_iceberg(stream(), t, str(tmp_path / "ck2"), app_id="ev")
+    assert iceberg_scan(spark, t).count() == 90
+    assert len(iceberg_snapshots(t)) == n_snaps
+
+
 # ---------------------------------------------------------------------------
 # Iceberg: schema evolution + timestamp travel
 # ---------------------------------------------------------------------------
