@@ -438,10 +438,14 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
                 vals = list(payload[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _build_decode_map(bits, vals)
                 i += 17 + n
-        elif marker == 0xFFC0:
+        elif marker in (0xFFC0, 0xFFC1):
+            # SOF1 (extended sequential): identical scan structure to
+            # baseline -- it only LIFTS baseline's limits (12-bit
+            # precision, 4 Huffman tables/class). 8-bit SOF1 streams
+            # therefore decode on the baseline path; 12-bit gates below.
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
-                raise ValueError("only 8-bit baseline JPEG supported")
+                raise ValueError("only 8-bit sequential JPEG supported")
             for c in range(ncomp):
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append(
@@ -451,10 +455,10 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
             return _decode_progressive_gray(raw)
         elif marker == 0xFFC3:
             return _decode_lossless_gray(raw)
-        elif marker in (0xFFC1, 0xFFC5, 0xFFC6, 0xFFC7):
+        elif marker in (0xFFC5, 0xFFC6, 0xFFC7):
             raise ValueError(
-                "extended-sequential/hierarchical JPEG frames unsupported "
-                "(SOF0/SOF2/SOF3/SOF9 are supported)"
+                "hierarchical JPEG frames unsupported (the same gate "
+                "libjpeg keeps; SOF0/1/2/3/9/10 are supported)"
             )
         elif marker == 0xFFC9:
             from .jpeg_arith import decode_jpeg_arith_gray

@@ -339,6 +339,81 @@ def table_iceberg_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _delta_events_generated(spark: SparkSession, sf_dir: str) -> str:
+    """Delta events table partitioned on a GENERATED column
+    p_date = CAST(ts AS DATE), built in two commits so the scan exercises
+    the multi-commit-root partition-attach path AND append-time
+    recomputation of the generated column."""
+    path = os.path.join(
+        _LAYOUT_ROOT, f"events_dltgen_{_digest(sf_dir, 'events', 'gen')}"
+    )
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        from ..sources.delta_log import delta_write
+
+        with _atomic_layout(path) as tmp:
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            delta_write(
+                ev.where(F.col("event_id") % 2 == 0), tmp,
+                partition_by=["p_date"],
+                generated={"p_date": "CAST(ts AS DATE)"},
+            )
+            delta_write(ev.where(F.col("event_id") % 2 == 1), tmp)
+    return path
+
+
+@declare(
+    "table_delta_generated_partitions",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    WHERE CAST(ts AS DATE) <=
+          (SELECT CAST(MIN(ts) AS DATE) + INTERVAL 2 DAY FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def table_delta_generated_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED-column partition pruning on Delta (the Delta twin of
+    Iceberg transform projection): the table is partitioned on
+    p_date = CAST(ts AS DATE) recorded as delta.generationExpression;
+    the scan's skip_filters on the SOURCE ts column project through the
+    date truncation and prune partitions from the log alone. The same
+    first-three-days rollup + oracle as table_iceberg_partitioned_scan,
+    so the two formats' planning tiers are pinned to identical results.
+    The generated column never reaches the result (dropped before the
+    rollup); partition values are re-attached from the log across both
+    commit roots (tests/test_lake_part_stats.py pins value == CAST(ts AS
+    DATE) row-by-row)."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_events_generated(spark, sf_dir)
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.date_add(F.to_date(F.min("ts")), 2).alias("d"))
+        .first()["d"]
+    )
+    df = delta_scan(
+        spark, path,
+        skip_filters=[("ts", "<=", f"{cutoff}T23:59:59.999999")],
+    )
+    return (
+        df.where(F.to_date("ts") <= F.lit(cutoff))
+        .groupBy(
+            F.to_date("ts").cast("string").alias("event_date"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )
+
+
 def _delta_orders_ranged(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(
         _LAYOUT_ROOT, f"orders_dltrange_{_digest(sf_dir, 'orders', 'dltrange')}"
@@ -458,6 +533,45 @@ def table_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("s_acctbal"), 2).alias("bal"),
             F.max("s_suppkey").alias("max_key"),
         )
+    )
+
+
+@declare(
+    "table_delta_cdf",
+    oracle="""
+    SELECT 'delete' AS change_type,
+           CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey % 10 = 0)
+                AS BIGINT) AS n,
+           ROUND((SELECT SUM(s_acctbal) FROM supplier
+                  WHERE s_suppkey % 10 = 0), 2) AS bal
+    UNION ALL
+    SELECT 'insert',
+           CAST((SELECT COUNT(*) FROM supplier)
+                + (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 10 = 0)
+                + 3 AS BIGINT),
+           ROUND((SELECT SUM(s_acctbal) FROM supplier)
+                 + (SELECT SUM(CAST(s_suppkey AS DOUBLE)) FROM supplier
+                    WHERE s_suppkey % 10 = 0)
+                 + 600.0, 2)
+    """,
+)
+def table_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED reconstructed from the Delta log
+    (delta_changes): over the merged supplier table, the feed must hold
+    the v0 inserts (every supplier), the merge's deletes (every 10th
+    key's pre-image, via deletion-vector set difference) and its inserts
+    (the updated images + three nation -1 rows). The oracle REPLAYS that
+    arithmetic over the raw supplier table -- agreement proves the
+    log-reconstruction attributes every changed row to the right change
+    type exactly once, which is what an incremental downstream consumer
+    relies on."""
+    from ..sources.delta_log import delta_changes
+
+    path = _delta_supplier_merged(spark, sf_dir)
+    ch = delta_changes(spark, path)
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
     )
 
 

@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from pathlib import Path
@@ -250,6 +251,11 @@ def _typed_stat(v, spark_type: str):
         return float(v)
     if spark_type == "boolean":
         return v if isinstance(v, bool) else str(v).lower() == "true"
+    if spark_type.startswith("timestamp"):
+        # stats serialize ISO-8601 with a 'T' separator; accept literals
+        # in either form -- a space would break the lexicographic-equals-
+        # chronological property this comparison relies on
+        return str(v).replace(" ", "T")
     return str(v)
 
 
@@ -282,12 +288,36 @@ def _prune_adds(
             return lo is None or lo < val
         raise ValueError(f"unsupported pruning op {op!r}")
 
+    gen = _generated_sources(meta)
+    by_gen_source: dict[str, list[str]] = {}
+    for gcol, (src, _kind) in gen.items():
+        by_gen_source.setdefault(src, []).append(gcol)
+
     kept: dict[str, dict] = {}
     for rel, add in files.items():
         stats = add.get("stats")
         st = json.loads(stats) if isinstance(stats, str) else None
         ok = True
         for col, op, val in skip_filters:
+            # project source-column predicates through DATE-truncation
+            # generated partition columns (Delta's generated-column
+            # pruning): date(x) is monotonic in x, so range ops carry
+            # over; equality compares the truncated day
+            for gcol in by_gen_source.get(col, []):
+                praw = (add.get("partitionValues") or {}).get(gcol)
+                if praw is None:
+                    continue
+                vday = str(val)[:10]
+                if op in (">=", ">") and praw < vday:
+                    ok = False
+                elif op in ("<=", "<") and praw > vday:
+                    ok = False
+                elif op == "=" and praw != vday:
+                    ok = False
+                if not ok:
+                    break
+            if not ok:
+                break
             t = type_of.get(col)
             if t is None or t == "complex":
                 continue
@@ -346,7 +376,63 @@ def delta_scan(
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, p) for p in sorted(files)]
-    df = spark.read.option("basePath", table).parquet(*paths)
+    part_cols = meta.get("partitionColumns") or []
+    roots = {p.split(os.sep)[0] for p in files}
+    if part_cols and len(roots) > 1:
+        # Spark's hive-style discovery cannot span multiple commit roots
+        # (table/part-<uuid>/col=v/...) under one basePath; the log
+        # ALREADY records every file's partitionValues, so attach the
+        # partition columns from there: a broadcast map bounded by file
+        # count, typed from schemaString. skip_filters pruning above is
+        # the partition-elimination mechanism on this path.
+        from pyspark.sql import functions as F
+
+        type_of = {
+            f["name"]: f["type"]
+            for f in json.loads(meta["schemaString"])["fields"]
+            if isinstance(f["type"], str)
+        }
+        rows = []
+        for rel, add in files.items():
+            pv = add.get("partitionValues") or {}
+            vals = []
+            for c in part_cols:
+                raw = pv.get(c)
+                if raw in (None, "__HIVE_DEFAULT_PARTITION__"):
+                    vals.append(None)
+                else:
+                    vals.append(str(raw))
+            rows.append((os.path.abspath(os.path.join(table, rel)), *vals))
+        map_schema = ", ".join(
+            ["__pfile string"] + [f"`{c}` string" for c in part_cols]
+        )
+        map_df = spark.createDataFrame(rows, map_schema)
+        # recursiveFileLookup disables hive partition INFERENCE entirely
+        # (the values come from the log, not the directory names)
+        df = spark.read.option("recursiveFileLookup", "true").parquet(*paths)
+        data_cols = df.columns
+        df = (
+            df.withColumn(
+                "__p",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            )
+            .withColumn("__i", F.col("_metadata.row_index"))
+            .join(
+                F.broadcast(map_df),
+                F.col("__p") == F.col("__pfile"),
+            )
+            .select(
+                *data_cols,
+                *[
+                    F.col(f"`{c}`").cast(type_of.get(c, "string")).alias(c)
+                    for c in part_cols
+                ],
+                "__p",
+                "__i",
+            )
+        )
+    else:
+        df = spark.read.option("basePath", table).parquet(*paths)
     dv_adds = {p: a["deletionVector"] for p, a in files.items()
                if a.get("deletionVector")}
     if dv_adds:
@@ -363,22 +449,23 @@ def delta_scan(
             plain = os.path.abspath(os.path.join(table, rel))
             rows.extend((plain, int(p)) for p in read_dv(table, desc))
         dels = spark.createDataFrame(rows, "__dv_path string, __dv_pos long")
-        cols = df.columns
-        df = (
+        if "__p" not in df.columns:
             # normalize file:/p, file:///p -> /p (Hadoop URI form varies)
-            df.withColumn(
+            from pyspark.sql import functions as F  # noqa: F811
+
+            df = df.withColumn(
                 "__p",
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
-            )
-            .withColumn("__i", F.col("_metadata.row_index"))
-            .join(
-                F.broadcast(dels),
-                on=[F.col("__p") == F.col("__dv_path"),
-                    F.col("__i") == F.col("__dv_pos")],
-                how="left_anti",
-            )
-            .select(*cols)
-        )
+            ).withColumn("__i", F.col("_metadata.row_index"))
+        cols = [c for c in df.columns if c not in ("__p", "__i")]
+        df = df.join(
+            F.broadcast(dels),
+            on=[F.col("__p") == F.col("__dv_path"),
+                F.col("__i") == F.col("__dv_pos")],
+            how="left_anti",
+        ).select(*cols)
+    elif "__p" in df.columns:
+        df = df.drop("__p", "__i")
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
     if mode in ("name", "id"):
         # Column mapping: data files carry physical names; the logical
@@ -461,6 +548,148 @@ def delta_history(table: str) -> list[dict]:
     return out
 
 
+def delta_changes(
+    spark: SparkSession,
+    table: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed RECONSTRUCTED from the log (the
+    ``table_changes`` / readChangeFeed surface): one row per changed row
+    per commit in [starting_version, ending_version], with the spec's
+    ``_change_type`` ('insert' | 'delete' | 'update_preimage' /
+    'update_postimage' collapse to delete+insert here, faithful to what
+    log reconstruction can know without cdc files) and
+    ``_commit_version`` columns.
+
+    Per version: dataChange add actions yield inserts of the NEW live
+    rows of that file (old DV positions excluded); a remove+add pair on
+    the same path with a grown deletion vector yields deletes of exactly
+    the NEWLY deleted positions (DV set difference, decoded driver-side
+    like the log replay); a remove without re-add yields deletes of the
+    file's remaining live rows. Distributed: positions become broadcast
+    (path, pos) semi/anti-joins against the raw file scan -- row data
+    never funnels through the driver."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from .delta_dv import read_dv
+
+    versions = [v for v in _list_versions(table) if v >= starting_version]
+    if ending_version is not None:
+        versions = [v for v in versions if v <= ending_version]
+    if not versions:
+        raise ValueError(
+            f"no commits in [{starting_version}, {ending_version}] for {table}"
+        )
+    _files, meta, _proto, _v = _snapshot(table)
+
+    def dv_set(desc) -> set[int]:
+        return {int(p) for p in read_dv(table, desc)} if desc else set()
+
+    # walk the log once, tracking each file's DV state so a grown DV
+    # diffs against the previous one
+    dv_state: dict[str, set[int]] = {}
+    live_adds: dict[str, dict] = {}
+    pieces = []
+    for v in _list_versions(table):
+        adds: dict[str, dict] = {}
+        removes: list[str] = []
+        for line in _version_file(table, v).read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "add" in action:
+                adds[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                removes.append(action["remove"]["path"])
+        emit = v in set(versions)
+        for rel, add in adds.items():
+            new_dv = dv_set(add.get("deletionVector"))
+            old_dv = dv_state.get(rel)
+            if old_dv is None and rel not in live_adds:
+                # brand-new file: its live rows are inserts
+                if emit and add.get("dataChange", True):
+                    pieces.append(("insert", v, rel, new_dv, None))
+            else:
+                prev = old_dv if old_dv is not None else set()
+                newly = new_dv - prev
+                if emit and newly:
+                    pieces.append(("delete", v, rel, None, newly))
+            dv_state[rel] = new_dv
+            live_adds[rel] = add
+        for rel in removes:
+            if rel in adds:
+                continue  # remove+re-add = DV flip, handled above
+            if rel in live_adds:
+                if emit:
+                    # file retired without replacement: remaining live
+                    # rows are deletes (OVERWRITE shape)
+                    pieces.append(
+                        ("delete_file", v, rel, dv_state.get(rel, set()), None)
+                    )
+                live_adds.pop(rel, None)
+                dv_state.pop(rel, None)
+
+    schema_cols = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    out_frames = []
+    for kind, v, rel, dv, positions in pieces:
+        full_path = os.path.join(table, rel)
+        if not os.path.exists(full_path):
+            continue  # vacuumed: change rows for this file are gone
+        df = spark.read.option("recursiveFileLookup", "true").parquet(full_path)
+        df = df.withColumn("__i", F.col("_metadata.row_index"))
+        if kind == "insert":
+            if dv:
+                dvdf = spark.createDataFrame(
+                    [(int(i),) for i in sorted(dv)], "__di long"
+                )
+                df = df.join(
+                    F.broadcast(dvdf), df["__i"] == dvdf["__di"], "left_anti"
+                )
+            ct = "insert"
+        elif kind == "delete":
+            posdf = spark.createDataFrame(
+                [(int(i),) for i in sorted(positions)], "__di long"
+            )
+            df = df.join(
+                F.broadcast(posdf), df["__i"] == posdf["__di"], "left_semi"
+            )
+            ct = "delete"
+        else:  # delete_file: everything not already DV-deleted
+            if dv:
+                dvdf = spark.createDataFrame(
+                    [(int(i),) for i in sorted(dv)], "__di long"
+                )
+                df = df.join(
+                    F.broadcast(dvdf), df["__i"] == dvdf["__di"], "left_anti"
+                )
+            ct = "delete"
+        present = [c for c in schema_cols if c in df.columns]
+        out_frames.append(
+            df.select(
+                *present,
+                F.lit(ct).alias("_change_type"),
+                F.lit(int(v)).alias("_commit_version"),
+            )
+        )
+    if not out_frames:
+        from pyspark.sql.types import StructType
+
+        base = StructType.fromJson(json.loads(meta["schemaString"]))
+        empty = spark.createDataFrame([], base)
+        return empty.select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).alias("_commit_version"),
+        ).limit(0)
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                  out_frames)
+
+
 def _file_stats_json(full: str) -> str | None:
     """Per-file statistics for the add action's ``stats`` field (the
     Delta spec's data-skipping payload): numRecords, minValues,
@@ -526,10 +755,22 @@ def _write_data_files(df: DataFrame, table: str, partition_by: list[str]) -> lis
     ``stats`` harvested from the parquet footers."""
     sub = f"part-{uuid.uuid4().hex[:12]}"
     staging = os.path.join(table, sub)
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(staging)
+    spark = df.sparkSession
+    # INT96 (Spark's default ltz encoding) carries NO parquet min/max
+    # statistics -- modern Delta writers emit INT64 micros, which is also
+    # what makes timestamp data skipping possible
+    prev_tst = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+    finally:
+        if prev_tst is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tst)
     adds = []
     now = int(time.time() * 1000)
     for root, _dirs, names in os.walk(staging):
@@ -726,6 +967,31 @@ def delta_txn_version(table: str, app_id: str) -> int:
     return last
 
 
+_GEN_DATE_RE = re.compile(
+    r"^\s*(?:CAST\s*\(\s*`?(\w+)`?\s+AS\s+DATE\s*\)|DATE\s*\(\s*`?(\w+)`?\s*\))\s*$",
+    re.IGNORECASE,
+)
+
+
+def _generated_sources(meta: dict) -> dict[str, tuple[str, str]]:
+    """Partition columns carrying a ``delta.generationExpression`` this
+    minimal client can PROJECT predicates through: {generated_col:
+    (source_col, kind)}. Only the date-truncation family (CAST(x AS
+    DATE) / DATE(x)) is recognized -- the shape Delta's own
+    generated-column pruning handles -- anything else simply doesn't
+    prune (conservative)."""
+    out: dict[str, tuple[str, str]] = {}
+    part_cols = set(meta.get("partitionColumns") or [])
+    for f in json.loads(meta["schemaString"])["fields"]:
+        expr = (f.get("metadata") or {}).get("delta.generationExpression")
+        if not expr or f["name"] not in part_cols:
+            continue
+        m = _GEN_DATE_RE.match(expr)
+        if m:
+            out[f["name"]] = (m.group(1) or m.group(2), "date")
+    return out
+
+
 def delta_write(
     df: DataFrame,
     table: str,
@@ -733,23 +999,50 @@ def delta_write(
     partition_by: list[str] | None = None,
     checkpoint_interval: int = 10,
     txn: tuple[str, int] | None = None,
+    generated: dict[str, str] | None = None,
 ) -> int:
     """Commit df to a Delta table (``append`` or ``overwrite``); creates
     the table (protocol + metaData actions) on first commit. Returns the
     committed version. ``txn=(app_id, version)`` embeds the protocol's
     idempotent-transaction action -- pair with delta_txn_version for
-    exactly-once streaming sinks."""
+    exactly-once streaming sinks.
+
+    ``generated`` (first commit only) = {col: sql_expr} GENERATED
+    columns: computed from the frame at write time, recorded as
+    ``delta.generationExpression`` field metadata (the Delta spec's
+    generated-columns feature), and recomputed automatically on later
+    appends so the caller never materializes them. Partition on a
+    DATE-truncation generated column and ``skip_filters`` on the SOURCE
+    column prune partitions through the expression."""
+    from pyspark.sql import functions as F
+
     partition_by = partition_by or []
     exists = _log_dir(table).is_dir() and _list_versions(table)
     version = (_list_versions(table)[-1] + 1) if exists else 0
+    if exists and generated:
+        raise ValueError("generated columns may only be set at table creation")
+    if generated:
+        for name, expr in generated.items():
+            df = df.select(
+                "*",
+                F.expr(expr).alias(
+                    name, metadata={"delta.generationExpression": expr}
+                ),
+            )
     if exists:
+        # recompute the table's generated columns for this append so the
+        # caller writes the LOGICAL frame only
+        _f0, meta0, _p0, _v0 = _snapshot(table)
+        for f in json.loads(meta0["schemaString"])["fields"]:
+            expr = (f.get("metadata") or {}).get("delta.generationExpression")
+            if expr and f["name"] not in df.columns:
+                df = df.select("*", F.expr(expr).alias(f["name"]))
+        if not partition_by:
+            partition_by = list(meta0.get("partitionColumns") or [])
         # column-mapped tables store PHYSICAL names in data files: map the
         # incoming logical frame through the schema metadata before writing
-        _f0, meta0, _p0, _v0 = _snapshot(table)
         pm = _cm_phys_map(meta0)
         if pm:
-            from pyspark.sql import functions as F
-
             if partition_by:
                 raise ValueError(
                     "partitioned writes to a column-mapped Delta table "
@@ -819,17 +1112,79 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
     only (file, row_index) pairs for MATCHES (bounded by delete
     cardinality, the same driver-side footprint as the log itself); the
     read path applies DVs as a broadcast anti-join."""
-    from pyspark.sql import functions as F
-
-    from .delta_dv import serialize_bitmap, write_dv_file
-
     files, meta, proto, version = _snapshot(table)
     if not files:
         return 0
-    paths = sorted(files)
+    from pyspark.sql import functions as F
+
+    tagged = _raw_tagged(spark, table, files, meta)
     rel_by_plain = {
-        os.path.abspath(os.path.join(table, p)): p for p in paths
+        os.path.abspath(os.path.join(table, p)): p for p in sorted(files)
     }
+    matches = (
+        tagged.where(F.expr(predicate)).select("_dv_p", "_dv_i").collect()
+    )
+    pairs = [(rel_by_plain[r["_dv_p"]], int(r["_dv_i"])) for r in matches]
+    return _commit_dv_deletes(
+        table, files, proto, version, pairs,
+        op="DELETE", params={"predicate": predicate},
+    )
+
+
+def _raw_tagged(spark: SparkSession, table: str, files: dict, meta: dict):
+    """The RAW (pre-deletion-vector) rows of the live files, logical
+    column names, partition columns attached, plus ``_dv_p`` (normalized
+    file path) and ``_dv_i`` (row index) -- the shared match-finding
+    frame of delta_delete and delta_merge. Handles the multi-commit-root
+    partitioned layout the same way delta_scan does (partition values
+    from the log, not directory inference)."""
+    from pyspark.sql import functions as F
+
+    paths = sorted(files)
+    part_cols = meta.get("partitionColumns") or []
+    roots = {p.split(os.sep)[0] for p in paths}
+    if part_cols and len(roots) > 1:
+        type_of = {
+            f["name"]: f["type"]
+            for f in json.loads(meta["schemaString"])["fields"]
+            if isinstance(f["type"], str)
+        }
+        rows = []
+        for rel, add in files.items():
+            pv = add.get("partitionValues") or {}
+            vals = [
+                None
+                if pv.get(c) in (None, "__HIVE_DEFAULT_PARTITION__")
+                else str(pv.get(c))
+                for c in part_cols
+            ]
+            rows.append((os.path.abspath(os.path.join(table, rel)), *vals))
+        map_schema = ", ".join(
+            ["__pfile string"] + [f"`{c}` string" for c in part_cols]
+        )
+        map_df = spark.createDataFrame(rows, map_schema)
+        df = spark.read.option("recursiveFileLookup", "true").parquet(
+            *[os.path.join(table, p) for p in paths]
+        )
+        data_cols = df.columns
+        df = (
+            df.withColumn(
+                "_dv_p",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            )
+            .withColumn("_dv_i", F.col("_metadata.row_index"))
+            .join(F.broadcast(map_df), F.col("_dv_p") == F.col("__pfile"))
+            .select(
+                *data_cols,
+                *[
+                    F.col(f"`{c}`").cast(type_of.get(c, "string")).alias(c)
+                    for c in part_cols
+                ],
+                "_dv_p",
+                "_dv_i",
+            )
+        )
+        return df
     df = spark.read.option("basePath", table).parquet(
         *[os.path.join(table, p) for p in paths]
     )
@@ -841,23 +1196,13 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
         if pm
         else [F.col(c) for c in df.columns]
     )
-    matches = (
-        df.select(
-            *data_cols,
-            # normalize file:/p, file:///p -> /p (Hadoop URI form varies)
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("_dv_p"),
-            F.col("_metadata.row_index").alias("_dv_i"),
-        )
-        .where(F.expr(predicate))
-        .select("_dv_p", "_dv_i")
-        .collect()
-    )
-    pairs = [(rel_by_plain[r["_dv_p"]], int(r["_dv_i"])) for r in matches]
-    return _commit_dv_deletes(
-        table, files, proto, version, pairs,
-        op="DELETE", params={"predicate": predicate},
+    return df.select(
+        *data_cols,
+        # normalize file:/p, file:///p -> /p (Hadoop URI form varies)
+        F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/+", "/"
+        ).alias("_dv_p"),
+        F.col("_metadata.row_index").alias("_dv_i"),
     )
 
 
@@ -960,26 +1305,10 @@ def delta_merge(
     n_src = src.count()
     n_matched = 0
     if files:
-        paths = sorted(files)
         rel_by_plain = {
-            os.path.abspath(os.path.join(table, p)): p for p in paths
+            os.path.abspath(os.path.join(table, p)): p for p in sorted(files)
         }
-        df = spark.read.option("basePath", table).parquet(
-            *[os.path.join(table, p) for p in paths]
-        )
-        pm = _cm_phys_map(meta)
-        data_cols = (
-            [F.col(f"`{p}`").alias(l) for l, p in pm.items()]
-            if pm
-            else [F.col(c) for c in df.columns]
-        )
-        tagged = df.select(
-            *data_cols,
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("_dv_p"),
-            F.col("_metadata.row_index").alias("_dv_i"),
-        )
+        tagged = _raw_tagged(spark, table, files, meta)
         matches = (
             tagged.join(F.broadcast(src.select(*keys).distinct()), on=keys)
             .select("_dv_p", "_dv_i")

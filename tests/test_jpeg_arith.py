@@ -273,3 +273,20 @@ def test_lossless_gates():
         encode_jpeg_lossless_gray(px, predictor=0)
     with pytest.raises(ValueError, match="predictor"):
         encode_jpeg_lossless_gray(px, predictor=8)
+
+
+def test_sof1_extended_sequential_decodes_as_baseline():
+    """SOF1 only lifts baseline's table/precision limits; an 8-bit SOF1
+    stream decodes identically on the baseline path. Hierarchical frames
+    keep their precise gate (the same gate libjpeg keeps)."""
+    from hive_person_service_spark.operators.jpeg import encode_jpeg_gray
+
+    px = _image(24, 40, seed=5)
+    raw = bytearray(encode_jpeg_gray(px, 85))
+    ref = decode_jpeg_gray(bytes(raw))
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC1  # SOF0 -> SOF1
+    assert np.array_equal(decode_jpeg_gray(bytes(raw)), ref)
+    raw[i + 1] = 0xC5  # differential (hierarchical) frame
+    with pytest.raises(ValueError, match="hierarchical"):
+        decode_jpeg_gray(bytes(raw))

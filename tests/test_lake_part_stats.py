@@ -480,6 +480,88 @@ def test_delta_partition_value_skipping(spark, tmp_path):
     assert fast.where("band = '3'").count() == full.where("band = '3'").count() == 20
 
 
+def test_delta_generated_partition_projection(spark, tmp_path):
+    """Generated columns (delta.generationExpression): the writer
+    computes p_date = CAST(ts AS DATE) and records the expression;
+    appends recompute it automatically; skip_filters on the SOURCE ts
+    column prune partitions THROUGH the date truncation. Pruning reads
+    strictly fewer files and yields exactly the full scan's rows."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.sources.delta_log import (
+        _generated_sources,
+        _snapshot,
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "gen")
+    ev = _events(spark, 300)
+    delta_write(
+        ev.where("event_id % 2 = 0"), t,
+        partition_by=["p_date"], generated={"p_date": "CAST(ts AS DATE)"},
+    )
+    delta_write(ev.where("event_id % 2 = 1"), t)  # recomputed on append
+    _f, meta, _p, _v = _snapshot(t)
+    assert _generated_sources(meta) == {"p_date": ("ts", "date")}
+    full = delta_scan(spark, t)
+    assert set(full.columns) == {"event_id", "ts", "user_id", "value", "p_date"}
+    assert full.count() == 300
+    # partition column re-attached correctly across BOTH commit roots
+    assert full.where("p_date <> CAST(ts AS DATE)").count() == 0
+    cutoff = ev.agg(F.date_add(F.to_date(F.min("ts")), 3).alias("d")).first()["d"]
+    fast = delta_scan(
+        spark, t,
+        skip_filters=[("ts", "<=", f"{cutoff} 23:59:59.999999")],
+    )
+    assert len(fast.inputFiles()) < len(full.inputFiles())
+    pred = F.to_date("ts") <= F.lit(cutoff)
+    assert {r.event_id for r in fast.where(pred).collect()} == {
+        r.event_id for r in full.where(pred).collect()
+    }
+    # DV delete + merge work on the multi-root partitioned layout
+    from hive_person_service_spark.sources.delta_log import (
+        delta_delete,
+        delta_merge,
+    )
+
+    assert delta_delete(spark, t, "event_id % 5 = 0") == 60
+    assert delta_scan(spark, t).count() == 240
+    src = ev.where("event_id IN (1, 3)").withColumn("value", F.lit(-1.0))
+    assert delta_merge(spark, t, src, keys=["event_id"]) == {
+        "updated": 2, "inserted": 0,
+    }
+    got = delta_scan(spark, t)
+    assert got.count() == 240
+    assert got.where("event_id IN (1,3) AND value = -1.0").count() == 2
+    # generated gate: creation-only
+    with pytest.raises(ValueError, match="creation"):
+        delta_write(ev.limit(1), t, generated={"x": "event_id + 1"})
+
+
+def test_delta_timestamp_stats_separator_forms(spark, tmp_path):
+    """Timestamp stats serialize ISO-8601 with 'T'; literals in either
+    the 'T' or space form must prune identically (the space form
+    silently over-pruned before the normalization fix)."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "tsf")
+    delta_write(_events(spark, 200).repartitionByRange(8, "ts"), t)
+    full = delta_scan(spark, t)
+    cutoff = full.agg(F.date_add(F.to_date(F.min("ts")), 3).alias("d")).first()["d"]
+    pred = F.to_date("ts") <= F.lit(cutoff)
+    want = {r.event_id for r in full.where(pred).collect()}
+    for lit in (f"{cutoff} 23:59:59.999999", f"{cutoff}T23:59:59.999999"):
+        fast = delta_scan(spark, t, skip_filters=[("ts", "<=", lit)])
+        assert len(fast.inputFiles()) < len(full.inputFiles())
+        assert {r.event_id for r in fast.where(pred).collect()} == want
+
+
 def test_delta_merge_upsert(spark, tmp_path):
     from pyspark.sql import functions as F
 
@@ -578,6 +660,66 @@ def test_iceberg_merge_upsert(spark, tmp_path):
     assert iceberg_scan(spark, t).count() == 21
     with pytest.raises(ValueError, match="not unique"):
         iceberg_merge(spark, t, src.union(src), keys=["id"])
+
+
+def test_delta_change_data_feed_reconstruction(spark, tmp_path):
+    """delta_changes reconstructs the per-commit change feed from the
+    log: appends -> inserts, DV growth -> deletes of exactly the new
+    positions, merge -> delete+insert pairs, overwrite -> file-retire
+    deletes; version windows select sub-ranges; applying the feed in
+    order reproduces HEAD."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_changes,
+        delta_delete,
+        delta_merge,
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "cdf")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "id long, v double"
+    )
+    delta_write(base.repartition(2), t)                    # v0
+    delta_delete(spark, t, "id IN (2, 4)")                 # v1
+    src = spark.createDataFrame([(3, 300.0), (100, 1.0)], "id long, v double")
+    delta_merge(spark, t, src, keys=["id"])                # v2 (del) + v3 (ins)
+    ch = delta_changes(spark, t)
+    by = {
+        (r["_change_type"], r["_commit_version"]): r["count"]
+        for r in ch.groupBy("_change_type", "_commit_version").count().collect()
+    }
+    assert by == {
+        ("insert", 0): 12, ("delete", 1): 2, ("delete", 2): 1, ("insert", 3): 2,
+    }
+    # windowed read returns only the merge's changes
+    w = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in delta_changes(spark, t, starting_version=2).collect()
+    )
+    assert w == [(3, "delete", 2), (3, "insert", 3), (100, "insert", 3)]
+    # replay: the latest change per (id, v) being an insert == HEAD
+    head = {(r.id, r.v) for r in delta_scan(spark, t).collect()}
+    applied = {
+        (r.id, r.v)
+        for r in ch.groupBy("id", "v")
+        .agg(F.max_by("_change_type", "_commit_version").alias("ct"))
+        .where("ct = 'insert'")
+        .collect()
+    }
+    assert applied == head
+    # overwrite retires files -> deletes of the remaining live rows
+    delta_write(spark.createDataFrame([(1, 1.0)], "id long, v double"),
+                t, mode="overwrite")                        # v4
+    ow = delta_changes(spark, t, starting_version=4)
+    got = sorted((r.id, r._change_type) for r in ow.collect())
+    live_before = sorted(head)
+    assert (1, "insert") in got
+    assert {(i, "delete") for i, _v in live_before} <= set(got)
+    with pytest.raises(ValueError, match="no commits"):
+        delta_changes(spark, t, starting_version=99)
 
 
 def test_delta_timestamp_time_travel(spark, tmp_path):

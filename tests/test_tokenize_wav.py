@@ -169,10 +169,10 @@ def test_jpeg_roundtrip_and_variant_errors():
         assert err.max() <= bound, (h, w, q, err.max())
 
     good = encode_jpeg_gray(flat, 90)
-    # SOF9 now routes to the sequential-arithmetic decoder; the
-    # remaining precise gate is progressive/lossless arithmetic
+    # SOF9/SOF10 now route to the arithmetic decoders; the remaining
+    # precise gate is lossless-arithmetic (SOF11)
     with pytest.raises(ValueError, match="ARITHMETIC"):
-        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xca", 1))
+        decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xcb", 1))
     with pytest.raises(ValueError, match="hierarchical"):
         decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc5", 1))
     with pytest.raises(ValueError, match="SOI"):
