@@ -642,6 +642,44 @@ def table_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declare(
+    "table_iceberg_changelog",
+    oracle="""
+    SELECT 'delete' AS change_type,
+           CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey % 10 = 0)
+                AS BIGINT) AS n,
+           ROUND((SELECT SUM(s_acctbal) FROM supplier
+                  WHERE s_suppkey % 10 = 0), 2) AS bal
+    UNION ALL
+    SELECT 'insert',
+           CAST((SELECT COUNT(*) FROM supplier)
+                + (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 10 = 0)
+                + 3 AS BIGINT),
+           ROUND((SELECT SUM(s_acctbal) FROM supplier)
+                 + (SELECT SUM(CAST(s_suppkey AS DOUBLE)) FROM supplier
+                    WHERE s_suppkey % 10 = 0)
+                 + 600.0, 2)
+    """,
+)
+def table_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CHANGELOG read on Iceberg (iceberg_changes -- the
+    create_changelog_view surface): over the merged supplier table the
+    feed must hold the first snapshot's inserts (every supplier), the
+    equality-delete's deletes (every 10th key's pre-image, resolved
+    against the rows live at the prior snapshot) and the append's
+    inserts (updated images + three nation -1 rows). SAME oracle as
+    table_delta_cdf -- the two formats' change feeds are pinned to
+    identical content for the identical logical merge."""
+    from ..sources.iceberg import iceberg_changes
+
+    path = _iceberg_supplier_merged(spark, sf_dir)
+    ch = iceberg_changes(spark, path)
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Iceberg schema evolution (field-id resolution, no rewrite)
 # ---------------------------------------------------------------------------

@@ -1441,6 +1441,159 @@ def iceberg_merge(
     return {"updated": n_matched, "inserted": n_src - n_matched}
 
 
+def iceberg_changes(
+    spark: SparkSession,
+    table: str,
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Incremental CHANGELOG read between snapshots (the Iceberg
+    ``create_changelog_view`` / incremental-scan surface), reconstructed
+    from the metadata tree: per snapshot in the (exclusive-from,
+    inclusive-to] range, data files first referenced at that snapshot
+    yield ``insert`` rows; new POSITION-delete files yield ``delete``
+    rows of exactly the referenced positions; new EQUALITY-delete files
+    yield ``delete`` rows of the matching keys among rows live at the
+    previous snapshot; files dropped from the snapshot (overwrite/
+    compaction with dropped content) yield ``delete`` rows of their
+    previously-live positions -- except that a pure REWRITE (compaction:
+    same logical rows, new files) emits inserts AND deletes that cancel
+    logically; callers consuming net state key on the row content.
+    Output carries ``_change_type`` and ``_snapshot_id``."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    meta = _load_metadata(table)
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        raise ValueError(f"no snapshots in {table}")
+    ids = [s["snapshot-id"] for s in snaps]
+    lo = ids.index(from_snapshot_id) if from_snapshot_id is not None else -1
+    hi = ids.index(to_snapshot_id) if to_snapshot_id is not None else len(ids) - 1
+    if hi <= lo:
+        raise ValueError("empty snapshot range")
+
+    def data_files(idx: int) -> dict[str, tuple[int, dict]]:
+        if idx < 0:
+            return {}
+        plan = _plan_snapshot(table, meta, ids[idx])
+        return {p: (s, i) for p, s, i in plan["data"]}
+
+    def deletes(idx: int) -> tuple[set, dict]:
+        if idx < 0:
+            return set(), {}
+        plan = _plan_snapshot(table, meta, ids[idx])
+        return set(plan["pos"]), {p: (k, s) for p, k, s in plan["eq"]}
+
+    frames = []
+    prev_files = data_files(lo)
+    prev_pos, prev_eq = deletes(lo)
+    names = _field_names_by_id(meta)
+    for idx in range(lo + 1, hi + 1):
+        cur_files = data_files(idx)
+        cur_pos, cur_eq = deletes(idx)
+        sid = ids[idx]
+        added = sorted(set(cur_files) - set(prev_files))
+        dropped = sorted(set(prev_files) - set(cur_files))
+        new_pos = sorted(cur_pos - prev_pos)
+        new_eq = sorted(set(cur_eq) - set(prev_eq))
+
+        def _tag(df, ct):
+            return df.select(
+                "*",
+                F.lit(ct).alias("_change_type"),
+                F.lit(int(sid)).alias("_snapshot_id"),
+            )
+
+        if added:
+            frames.append(_tag(spark.read.parquet(*added), "insert"))
+        if dropped:
+            # rows live in the dropped files AT the previous snapshot
+            live_prev, _plan_prev = _live_tagged(
+                spark, table, meta, ids[idx - 1] if idx - 1 >= 0 else None
+            )
+            if live_prev is not None:
+                drop_df = spark.createDataFrame(
+                    [(p,) for p in dropped], "__dp string"
+                )
+                gone = live_prev.join(
+                    F.broadcast(drop_df),
+                    live_prev["__p"] == drop_df["__dp"],
+                    "left_semi",
+                ).drop("__p", "__i")
+                frames.append(_tag(gone, "delete"))
+        if new_pos:
+            dels = spark.read.parquet(*new_pos).select("file_path", "pos")
+            referenced = [
+                r.file_path
+                for r in dels.select("file_path").distinct().collect()
+            ]
+            mapping = [(p, _resolve(table, p)) for p in referenced]
+            map_df = spark.createDataFrame(
+                mapping, "file_path string, plain string"
+            )
+            dels = dels.join(F.broadcast(map_df), "file_path").select(
+                F.col("plain").alias("__dp"), F.col("pos").alias("__di")
+            )
+            targets = sorted(
+                {r["__dp"] for r in dels.select("__dp").distinct().collect()}
+            )
+            if targets:
+                raw = spark.read.parquet(*targets)
+                raw = raw.withColumn(
+                    "__p",
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:/+", "/"
+                    ),
+                ).withColumn("__i", F.col("_metadata.row_index"))
+                hit = raw.join(
+                    F.broadcast(dels),
+                    on=[F.col("__p") == F.col("__dp"),
+                        F.col("__i") == F.col("__di")],
+                    how="left_semi",
+                ).drop("__p", "__i")
+                frames.append(_tag(hit, "delete"))
+        if new_eq:
+            live_prev, _pp = _live_tagged(
+                spark, table, meta, ids[idx - 1] if idx - 1 >= 0 else None
+            )
+            if live_prev is not None:
+                for path in new_eq:
+                    key_ids, _seq = cur_eq[path]
+                    key_cols = [names[i] for i in key_ids]
+                    keys = (
+                        spark.read.parquet(path)
+                        .select(
+                            *[F.col(c).alias(f"__k_{c}") for c in key_cols]
+                        )
+                        .distinct()
+                    )
+                    cond = reduce(
+                        lambda a, b: a & b,
+                        [
+                            F.col(c).eqNullSafe(F.col(f"__k_{c}"))
+                            for c in key_cols
+                        ],
+                    )
+                    hit = (
+                        live_prev.join(F.broadcast(keys), cond, "left_semi")
+                        .drop("__p", "__i")
+                    )
+                    frames.append(_tag(hit, "delete"))
+        prev_files, prev_pos, prev_eq = cur_files, cur_pos, cur_eq
+    if not frames:
+        base = spark.createDataFrame([], _schema_from_iceberg(meta))
+        return base.select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).alias("_snapshot_id"),
+        ).limit(0)
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+    )
+
+
 def iceberg_compact(spark: SparkSession, table: str, target_files: int = 1) -> dict:
     """Rewrite-data-files compaction (the ``rewrite_data_files`` action
     every Iceberg deployment schedules): read the CURRENT live rows

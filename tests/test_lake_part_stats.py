@@ -397,6 +397,60 @@ def test_iceberg_schema_evolution_rename_add_drop(spark, tmp_path):
         iceberg_alter(t, add_columns=[("score", "double")])
 
 
+def test_iceberg_changelog_reconstruction(spark, tmp_path):
+    """iceberg_changes: appends -> inserts, position deletes -> deletes
+    of the referenced rows, equality deletes -> deletes of the matching
+    rows live at the prior snapshot, snapshot windows select sub-ranges,
+    and replay (latest change per row wins) reproduces HEAD."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_changes,
+        iceberg_delete,
+        iceberg_merge,
+        iceberg_scan,
+        iceberg_snapshots,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "icecdc")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    )
+    iceberg_write(base.repartition(2), t)
+    iceberg_delete(spark, t, "id IN (2, 4)")
+    src = spark.createDataFrame([(3, 300.0), (100, 1.0)], "id long, v double")
+    iceberg_merge(spark, t, src, keys=["id"])
+    ch = iceberg_changes(spark, t)
+    rows = sorted((r.id, r.v, r._change_type) for r in ch.collect())
+    assert (2, 2.0, "delete") in rows and (4, 4.0, "delete") in rows
+    assert (3, 3.0, "delete") in rows  # equality-delete pre-image
+    assert (3, 300.0, "insert") in rows and (100, 1.0, "insert") in rows
+    assert sum(1 for _i, _v, c in rows if c == "insert" and _v == float(_i)) == 10
+    # window: from the first snapshot excludes the initial inserts
+    snaps = [s["snapshot_id"] for s in iceberg_snapshots(t)]
+    w = sorted(
+        (r.id, r._change_type)
+        for r in iceberg_changes(spark, t, from_snapshot_id=snaps[0]).collect()
+    )
+    assert w == [
+        (2, "delete"), (3, "delete"), (3, "insert"),
+        (4, "delete"), (100, "insert"),
+    ]
+    head = {(r.id, r.v) for r in iceberg_scan(spark, t).collect()}
+    applied = {
+        (r.id, r.v)
+        for r in ch.groupBy("id", "v")
+        .agg(F.max_by("_change_type", "_snapshot_id").alias("ct"))
+        .where("ct = 'insert'")
+        .collect()
+    }
+    assert applied == head
+    with pytest.raises(ValueError, match="empty snapshot range"):
+        iceberg_changes(spark, t, from_snapshot_id=snaps[-1],
+                        to_snapshot_id=snaps[0])
+
+
 def test_iceberg_timestamp_time_travel(spark, tmp_path):
     import time as _time
 
