@@ -537,6 +537,116 @@ def table_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declare(
+    "stream_delta_tail",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stream_delta_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM Delta -- the full lakehouse circle: orders were
+    streamed INTO the Delta table exactly-once (stream_delta_ingest's
+    layout, txn actions), and this query streams them back OUT through
+    the delta_tail Python DataSource (offsets = log versions, real
+    availableNow drain into a scratch sink), then aggregates the drained
+    rows. The oracle aggregates the ORIGINAL orders table, so agreement
+    proves the in-and-out round trip preserved every row exactly once."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.delta_stream import register_delta_tail
+
+    table = _delta_stream_layout(spark, sf_dir)
+    register_delta_tail(spark)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"delta_tail_drain_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        spark.readStream.format("delta_tail")
+        .option("table", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("delta_tail drain did not finish in 120s")
+    t = spark.read.parquet(os.path.join(scratch, "out"))
+    return t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@declare(
+    "stream_iceberg_tail",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stream_iceberg_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM Iceberg -- the Iceberg side of the lakehouse
+    circle: orders streamed INTO the table exactly-once
+    (stream_iceberg_ingest's layout) are streamed back OUT through the
+    iceberg_tail Python DataSource (offsets = snapshot-log positions,
+    real availableNow drain), then aggregated against the original
+    orders oracle. Proves the snapshot log supports incremental
+    consumption with no dup/loss across the in-and-out round trip."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.delta_stream import register_iceberg_tail
+
+    table = _iceberg_stream_layout(spark, sf_dir)
+    register_iceberg_tail(spark)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"iceberg_tail_drain_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        spark.readStream.format("iceberg_tail")
+        .option("table", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("iceberg_tail drain did not finish in 120s")
+    t = spark.read.parquet(os.path.join(scratch, "out"))
+    return t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@declare(
     "table_delta_cdf",
     oracle="""
     SELECT 'delete' AS change_type,

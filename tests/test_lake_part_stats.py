@@ -716,6 +716,148 @@ def test_iceberg_merge_upsert(spark, tmp_path):
         iceberg_merge(spark, t, src.union(src), keys=["id"])
 
 
+def test_delta_tail_stream_source(spark, tmp_path):
+    """Streaming FROM Delta (the delta_tail Python DataSource): offsets
+    are log versions -- an availableNow drain serves every pending
+    version, checkpoint resume serves EXACTLY the new commits (no dups,
+    no loss), change commits gate precisely, and skipChangeCommits skips
+    them whole (delta-spark's semantics)."""
+    from hive_person_service_spark.sources.delta_log import (
+        delta_delete,
+        delta_write,
+    )
+    from hive_person_service_spark.sources.delta_stream import (
+        register_delta_tail,
+    )
+
+    t = str(tmp_path / "tail")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    for k in range(3):
+        delta_write(
+            spark.createDataFrame(
+                [(k * 10 + i, float(i)) for i in range(5)], "id long, v double"
+            ),
+            t,
+        )
+    register_delta_tail(spark)
+
+    def drain(src_opts=None, sink=out, ckpt=ck):
+        r = spark.readStream.format("delta_tail").option("table", t)
+        for k, v in (src_opts or {}).items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(90)
+
+    drain()
+    assert spark.read.parquet(out).count() == 15
+    # batch face reads the same content
+    b = spark.read.format("delta_tail").option("table", t).load()
+    assert b.count() == 15
+    # resume: only the new commit's rows arrive
+    delta_write(spark.createDataFrame([(99, 9.9)], "id long, v double"), t)
+    drain()
+    df = spark.read.parquet(out)
+    assert df.count() == 16
+    assert df.where("id = 99").count() == 1
+    assert df.groupBy("id").count().where("count > 1").count() == 0
+    # a change commit fails the stream with the precise error...
+    delta_delete(spark, t, "id = 1")
+    with pytest.raises(Exception, match="changes existing data"):
+        drain()
+    # ...and skipChangeCommits skips it whole on a fresh checkpoint
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    drain({"skipChangeCommits": "true"}, sink=out2, ckpt=ck2)
+    assert spark.read.parquet(out2).count() == 16  # delete commit skipped
+
+
+def test_delta_tail_partitioned_table(spark, tmp_path):
+    """Partition columns re-attach from add-action partitionValues in
+    the tail rows (files don't physically contain them)."""
+    from pyspark.sql import functions as F
+
+    from hive_person_service_spark.sources.delta_log import delta_write
+    from hive_person_service_spark.sources.delta_stream import (
+        register_delta_tail,
+    )
+
+    t = str(tmp_path / "ptail")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(12)],
+        "id long, grp string, v double",
+    )
+    delta_write(df, t, partition_by=["grp"])
+    register_delta_tail(spark)
+    got = spark.read.format("delta_tail").option("table", t).load()
+    assert set(got.columns) == {"id", "grp", "v"}
+    assert {(r.id, r.grp) for r in got.collect()} == {
+        (i, f"g{i % 3}") for i in range(12)
+    }
+
+
+def test_iceberg_tail_stream_source(spark, tmp_path):
+    """iceberg_tail: snapshot-log-position offsets, availableNow drains
+    all pending snapshots, checkpoint resume serves exactly the new
+    appends, change snapshots gate unless skipChangeCommits."""
+    from hive_person_service_spark.sources.delta_stream import (
+        register_iceberg_tail,
+    )
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_delete,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "icetail")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    for k in range(3):
+        iceberg_write(
+            spark.createDataFrame(
+                [(k * 10 + i, float(i)) for i in range(5)], "id long, v double"
+            ),
+            t,
+        )
+    register_iceberg_tail(spark)
+    assert (
+        spark.read.format("iceberg_tail").option("table", t).load().count()
+        == 15
+    )
+
+    def drain(opts=None, sink=out, ckpt=ck):
+        r = spark.readStream.format("iceberg_tail").option("table", t)
+        for k, v in (opts or {}).items():
+            r = r.option(k, v)
+        q = (
+            r.load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(90)
+
+    drain()
+    assert spark.read.parquet(out).count() == 15
+    iceberg_write(spark.createDataFrame([(99, 9.9)], "id long, v double"), t)
+    drain()
+    df = spark.read.parquet(out)
+    assert df.count() == 16
+    assert df.groupBy("id").count().where("count > 1").count() == 0
+    iceberg_delete(spark, t, "id = 1")
+    with pytest.raises(Exception, match="changes existing data"):
+        drain()
+    out2, ck2 = str(tmp_path / "out2"), str(tmp_path / "ck2")
+    drain({"skipChangeCommits": "true"}, sink=out2, ckpt=ck2)
+    assert spark.read.parquet(out2).count() == 16
+
+
 def test_delta_change_data_feed_reconstruction(spark, tmp_path):
     """delta_changes reconstructs the per-commit change feed from the
     log: appends -> inserts, DV growth -> deletes of exactly the new
