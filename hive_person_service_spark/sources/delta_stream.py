@@ -46,11 +46,8 @@ def _log_versions(table: str) -> list[int]:
 
 def _read_version_actions(table: str, v: int) -> list[dict]:
     p = os.path.join(table, "_delta_log", f"{v:020d}.json")
-    return [
-        json.loads(line)
-        for line in open(p, encoding="utf-8").read().splitlines()
-        if line.strip()
-    ]
+    with open(p, encoding="utf-8") as fh:
+        return [json.loads(line) for line in fh if line.strip()]
 
 
 def _table_schema_fields(table: str) -> list[dict]:
