@@ -83,6 +83,7 @@ from . import pipeline43  # noqa: F401,E402  (BM25 ranked retrieval, logistic ba
 from . import pipeline44  # noqa: F401,E402  (Avro OCF round-trip, JDBC federation)
 from . import pipeline45  # noqa: F401,E402  (BFS shortest path, k-anonymity, DP release, co-occurrence reco, rolling median, JW entity resolution)
 from . import pipeline46  # noqa: F401,E402  (exactly-once Delta streaming ingest; Iceberg partitioned scan + manifest pruning, stats skipping both formats, Delta MERGE, schema evolution, timestamp travel)
+from . import pipeline47  # noqa: F401,E402  (transformWithStateInPandas executed end-to-end: ValueState + MapState on RocksDB through the vendored protobuf wire shim)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.

@@ -1,0 +1,105 @@
+"""Batch 22 — transformWithStateInPandas EXECUTED end-to-end.
+
+The arbitrary-stateful row of SURVEY.md §2.I, previously pytest-pinned up
+to execution (the state side channel needs a protobuf runtime the
+container doesn't ship), now runs for real: the vendored pure-Python wire
+shim (vendor/protobuf_shim) serves the worker<->JVM state-server protocol,
+and these queries drive the v2 typed-state API (ValueState / MapState on
+RocksDB) through the STREAMING engine and oracle-check the drained result
+against DuckDB.
+
+Scale shape: one shuffle on the grouping key, O(keys) state partitioned
+across executors in RocksDB, per-key Arrow batches to Python — the same
+plan at 100 TB with checkpointing giving exactly-once state updates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import declare
+
+_TWS_TOTALS_ORACLE = """
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@declare("stream_tws_totals", oracle=_TWS_TOTALS_ORACLE)
+def stream_tws_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, sum) held in a typed ValueState via
+    transformWithStateInPandas, executed by the STREAMING engine (file
+    source -> RocksDB-backed state -> update-mode memory sink, drained
+    with availableNow). Each update row carries the key's running totals;
+    the final state per key is the max-(n_events) update (n_events is
+    strictly increasing per key). Equals the batch groupBy — which is the
+    oracle. The applyInPandasWithState twin is stream_live_stateful; this
+    row pins the SUCCESSOR API end-to-end, protobuf side channel included."""
+    from ..session import configure
+    from ..streaming.jobs import read_events_stream, run_to_memory_sink
+    from ..streaming.stateful_v2 import (
+        rocksdb_state_provider,
+        running_user_totals_v2,
+    )
+
+    configure(spark)  # arms the protobuf shim for this session's workers
+    events = read_events_stream(spark, sf_dir)
+    with rocksdb_state_provider(spark):
+        out = run_to_memory_sink(
+            running_user_totals_v2(events), spark, output_mode="update"
+        )
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.n_events").alias("n_events"),
+            F.round(F.col("m.total_value"), 4).alias("total_value"),
+        )
+    )
+    return final.orderBy("user_id")
+
+
+_TWS_MAP_ORACLE = """
+SELECT user_id,
+       event_type,
+       COUNT(*)::BIGINT AS n
+FROM events
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@declare("stream_tws_map_counts", oracle=_TWS_MAP_ORACLE)
+def stream_tws_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event_type -> count held in a typed MapState (the per-entity
+    attribute-counter shape: quota meters, per-channel frequency caps).
+    Every micro-batch the processor emits the key's full current map; the
+    newest emission per (user, type) — max n, counts only grow — is the
+    final state, which must equal the two-key batch groupBy oracle. Runs
+    the MapState protocol surface (containsKey / getValue / updateValue /
+    iterator) through the state server end-to-end."""
+    from ..session import configure
+    from ..streaming.jobs import read_events_stream, run_to_memory_sink
+    from ..streaming.stateful_v2 import (
+        event_type_counts_v2,
+        rocksdb_state_provider,
+    )
+
+    configure(spark)  # arms the protobuf shim for this session's workers
+    events = read_events_stream(spark, sf_dir)
+    with rocksdb_state_provider(spark):
+        out = run_to_memory_sink(
+            event_type_counts_v2(events), spark, output_mode="update"
+        )
+    final = (
+        out.groupBy("user_id", "event_type")
+        .agg(F.max("n").alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+    return final

@@ -18,8 +18,38 @@ Config rationale (each is required for oracle agreement or scale):
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+# Directory that holds the vendored pure-Python google.protobuf fallback
+# (vendor/protobuf_shim/google/protobuf). transformWithStateInPandas needs a
+# protobuf runtime in BOTH the driver and the Python workers; this container
+# ships no protobuf wheel, so we provide a minimal wire-format shim and put
+# it on sys.path + PYTHONPATH (workers inherit PYTHONPATH through the JVM).
+_PROTOBUF_SHIM_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "vendor", "protobuf_shim"
+)
+
+
+def _ensure_protobuf_runtime() -> None:
+    """Make ``google.protobuf`` importable, preferring a real install.
+
+    Must run BEFORE the JVM starts: Python workers are launched by the JVM
+    with a PYTHONPATH merged from the JVM process environment, so mutating
+    os.environ afterwards would only affect the driver."""
+    try:
+        import google.protobuf  # noqa: F401  (real wheel present)
+        return
+    except ImportError:
+        pass
+    if _PROTOBUF_SHIM_DIR not in sys.path:
+        sys.path.insert(0, _PROTOBUF_SHIM_DIR)
+    parts = os.environ.get("PYTHONPATH", "")
+    if _PROTOBUF_SHIM_DIR not in parts.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _PROTOBUF_SHIM_DIR + (os.pathsep + parts if parts else "")
+        )
 
 # Confs that are runtime-settable (SQLConf) -- safe to apply to any session.
 RUNTIME_CONFS: dict[str, str] = {
@@ -42,6 +72,20 @@ def configure(spark: SparkSession) -> SparkSession:
         except Exception:
             # Static conf on this build -- leave whatever the session has.
             pass
+    _ensure_protobuf_runtime()
+    try:
+        # Python functions capture sc.environment at creation; appending the
+        # shim here makes workers of an externally built session import it
+        # too (PythonWorkerFactory merges this PYTHONPATH with its own).
+        env = spark.sparkContext.environment
+        if _PROTOBUF_SHIM_DIR in sys.path:  # shim active in the driver
+            prev = env.get("PYTHONPATH", "")
+            if _PROTOBUF_SHIM_DIR not in prev.split(os.pathsep):
+                env["PYTHONPATH"] = (
+                    _PROTOBUF_SHIM_DIR + (os.pathsep + prev if prev else "")
+                )
+    except Exception:
+        pass
     return spark
 
 
@@ -55,6 +99,7 @@ def get_spark(
     Locally: ``local[$SPARK_GRAFT_CPUS]`` (default all cores). On a real
     cluster the same code runs unchanged -- master comes from spark-submit.
     """
+    _ensure_protobuf_runtime()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"

@@ -4,19 +4,26 @@ MapState), TTL, timers -- this module carries the same running-totals
 semantics as stateful.py on the new API so both stateful surfaces are
 covered.
 
-Environment note: executing this operator requires the python `protobuf`
-runtime (the state-store side channel speaks protobuf); this container
-ships a broken google.protobuf, so tests skip execution here and pin the
-applyInPandasWithState twin (stateful.py) instead. The code path is the
-production surface on any normally-provisioned cluster.
+Runtime note: the state-store side channel between the Python worker and
+the JVM state server speaks protobuf. This container ships no protobuf
+wheel, so the session builder injects the repo's pure-Python wire-format
+shim (vendor/protobuf_shim) onto the worker PYTHONPATH when the real
+runtime is absent -- transformWithStateInPandas then EXECUTES end-to-end
+(pinned in tests/test_stateful_v2_exec.py). On a normally-provisioned
+cluster the real wheel wins and the shim never activates.
+
+Execution requires the RocksDB state-store provider (Spark's documented
+requirement for transformWithState); ``rocksdb_state_provider`` scopes
+that conf to the query being started.
 """
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
     StatefulProcessorHandle,
@@ -24,9 +31,35 @@ from pyspark.sql.streaming.stateful_processor import (
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@contextlib.contextmanager
+def rocksdb_state_provider(spark: SparkSession):
+    """Temporarily select the RocksDB state store (required by
+    transformWithState; the provider is captured when a query STARTS, so
+    scoping the conf to the .start() call leaves other streams on the
+    session default)."""
+    try:
+        prev = spark.conf.get(_PROVIDER_KEY)
+    except Exception:
+        prev = None
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
 
 _OUT = StructType(
     [
@@ -70,5 +103,104 @@ def running_user_totals_v2(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .transformWithStateInPandas(
             RunningTotalsProcessor(), _OUT, "update", "none"
+        )
+    )
+
+
+_MAP_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+class EventTypeCountsProcessor(StatefulProcessor):
+    """Per-key MapState: event_type -> running count. Each micro-batch
+    emits the key's FULL current map (update semantics downstream keep the
+    newest row per (user, type)); the map is the natural shape for
+    per-entity attribute counters that windowed aggs can't hold open."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "counts",
+            StructType([StructField("event_type", StringType())]),
+            StructType([StructField("n", LongType())]),
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._counts.getValue((etype,))[0]
+                    if self._counts.containsKey((etype,))
+                    else 0
+                )
+                self._counts.updateValue((etype,), (prev + int(cnt),))
+        users, types, ns = [], [], []
+        for (etype,), (n,) in self._counts.iterator():
+            users.append(key[0])
+            types.append(etype)
+            ns.append(n)
+        yield pd.DataFrame({"user_id": users, "event_type": types, "n": ns})
+
+    def close(self) -> None:
+        pass
+
+
+def event_type_counts_v2(events: DataFrame) -> DataFrame:
+    """Per-user per-event-type running counts on MapState."""
+    return (
+        events.select("user_id", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            EventTypeCountsProcessor(), _MAP_OUT, "update", "none"
+        )
+    )
+
+
+class RecentValuesProcessor(StatefulProcessor):
+    """Per-key ListState: every value appended; emits (count, sum) computed
+    FROM THE LIST each batch, so the test cross-checks list contents (not
+    just an accumulator) against the batch aggregate."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._vals = handle.getListState(
+            "vals", StructType([StructField("v", DoubleType())])
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            self._vals.appendList(
+                [(float(v),) for v in pdf["value"].tolist()]
+            )
+        total, n = 0.0, 0
+        for (v,) in self._vals.get():
+            total += v
+            n += 1
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def recent_values_totals_v2(events: DataFrame) -> DataFrame:
+    """ListState-backed totals (count+sum recomputed from the stored list)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RecentValuesProcessor(), _OUT, "update", "none"
         )
     )

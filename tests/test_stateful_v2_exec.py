@@ -1,0 +1,174 @@
+"""transformWithStateInPandas EXECUTION pins (SURVEY.md §2.I arbitrary
+stateful, v2 API): typed state variables driven end-to-end through the
+JVM state server over the vendored protobuf wire shim, on the RocksDB
+state store.
+
+What each test pins:
+  * cross-batch state: maxFilesPerTrigger=1 forces one micro-batch per
+    file; totals must ACCUMULATE across batches (state survives batch
+    boundaries, not just within one handleInputRows call);
+  * checkpoint resume: a second availableNow run over the same checkpoint
+    with new files must fold ONLY the new rows into existing state (no
+    double counting -- the exactly-once property the checkpoint carries);
+  * ListState and MapState protocol surfaces against the batch oracle.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+from hive_person_service_spark.sources import load_table
+from hive_person_service_spark.streaming.stateful_v2 import (
+    event_type_counts_v2,
+    recent_values_totals_v2,
+    rocksdb_state_provider,
+    running_user_totals_v2,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _drain(spark, stream_df, ckpt: str, name: str) -> None:
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not drain in 180s"
+
+
+def _final_totals(spark, name: str) -> dict:
+    out = spark.table(name)
+    rows = (
+        out.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+        .select("user_id", "m.n_events", "m.total_value")
+        .collect()
+    )
+    return {r.user_id: (r.n_events, round(r.total_value, 4)) for r in rows}
+
+
+def _batch_totals(df) -> dict:
+    rows = (
+        df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("t"))
+        .collect()
+    )
+    return {r.user_id: (r.n, r.t) for r in rows}
+
+
+def test_value_state_accumulates_across_micro_batches(spark):
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="tws_src_")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    half_a = events.where(F.col("user_id") % 2 == 0)
+    half_b = events.where(F.col("user_id") % 2 == 1)
+    half_a.coalesce(1).write.mode("overwrite").parquet(src + "/f=a")
+    half_b.coalesce(1).write.mode("append").parquet(src + "/f=b")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    name = "tws_exec_mb"
+    with rocksdb_state_provider(spark):
+        _drain(spark, running_user_totals_v2(stream), tempfile.mkdtemp(), name)
+    # progress: >1 micro-batch actually ran
+    assert (
+        spark.table(name).count()
+        > spark.table(name).select("user_id").distinct().count() - 1
+    )
+    assert _final_totals(spark, name) == _batch_totals(events)
+
+
+def test_value_state_resumes_from_checkpoint_exactly_once(spark):
+    """Same checkpoint, second run over new files: state must fold ONLY the
+    new rows (memory sink can't recover checkpoints, so the restartable run
+    lands update rows in parquet via foreachBatch — the durable-sink shape)."""
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="tws_resume_")
+    ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
+    out = tempfile.mkdtemp(prefix="tws_out_")
+    a = events.limit(400)
+    a.coalesce(1).write.mode("overwrite").parquet(src)
+    stream_schema = events.schema
+
+    def run():
+        stream = spark.readStream.schema(stream_schema).parquet(src)
+        with rocksdb_state_provider(spark):
+            q = (
+                running_user_totals_v2(stream)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(out)
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), "stream did not drain in 180s"
+
+    def finals():
+        df = spark.read.parquet(out)
+        rows = (
+            df.groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value")).alias("m"))
+            .select("user_id", "m.n_events", "m.total_value")
+            .collect()
+        )
+        return {
+            r.user_id: (r.n_events, round(r.total_value, 4)) for r in rows
+        }
+
+    run()
+    assert finals() == _batch_totals(a)
+    # append the remaining rows as a new file; SAME checkpoint -> the
+    # restarted query must fold only the new file into existing state
+    events.exceptAll(a).coalesce(1).write.mode("append").parquet(src)
+    run()
+    assert finals() == _batch_totals(events)
+
+
+def test_list_state_totals_match_batch(spark):
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="tws_list_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = "tws_exec_list"
+    with rocksdb_state_provider(spark):
+        _drain(spark, recent_values_totals_v2(stream), tempfile.mkdtemp(), name)
+    assert _final_totals(spark, name) == _batch_totals(events)
+
+
+def test_map_state_counts_match_batch(spark):
+    events = load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_type"
+    )
+    src = tempfile.mkdtemp(prefix="tws_map_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = "tws_exec_map"
+    with rocksdb_state_provider(spark):
+        _drain(spark, event_type_counts_v2(stream), tempfile.mkdtemp(), name)
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in spark.table(name)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in events.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
