@@ -1,4 +1,5 @@
-"""Batch 22 — transformWithStateInPandas EXECUTED end-to-end.
+"""Batch 22 — transformWithStateInPandas EXECUTED end-to-end + WARC
+(Common-Crawl) ingestion.
 
 The arbitrary-stateful row of SURVEY.md §2.I, previously pytest-pinned up
 to execution (the state side channel needs a protobuf runtime the
@@ -15,10 +16,16 @@ plan at 100 TB with checkpointing giving exactly-once state updates.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .registry import declare
+
+_LAYOUT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_layouts")
 
 _TWS_TOTALS_ORACLE = """
 SELECT user_id,
@@ -103,3 +110,63 @@ def stream_tws_map_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_type")
     )
     return final
+
+
+def _warc_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) the documents table as a
+    directory of .warc.gz conversion archives — the atomic temp-dir+rename
+    build pipeline44 uses, keyed on the source parquet's identity."""
+    from .pipeline44 import _atomic_layout
+    from ..sources import load_table
+    from ..sources.warc import write_warc_files
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:warc".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"documents_warc_{digest}")
+    if not os.path.isdir(path):
+        with _atomic_layout(path) as tmp:
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "lang", "source"
+            )
+            write_warc_files(docs, tmp, n_files=8)
+    return path
+
+
+_WARC_ORACLE = """
+SELECT doc_id,
+       lang,
+       LENGTH(text)::BIGINT AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@declare("source_warc_roundtrip", oracle=_WARC_ORACLE)
+def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-shaped ingestion: the documents corpus serialized as
+    gzip-member-per-record WARC/1.1 conversion archives (ISO 28500, the
+    WET shape) and read back through the ``warc`` Python DataSource —
+    file-per-partition parallelism, binary payloads decoded only in this
+    projection. Every document must survive byte-exactly: doc id from the
+    extension header, text length recomputed FROM THE PAYLOAD, both
+    matching the source-of-truth parquet row (the oracle). At 100 TB the
+    identical plan reads ~100k archive files as ~100k tasks; planning cost
+    is a file listing, payload bytes cross Arrow exactly once."""
+    from ..sources.warc import register_warc_source
+
+    path = _warc_layout(spark, sf_dir)
+    register_warc_source(spark)
+    recs = spark.read.format("warc").option("path", path).load()
+    return (
+        recs.select(
+            F.element_at("headers", "WARC-X-Doc-Id")
+            .cast("bigint")
+            .alias("doc_id"),
+            F.element_at("headers", "WARC-X-Lang").alias("lang"),
+            F.length(F.col("payload").cast("string")).alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -204,3 +204,98 @@ def recent_values_totals_v2(events: DataFrame) -> DataFrame:
             RecentValuesProcessor(), _OUT, "update", "none"
         )
     )
+
+
+_TIMED_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+class TimedCountsProcessor(StatefulProcessor):
+    """Processing-time timers: every batch emits the running count AND
+    (re-)arms a near-immediate timer for the key, exercising the full timer
+    protocol (listTimers -> deleteTimer -> registerTimer); when a later
+    batch fires the timer, handleExpiredTimer emits a ``kind='timer'`` row
+    carrying the state at expiry — the inactivity-flush shape (session
+    finalization, abandoned-cart emission)."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._count = handle.getValueState(
+            "count", StructType([StructField("n", LongType())])
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n = self._count.get()[0] if self._count.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._count.update((n,))
+        # re-arm: drop stale timers, then register one just past "now" so
+        # the NEXT micro-batch (strictly later processing time) fires it
+        for ts in self._handle.listTimers():
+            self._handle.deleteTimer(ts)
+        self._handle.registerTimer(
+            timerValues.getCurrentProcessingTimeInMs() + 1
+        )
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "kind": ["input"], "n": [n]}
+        )
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        n = self._count.get()[0] if self._count.exists() else 0
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "kind": ["timer"], "n": [n]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def timed_counts_v2(events: DataFrame) -> DataFrame:
+    """Running counts + timer-driven flush rows (processing-time mode).
+
+    Caveat: in processing-time mode Spark conservatively schedules another
+    micro-batch whenever timers may be pending, so trigger(availableNow)
+    NEVER terminates on this stream — run it with a live trigger and stop
+    it explicitly (tests/test_stateful_v2_exec.py does exactly that)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TimedCountsProcessor(), _TIMED_OUT, "update", "processingtime"
+        )
+    )
+
+
+class SeededTotalsProcessor(RunningTotalsProcessor):
+    """RunningTotals + handleInitialState: state seeded per key from an
+    initial-state relation before the first batch (the migration shape:
+    carry totals over from a previous system/table into live state)."""
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self._totals.update(
+            (int(initialState["n"].iloc[0]), float(initialState["total"].iloc[0]))
+        )
+
+
+def seeded_totals_v2(events: DataFrame, initial: DataFrame) -> DataFrame:
+    """Totals with per-key initial state (initial: user_id, n, total)."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SeededTotalsProcessor(),
+            _OUT,
+            "update",
+            "none",
+            initialState=initial.groupBy("user_id"),
+        )
+    )

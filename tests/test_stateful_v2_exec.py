@@ -28,6 +28,8 @@ from hive_person_service_spark.streaming.stateful_v2 import (
     recent_values_totals_v2,
     rocksdb_state_provider,
     running_user_totals_v2,
+    seeded_totals_v2,
+    timed_counts_v2,
 )
 
 pytestmark = pytest.mark.usefixtures("spark")
@@ -172,3 +174,102 @@ def test_map_state_counts_match_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_processing_time_timers_fire_across_batches(spark):
+    """Timer protocol end-to-end: batch 0 processes the input and every
+    key re-arms a near-immediate timer (listTimers -> deleteTimer ->
+    registerTimer); subsequent (empty) micro-batches run at strictly later
+    processing times, so every key's timer must FIRE and emit its
+    kind='timer' flush row carrying the state at expiry (the
+    inactivity-flush shape). Processing-time mode keeps scheduling
+    batches while timers are live (Spark's shouldRunAnotherBatch is
+    conservatively true), so the query runs on a live trigger and is
+    stopped explicitly once every timer has fired — availableNow would
+    never terminate here by design."""
+    import time
+
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="tws_timer_")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    a_keys = {r.user_id for r in events.select("user_id").distinct().collect()}
+    assert a_keys, "fixture produced no keys"
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = "tws_exec_timer"
+    with rocksdb_state_provider(spark):
+        q = (
+            timed_counts_v2(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp())
+            .start()
+        )
+        try:
+            deadline = time.time() + 150
+            fired: set = set()
+            while time.time() < deadline and not a_keys <= fired:
+                fired = {
+                    r.user_id
+                    for r in spark.table(name)
+                    .where(F.col("kind") == "timer")
+                    .select("user_id")
+                    .distinct()
+                    .collect()
+                }
+                time.sleep(1)
+        finally:
+            q.stop()
+    missing = a_keys - fired
+    assert not missing, f"timers never fired for {sorted(missing)[:5]}"
+    # the flush row carries the state at expiry: all input landed in batch
+    # 0, so the fired count equals the key's full count
+    got = {
+        r.user_id: r.n
+        for r in spark.table(name)
+        .where(F.col("kind") == "timer")
+        .groupBy("user_id")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+
+
+def test_initial_state_seeds_value_state(spark):
+    """handleInitialState: totals seeded from a prior relation, stream
+    folds only the live half — finals must equal the FULL batch aggregate
+    (seed + stream), proving the seed landed in state before batch 1."""
+    events = load_table(spark, SF_SMALL, "events").select("user_id", "value")
+    # ROW-wise split: every key appears in BOTH the seed and the live
+    # stream, so the final total per key proves seed + stream composed
+    seed_rows = events.limit(400).cache()
+    live = events.exceptAll(seed_rows)
+    initial = seed_rows.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    src = tempfile.mkdtemp(prefix="tws_seed_")
+    live.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    name = "tws_exec_seed"
+    with rocksdb_state_provider(spark):
+        _drain(
+            spark,
+            seeded_totals_v2(stream, initial),
+            tempfile.mkdtemp(),
+            name,
+        )
+    got = _final_totals(spark, name)
+    want = _batch_totals(events)  # = seed + live, per key
+    # keys whose rows ALL landed in the seed emit no update row; every key
+    # with at least one live row must carry seed+live totals
+    live_keys = {r.user_id for r in live.select("user_id").distinct().collect()}
+    assert set(got) == live_keys
+    for uid in live_keys:
+        assert got[uid] == want[uid], (uid, got[uid], want[uid])
+    # and at least one checked key must genuinely have been seeded
+    seeded_keys = {r.user_id for r in initial.select("user_id").collect()}
+    assert live_keys & seeded_keys, "split produced no seeded+streamed key"
