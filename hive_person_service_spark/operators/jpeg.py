@@ -455,10 +455,15 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
             return _decode_progressive_gray(raw)
         elif marker == 0xFFC3:
             return _decode_lossless_gray(raw)
+        elif marker == 0xFFDE:  # DHP: hierarchical sequence
+            from .jpeg_hier import decode_jpeg_hier_gray
+
+            return decode_jpeg_hier_gray(raw)
         elif marker in (0xFFC5, 0xFFC6, 0xFFC7):
             raise ValueError(
-                "hierarchical JPEG frames unsupported (the same gate "
-                "libjpeg keeps; SOF0/1/2/3/9/10 are supported)"
+                "differential JPEG frame outside a hierarchical (DHP) "
+                "sequence; DHP streams with SOF0/SOF3 initial + SOF7 "
+                "refinements are supported"
             )
         elif marker == 0xFFC9:
             from .jpeg_arith import decode_jpeg_arith_gray
@@ -469,10 +474,9 @@ def decode_jpeg_gray(raw: bytes) -> np.ndarray:
 
             return decode_jpeg_arith_progressive_gray(raw)
         elif marker == 0xFFCB:
-            raise ValueError(
-                "lossless ARITHMETIC JPEG (SOF11) unsupported "
-                "(SOF9/SOF10 arithmetic frames are supported)"
-            )
+            from .jpeg_arith import decode_jpeg_arith_lossless_gray
+
+            return decode_jpeg_arith_lossless_gray(raw)
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xFFDA:

@@ -525,11 +525,10 @@ def decode_jpeg_arith_gray(raw: bytes) -> np.ndarray:
                 cid, samp, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "hs": samp >> 4, "vs": samp & 0xF,
                               "tq": tq})
-        elif marker in (0xFFCA, 0xFFCB):
-            raise ValueError(
-                "progressive/lossless ARITHMETIC JPEG unsupported "
-                "(sequential SOF9 is supported)"
-            )
+        elif marker == 0xFFCA:
+            return decode_jpeg_arith_progressive_gray(raw)
+        elif marker == 0xFFCB:
+            return decode_jpeg_arith_lossless_gray(raw)
         elif marker == 0xFFDD:
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xFFDA:
@@ -981,3 +980,212 @@ def decode_jpeg_arith_progressive_gray(raw: bytes) -> np.ndarray:
             )
             b += 1
     return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# LOSSLESS arithmetic JPEG (SOF11, T.81 Annex H.2): the QM coder driving
+# the lossless predictive model -- prediction differences (the SOF3
+# predictors of H.1.2, modulo 2^16) coded on the DC-style decision tree,
+# conditioned TWO-dimensionally on the categories of the differences at
+# the left neighbor (Da) and the neighbor above (Db): 5 categories each
+# (zero / small+- / large+-, thresholds from the DAC L/U conditioning,
+# defaults 0/1) -> 25 contexts x 4 tree bins, plus TWO magnitude-chain
+# areas (X1..X15 + M bins) selected by whether Db is in a large category
+# -- the spec's 158-bin lossless statistics area (25*4 + 2*29).
+#
+# Verification posture (same as SOF9/SOF10): no arithmetic-capable
+# reference codec ships in this container, so encoder<->decoder context
+# agreement is pinned by exact round trips over every predictor/point
+# transform (any asymmetry desyncs the QM coder and corrupts the rest of
+# the image), plus adaptive output beating the Huffman SOF3 stream.
+# ---------------------------------------------------------------------------
+
+_LL_STAT_BINS = 158
+_LL_X_SMALL = 100  # magnitude area when Db is zero/small
+_LL_X_LARGE = 129  # magnitude area when Db is large
+
+
+def _ll_classify(d: int, lo: int, up: int) -> int:
+    """5-way conditioning category of a neighbor difference (H.2.1, the
+    DC thresholds applied to the actual signed difference): 0 zero,
+    1/2 small +/-, 3/4 large +/-."""
+    m = -d if d < 0 else d
+    sign = 1 if d < 0 else 0
+    if m <= ((1 << lo) >> 1):
+        return 0
+    if m > ((1 << up) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def _encode_ll_diff(enc, st, ctx: int, xbase: int, diff: int) -> None:
+    """Code one signed prediction difference on the tree at ``ctx``
+    (S0/SS/SP/SN) with the magnitude chain at ``xbase`` -- the DC
+    difference procedure of F.1.4.1 with a selectable statistics area."""
+    if diff == 0:
+        enc.encode(st, ctx, 0)
+        return
+    enc.encode(st, ctx, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, ctx + 1, sign)
+    base = ctx + 2 + sign
+    v1 = (-diff if sign else diff) - 1
+    if v1 == 0:
+        enc.encode(st, base, 0)
+        m = 0
+    else:
+        enc.encode(st, base, 1)
+        m = 1 << (v1.bit_length() - 1)
+        base = xbase
+        mm = 1
+        while mm < m:
+            enc.encode(st, base, 1)
+            mm <<= 1
+            base += 1
+        enc.encode(st, base, 0)
+    base += 14
+    while m >> 1:
+        m >>= 1
+        enc.encode(st, base, 1 if (v1 & m) else 0)
+
+
+def _decode_ll_diff(dec, st, ctx: int, xbase: int) -> int:
+    if dec.decode(st, ctx) == 0:
+        return 0
+    sign = dec.decode(st, ctx + 1)
+    base = ctx + 2 + sign
+    m = dec.decode(st, base)
+    if m:
+        base = xbase
+        while dec.decode(st, base):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic lossless magnitude overflow")
+            base += 1
+    v1 = m
+    base += 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(st, base):
+            v1 |= m
+    v = v1 + 1
+    return -v if sign else v
+
+
+def _ll_wrap(diff: int) -> int:
+    """Modulo-2^16 wrap to the signed range the category coder expects."""
+    d = diff & 0xFFFF
+    return d - 0x10000 if d >= 0x8000 else d
+
+
+def encode_jpeg_arith_lossless_gray(
+    px: np.ndarray, predictor: int = 1, pt: int = 0
+) -> bytes:
+    """Encode an (h, w) uint8 array LOSSLESSLY as SOF11
+    (SOI/APP0/SOF11/DAC/SOS/EOI): H.1.2 prediction + QM-coded modulo-2^16
+    differences under the 25-context 2D conditioning of H.2. Exact
+    round trip, like the Huffman SOF3 twin -- only the entropy layer
+    differs."""
+    from .jpeg import _ll_predict
+
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} out of range 1-7")
+    h, w = px.shape
+    s = px.astype(np.int64) >> pt
+    default = 1 << (8 - pt - 1)
+    lo, up = 0, 1
+    st = bytearray(_LL_STAT_BINS)
+    enc = _ArithEncoder()
+    diffs = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            p = _ll_predict(s, y, x, predictor, default)
+            d = _ll_wrap(int(s[y, x]) - p)
+            da = int(diffs[y, x - 1]) if x > 0 else 0
+            db = int(diffs[y - 1, x]) if y > 0 else 0
+            cb = _ll_classify(db, lo, up)
+            ctx = 4 * (_ll_classify(da, lo, up) + 5 * cb)
+            xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+            _encode_ll_diff(enc, st, ctx, xbase, d)
+            diffs[y, x] = d
+    scan = enc.finish()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    sof = seg(0xFFCB, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dac = seg(0xFFCC, bytes([0x00, (up << 4) | lo]))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, predictor, 0, pt]))
+    return b"\xff\xd8" + app0 + sof + dac + sos + scan + b"\xff\xd9"
+
+
+def decode_jpeg_arith_lossless_gray(raw: bytes) -> np.ndarray:
+    """Decode a single-component SOF11 stream (the exact inverse of
+    encode_jpeg_arith_lossless_gray; precise gates elsewhere)."""
+    from .jpeg import _ll_predict
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    h = w = 0
+    predictor, pt = 1, 0
+    lo, up = 0, 1
+    scan_at = -1
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = struct.unpack_from(">H", raw, pos)[0]
+        if marker == 0xFFD9:
+            break
+        length = struct.unpack_from(">H", raw, pos + 2)[0]
+        payload = raw[pos + 4 : pos + 2 + length]
+        if marker == 0xFFCB:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit lossless JPEG supported")
+            if ncomp != 1:
+                raise ValueError(
+                    "multi-component lossless arithmetic JPEG unsupported "
+                    "(single-component grayscale is supported)"
+                )
+        elif marker == 0xFFCC:
+            i = 0
+            while i < len(payload):
+                tc, _tb = payload[i] >> 4, payload[i] & 0xF
+                if tc == 0:
+                    lo, up = payload[i + 1] & 0x0F, payload[i + 1] >> 4
+                i += 2
+        elif marker == 0xFFDD:
+            if struct.unpack_from(">H", payload, 0)[0]:
+                raise ValueError(
+                    "restart intervals unsupported in SOF11 streams"
+                )
+        elif marker == 0xFFDA:
+            predictor = payload[3]
+            pt = payload[5] & 0xF
+            scan_at = pos + 2 + length
+            break
+        pos += 2 + length
+    if scan_at < 0 or h == 0:
+        raise ValueError("truncated lossless arithmetic JPEG (no scan data)")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor {predictor} out of range 1-7")
+    default = 1 << (8 - pt - 1)
+    st = bytearray(_LL_STAT_BINS)
+    dec = _ArithDecoder(raw, scan_at)
+    s = np.zeros((h, w), dtype=np.int64)
+    diffs = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            p = _ll_predict(s, y, x, predictor, default)
+            da = int(diffs[y, x - 1]) if x > 0 else 0
+            db = int(diffs[y - 1, x]) if y > 0 else 0
+            cb = _ll_classify(db, lo, up)
+            ctx = 4 * (_ll_classify(da, lo, up) + 5 * cb)
+            xbase = _LL_X_LARGE if cb >= 3 else _LL_X_SMALL
+            d = _decode_ll_diff(dec, st, ctx, xbase)
+            d = _ll_wrap(d)
+            diffs[y, x] = d
+            s[y, x] = (p + d) & 0xFFFF
+    return np.clip((s & 0xFFFF) << pt, 0, 255).astype(np.uint8)

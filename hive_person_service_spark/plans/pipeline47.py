@@ -170,3 +170,102 @@ def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@declare(
+    "multimodal_jpeg_hier",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(16 + doc_id % 8 AS BIGINT) AS width,
+           CAST(16 + doc_id % 5 AS BIGINT) AS height,
+           TRUE AS hier_exact,
+           TRUE AS sof11_exact,
+           TRUE AS smaller
+    FROM documents
+    WHERE doc_id % 4 = 1
+    """,
+)
+def multimodal_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST T.81 coding processes through the engine: HIERARCHICAL
+    sequences (Annex J — DHP header, lossless SOF3 and lossy SOF0 initial
+    frames, EXP upsampling, SOF7 differential refinements;
+    operators/jpeg_hier.py) and LOSSLESS ARITHMETIC frames (SOF11, Annex
+    H.2 — QM coder under 25-context 2D conditioning;
+    operators/jpeg_arith.py). Per sampled document: synthesize the
+    deterministic pixel pattern, then assert (a) ``hier_exact`` — BOTH
+    hierarchical arrangements decode bit-exactly through
+    decode_jpeg_gray's dispatch (the lossy-base pyramid ends exact because
+    the final differential stage corrects it), (b) ``sof11_exact`` — the
+    arithmetic lossless round trip is bit-exact, (c) ``smaller`` — the
+    adaptive QM coder beat the Huffman SOF3 twin. The DuckDB oracle
+    predicts all three flags TRUE plus the id-derived dimensions, so the
+    full T.81 frame matrix is oracle-CHECKED. Arrow-batched mapInPandas,
+    one Python pass per blob."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.jpeg import decode_jpeg_gray, encode_jpeg_lossless_gray
+    from ..operators.jpeg_arith import encode_jpeg_arith_lossless_gray
+    from ..operators.jpeg_hier import encode_jpeg_hier_gray
+    from ..sources import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 1)
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("hier_exact", BooleanType()),
+            StructField("sof11_exact", BooleanType()),
+            StructField("smaller", BooleanType()),
+        ]
+    )
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid in pdf["asset_id"].astype("int64"):
+                w = 16 + int(aid) % 8
+                h = 16 + int(aid) % 5
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = ((3 * x + 7 * y + int(aid)) % 256).astype(np.uint8)
+                hier_ll = encode_jpeg_hier_gray(px, levels=2, base="lossless")
+                hier_dct = encode_jpeg_hier_gray(px, levels=2, base="dct")
+                arith = encode_jpeg_arith_lossless_gray(px)
+                huff = encode_jpeg_lossless_gray(px)
+                hier_ok = bool(
+                    np.array_equal(decode_jpeg_gray(hier_ll), px)
+                    and np.array_equal(decode_jpeg_gray(hier_dct), px)
+                )
+                sof11_ok = bool(
+                    np.array_equal(decode_jpeg_gray(arith), px)
+                )
+                out.append(
+                    (int(aid), w, h, hier_ok, sof11_ok, len(arith) < len(huff))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "hier_exact",
+                    "sof11_exact",
+                    "smaller",
+                ],
+            )
+
+    return d.mapInPandas(work, schema)

@@ -209,13 +209,25 @@ def test_progressive_arith_flat_and_extreme():
         assert np.array_equal(seq, prog)
 
 
-def test_lossless_arithmetic_gate_remains():
+def test_lossless_arithmetic_now_routes():
+    """SOF11 is implemented (round 6): decode_jpeg_gray dispatches it to
+    the Annex-H.2 decoder. A bogus SOF11 header (an SOF9 stream with the
+    marker flipped: DCT scan, predictor selector 0 in SOS) still dies
+    with a PRECISE error from that decoder, not a crash."""
     px = _image(16, 16)
-    raw = bytearray(encode_jpeg_arith_gray(px, 80))
-    i = raw.find(b"\xff\xc9")
-    raw[i + 1] = 0xCB  # flip SOF9 -> SOF11 (lossless arithmetic)
-    with pytest.raises(ValueError, match="lossless ARITHMETIC"):
-        decode_jpeg_gray(bytes(raw))
+    from hive_person_service_spark.operators.jpeg_arith import (
+        decode_jpeg_arith_lossless_gray,
+        encode_jpeg_arith_lossless_gray,
+    )
+
+    raw = encode_jpeg_arith_lossless_gray(px)
+    assert np.array_equal(decode_jpeg_gray(raw), px)
+    assert np.array_equal(decode_jpeg_arith_lossless_gray(raw), px)
+    bogus = bytearray(encode_jpeg_arith_gray(px, 80))
+    i = bogus.find(b"\xff\xc9")
+    bogus[i + 1] = 0xCB
+    with pytest.raises(ValueError, match="predictor 0 out of range"):
+        decode_jpeg_gray(bytes(bogus))
 
 
 def test_flat_and_extreme_images():

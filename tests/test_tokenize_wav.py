@@ -169,9 +169,10 @@ def test_jpeg_roundtrip_and_variant_errors():
         assert err.max() <= bound, (h, w, q, err.max())
 
     good = encode_jpeg_gray(flat, 90)
-    # SOF9/SOF10 now route to the arithmetic decoders; the remaining
-    # precise gate is lossless-arithmetic (SOF11)
-    with pytest.raises(ValueError, match="ARITHMETIC"):
+    # every named frame type now routes (SOF9/10/11, DHP sequences); a
+    # baseline scan mislabeled SOF11 dies precisely inside that decoder
+    # (its SOS carries predictor selector 0, invalid for lossless)
+    with pytest.raises(ValueError, match="predictor 0 out of range"):
         decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xcb", 1))
     with pytest.raises(ValueError, match="hierarchical"):
         decode_jpeg_gray(good.replace(b"\xff\xc0", b"\xff\xc5", 1))
