@@ -123,7 +123,7 @@ def _warc_layout(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     digest = hashlib.sha1(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:warc".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:warc-cdx".encode()
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"documents_warc_{digest}")
     if not os.path.isdir(path):
@@ -131,7 +131,7 @@ def _warc_layout(spark: SparkSession, sf_dir: str) -> str:
             docs = load_table(spark, sf_dir, "documents").select(
                 "doc_id", "text", "lang", "source"
             )
-            write_warc_files(docs, tmp, n_files=8)
+            write_warc_files(docs, tmp, n_files=8, cdx=True)
     return path
 
 
@@ -169,6 +169,178 @@ def source_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.col("payload").cast("string")).alias("n_chars"),
         )
         .orderBy("doc_id")
+    )
+
+
+_CDX_ORACLE = """
+SELECT doc_id,
+       LENGTH(text)::BIGINT AS n_chars
+FROM documents
+WHERE doc_id % 17 = 3
+ORDER BY doc_id
+"""
+
+
+@declare("source_warc_cdx_fetch", oracle=_CDX_ORACLE)
+def source_warc_cdx_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-driven RANDOM ACCESS into the WARC tier: the .cdxj capture
+    index (SURT key + offset/length per gzip member — the Common-Crawl
+    index shape) joined against a broadcast fetch list; each task seeks
+    straight to its hit members, so bytes read scale with the HITS, never
+    the corpus (pinned in tests/test_warc.py). The fetched payloads'
+    recomputed lengths must match the source-of-truth parquet rows — at
+    100 TB this is the \"re-pull these 10k documents\" shape that full
+    archive scans can't serve."""
+    from ..sources.warc import read_warc_records_by_index
+
+    path = _warc_layout(spark, sf_dir)
+    wanted = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id") % 17 == 3)
+        .select("doc_id")
+    )
+    recs = read_warc_records_by_index(spark, path, wanted)
+    return recs.select(
+        "doc_id",
+        F.length(F.col("payload").cast("string")).alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def _delta_restore_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Supplier as Delta across four commits: v0 even keys, v1 append odd
+    keys, v2 DELETE negative balances, v3 RESTORE to v1 — so HEAD must
+    hold the FULL relation again iff restore exactly undid the delete."""
+    from .pipeline44 import _atomic_layout
+    from ..sources import load_table
+    from ..sources.delta_log import delta_delete, delta_restore, delta_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:delta-restore".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_delta_restore_{digest}")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            delta_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp)
+            delta_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp)
+            delta_delete(spark, tmp, "s_acctbal < 0")
+            delta_restore(tmp, 1)
+    return path
+
+
+@declare(
+    "table_delta_restore",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           CAST(SUM(CASE WHEN s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def table_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE (roll the table back to an earlier version as a NEW
+    commit — delta-spark's RestoreTableCommand shape): after a DELETE
+    removed every negative balance, RESTORE TO VERSION 1 must bring those
+    rows back by re-adding the retired files in one metadata-only commit.
+    HEAD's aggregate therefore equals the FULL supplier relation —
+    including per-nation negative-balance counts, which are exactly the
+    rows the delete dropped; any under-restore flips n_negative. Time
+    travel above the restore still sees the deleted state (pytest-pinned
+    with the history's RESTORE row, tests/test_lake_refs_restore.py)."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_restore_layout(spark, sf_dir)
+    s = delta_scan(spark, path)
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum(
+                F.when(F.col("s_acctbal") < 0, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_negative"),
+            F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def _iceberg_refs_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Supplier as Iceberg with a release TAG and an experiment BRANCH:
+    base commit (keys %3==0) tagged 'rel1'; main advances with %3==1;
+    branch 'exp' forks from the tag and appends %3==2 — three refs,
+    three DIFFERENT live row sets in one table."""
+    from .pipeline44 import _atomic_layout
+    from ..sources import load_table
+    from ..sources.iceberg import iceberg_set_ref, iceberg_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:iceberg-refs".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_iceberg_refs_{digest}")
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            base = iceberg_write(sup.where(F.col("s_suppkey") % 3 == 0), tmp)
+            iceberg_set_ref(tmp, "rel1", "tag", base)
+            iceberg_set_ref(tmp, "exp", "branch", base)
+            iceberg_write(sup.where(F.col("s_suppkey") % 3 == 1), tmp)
+            iceberg_write(
+                sup.where(F.col("s_suppkey") % 3 == 2), tmp, branch="exp"
+            )
+    return path
+
+
+@declare(
+    "table_iceberg_refs",
+    oracle="""
+    SELECT 'exp' AS ref_name,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier WHERE s_suppkey % 3 IN (0, 2)
+    UNION ALL
+    SELECT 'main', CAST(COUNT(*) AS BIGINT), ROUND(SUM(s_acctbal), 2)
+    FROM supplier WHERE s_suppkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'rel1', CAST(COUNT(*) AS BIGINT), ROUND(SUM(s_acctbal), 2)
+    FROM supplier WHERE s_suppkey % 3 = 0
+    ORDER BY ref_name
+    """,
+)
+def table_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg refs (the spec's ``refs`` map): a release TAG pinning the
+    base snapshot, MAIN advanced past it, and an experiment BRANCH forked
+    from the tag whose append moved ONLY the branch head. Reading all
+    three through ``iceberg_scan(ref=...)`` must yield three different
+    row sets from one table — branch isolation both ways (main doesn't
+    see the branch append; the branch doesn't see main's). This is the
+    write-audit-publish workflow every production Iceberg lake runs."""
+    from ..sources.iceberg import iceberg_scan
+
+    path = _iceberg_refs_layout(spark, sf_dir)
+
+    def agg(ref: str) -> DataFrame:
+        return (
+            iceberg_scan(spark, path, ref=ref)
+            .agg(
+                F.count("*").alias("n_supp"),
+                F.round(F.sum("s_acctbal"), 2).alias("bal"),
+            )
+            .select(F.lit(ref).alias("ref_name"), "n_supp", "bal")
+        )
+
+    return (
+        agg("exp").unionAll(agg("main")).unionAll(agg("rel1"))
+        .orderBy("ref_name")
     )
 
 

@@ -548,6 +548,63 @@ def delta_history(table: str) -> list[dict]:
     return out
 
 
+def delta_restore(table: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF ``version``: ONE new commit
+    whose remove/add actions rewrite HEAD's live file set to the target
+    version's, plus the target version's metaData when it differs — the
+    shape delta-spark's RestoreTableCommand emits. Metadata-only: no data
+    file is copied or rewritten, so restoring a 100 TB table costs one
+    log entry. Files are keyed by (path, deletion-vector identity), so a
+    DV added since ``version`` is rolled back by re-adding the older
+    add-action. The restore is itself a normal commit: time travel ABOVE
+    it still sees the pre-restore states, and the change feed reports the
+    swap as file-level deletes + inserts."""
+    files_v, meta_v, _proto_v, _ = _snapshot(table, version)
+    files_h, meta_h, _proto_h, head = _snapshot(table)
+
+    def key(add: dict) -> tuple:
+        dv = add.get("deletionVector") or {}
+        return (add["path"], dv.get("pathOrInlineDv"), dv.get("offset"))
+
+    v_by_key = {key(a): a for a in files_v.values()}
+    h_by_key = {key(a): a for a in files_h.values()}
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": now,
+                "operation": "RESTORE",
+                "operationParameters": {"version": str(version)},
+            }
+        }
+    ]
+    if meta_v and meta_v != meta_h:
+        actions.append({"metaData": meta_v})
+    removed = added = 0
+    for k, add in h_by_key.items():
+        if k not in v_by_key:
+            actions.append(
+                {
+                    "remove": {
+                        "path": add["path"],
+                        "deletionTimestamp": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+            removed += 1
+    for k, add in v_by_key.items():
+        if k not in h_by_key:
+            a = dict(add)
+            a["dataChange"] = True
+            actions.append({"add": a})
+            added += 1
+    if removed == 0 and added == 0 and len(actions) == 1:
+        return {"version": head, "added": 0, "removed": 0}  # already there
+    _commit(table, head + 1, actions)
+    return {"version": head + 1, "added": added, "removed": removed}
+
+
 def delta_changes(
     spark: SparkSession,
     table: str,

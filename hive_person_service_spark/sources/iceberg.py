@@ -457,6 +457,7 @@ def iceberg_scan(
     snapshot_id: int | None = None,
     skip_filters: list[tuple] | None = None,
     as_of_timestamp_ms: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read an Iceberg table at the current snapshot (or ``snapshot_id``
     / ``as_of_timestamp_ms`` for time travel): metadata/manifest planning
@@ -474,6 +475,12 @@ def iceberg_scan(
     callers still apply their real predicate to the returned frame;
     date/timestamp literals are given in canonical days/micros."""
     meta = _load_metadata(table)
+    if ref is not None:
+        if snapshot_id is not None or as_of_timestamp_ms is not None:
+            raise ValueError(
+                "pass ref OR snapshot_id/as_of_timestamp_ms, not both"
+            )
+        snapshot_id = _resolve_ref(meta, ref)
     if as_of_timestamp_ms is not None:
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR as_of_timestamp_ms, not both")
@@ -547,6 +554,61 @@ def iceberg_alter(
     os.rename(tmp, d / f"v{version + 1}.metadata.json")
     (d / "version-hint.text").write_text(str(version + 1))
     return new_sid
+
+
+def _bump_metadata(table: str, meta: dict) -> int:
+    """Write ``meta`` as the next v<N>.metadata.json + version hint
+    (the table-commit primitive every metadata mutation shares)."""
+    version = int(_current_metadata_path(table).stem[1:].split(".")[0])
+    d = _meta_dir(table)
+    tmp = d / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(meta, indent=1))
+    os.rename(tmp, d / f"v{version + 1}.metadata.json")
+    (d / "version-hint.text").write_text(str(version + 1))
+    return version + 1
+
+
+def iceberg_set_ref(
+    table: str, name: str, ref_type: str = "tag",
+    snapshot_id: int | None = None,
+) -> int:
+    """Create or move a named ref (the spec's ``refs`` map): a ``tag``
+    is an immutable release pointer, a ``branch`` a movable head that
+    iceberg_write(..., branch=) advances independently of main. Defaults
+    to the current snapshot. Returns the snapshot id the ref points at."""
+    if ref_type not in ("tag", "branch"):
+        raise ValueError(f"ref type {ref_type!r} must be 'tag' or 'branch'")
+    if name == "main":
+        raise ValueError("'main' is the implicit current-snapshot ref")
+    meta = _load_metadata(table)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    known = {s["snapshot-id"] for s in meta.get("snapshots", [])}
+    if snapshot_id in (-1, None) or snapshot_id not in known:
+        raise ValueError(
+            f"snapshot {snapshot_id} not in the table's snapshot log"
+        )
+    refs = dict(meta.get("refs") or {})
+    refs[name] = {"snapshot-id": int(snapshot_id), "type": ref_type}
+    meta["refs"] = refs
+    _bump_metadata(table, meta)
+    return int(snapshot_id)
+
+
+def _resolve_ref(meta: dict, ref: str) -> int:
+    """Ref name -> snapshot id ('main' = the implicit current head)."""
+    if ref == "main":
+        sid = meta.get("current-snapshot-id")
+        if sid in (-1, None):
+            raise ValueError("table has no current snapshot")
+        return int(sid)
+    entry = (meta.get("refs") or {}).get(ref)
+    if entry is None:
+        raise ValueError(
+            f"unknown ref {ref!r} (known: "
+            f"{sorted((meta.get('refs') or {}))} + ['main'])"
+        )
+    return int(entry["snapshot-id"])
 
 
 def iceberg_snapshots(table: str) -> list[dict]:
@@ -1090,6 +1152,7 @@ def iceberg_write(
     mode: str = "append",
     partition_spec: list[dict] | None = None,
     txn: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Commit df to an Iceberg table (append/overwrite); creates the
     table on first commit. ``partition_spec`` (first commit only) is a
@@ -1100,6 +1163,8 @@ def iceberg_write(
     scan can prune files from metadata alone. Returns the snapshot id."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
+    if branch is not None and mode != "append":
+        raise ValueError("branch writes support append mode only")
     d = _meta_dir(table)
     d.mkdir(parents=True, exist_ok=True)
     # Create-new ONLY when no metadata exists; an existing table whose
@@ -1108,6 +1173,13 @@ def iceberg_write(
     has_meta = any(re.match(r"v\d+\.metadata\.json$", p.name) for p in d.iterdir())
     if has_meta:
         meta = _load_metadata(table)
+        if branch is not None and (
+            (meta.get("refs") or {}).get(branch, {}).get("type") != "branch"
+        ):
+            raise ValueError(
+                f"{branch!r} is not a branch ref (create with "
+                "iceberg_set_ref(..., ref_type='branch'))"
+            )
         version = int(_current_metadata_path(table).stem[1:].split(".")[0])
         existing = _spec_fields_from_meta(meta)
         if partition_spec is not None and partition_spec != existing:
@@ -1117,6 +1189,8 @@ def iceberg_write(
             )
         spec_fields = existing
     else:
+        if branch is not None:
+            raise ValueError("cannot branch-write to a table being created")
         schema = _schema_to_iceberg(df.schema)
         name_to_id = {f["name"]: f["id"] for f in schema["fields"]}
         spec_fields = partition_spec or []
@@ -1179,10 +1253,18 @@ def iceberg_write(
             ),
         }
     ]
-    if mode == "append" and meta.get("current-snapshot-id", -1) != -1:
+    parent_id = meta.get("current-snapshot-id", -1)
+    if branch is not None:
+        if (meta.get("refs") or {}).get(branch, {}).get("type") != "branch":
+            raise ValueError(
+                f"{branch!r} is not a branch ref (create with "
+                "iceberg_set_ref(..., ref_type='branch'))"
+            )
+        parent_id = _resolve_ref(meta, branch)  # branch head, not main
+    if mode == "append" and parent_id != -1:
         cur = next(
             s for s in meta["snapshots"]
-            if s["snapshot-id"] == meta["current-snapshot-id"]
+            if s["snapshot-id"] == parent_id
         )
         _, prev = read_ocf(Path(_resolve(table, cur["manifest-list"])).read_bytes())
         manifests.extend(_carry_forward(prev))
@@ -1207,7 +1289,13 @@ def iceberg_write(
             "summary": summary,
         }
     ]
-    meta["current-snapshot-id"] = snapshot_id
+    if branch is not None:
+        # advance ONLY the branch ref; main's head is untouched
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        meta["refs"] = refs
+    else:
+        meta["current-snapshot-id"] = snapshot_id
     meta["last-updated-ms"] = int(time.time() * 1000)
     new_version = version + 1
     tmp = d / f".tmp-{uuid.uuid4().hex}.json"
@@ -1628,8 +1716,17 @@ def iceberg_expire_snapshots(
     snaps = meta.get("snapshots", [])
     if len(snaps) <= keep_last:
         return {"expired": 0, "files_deleted": 0, "manifests_deleted": 0}
-    keep = snaps[-keep_last:]
-    expired = snaps[:-keep_last]
+    # snapshots a named ref (tag/branch) points at are NEVER expirable --
+    # the spec's retention rule that keeps release tags readable forever
+    ref_ids = {
+        int(r["snapshot-id"]) for r in (meta.get("refs") or {}).values()
+    }
+    keep = [
+        s for i, s in enumerate(snaps)
+        if i >= len(snaps) - keep_last or s["snapshot-id"] in ref_ids
+    ]
+    keep_set = {s["snapshot-id"] for s in keep}
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_set]
 
     def _referenced(snapshot) -> tuple[set, set]:
         """(manifest paths, data-file paths) a snapshot reaches."""

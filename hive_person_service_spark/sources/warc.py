@@ -144,11 +144,32 @@ def read_warc_file(path: str):
     yield from parse_stream(data)
 
 
-def write_warc_files(df: DataFrame, out_dir: str, n_files: int) -> None:
+def surt_key(url: str) -> str:
+    """Simplified SURT (Sort-friendly URI Reordering Transform) key, the
+    CDX sort order: scheme stripped, host labels reversed and
+    comma-joined, path appended — 'https://a.example.org/p' ->
+    'org,example,a)/p'. (Full SURT also canonicalizes queries/sessions;
+    out of scope for archive-local indexing.)"""
+    u = url.split("://", 1)[-1]
+    host, _, path = u.partition("/")
+    return ",".join(reversed(host.lower().split("."))) + ")/" + path
+
+
+def write_warc_files(
+    df: DataFrame, out_dir: str, n_files: int, cdx: bool = False
+) -> None:
     """Write ``df`` (doc_id, text, lang, source) as ``n_files`` WET-style
     conversion archives, executor-side: range-partition on doc_id, each
     task streams its partition into one .warc.gz. At 100 TB this is the
-    same plan — one exchange, then embarrassingly parallel file writes."""
+    same plan — one exchange, then embarrassingly parallel file writes.
+
+    With ``cdx=True`` each archive also gets a ``.cdxj`` sidecar — one
+    line per record, ``<surt-key> <timestamp> <json>``, where the JSON
+    carries url/filename/offset/length (+ doc_id): the Common-Crawl-style
+    capture index that lets a fetch seek straight to one gzip member
+    without scanning the archive (see read_warc_records_by_index)."""
+    import json
+
     os.makedirs(out_dir, exist_ok=True)
     cols = df.columns
 
@@ -156,35 +177,148 @@ def write_warc_files(df: DataFrame, out_dir: str, n_files: int) -> None:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        fname = f"part-{pid:05d}.warc.gz"
+        path = os.path.join(out_dir, fname)
         tmp = path + ".tmp"
+        index: list[str] = []
+        offset = 0
         with open(tmp, "wb") as f:
             for row in rows:
                 d = dict(zip(cols, row))
                 payload = (d["text"] or "").encode("utf-8")
+                url = f"https://example.org/{d['source']}/{d['doc_id']}"
                 rec = build_record(
                     "conversion",
                     payload,
                     {
                         "WARC-Record-ID": record_id_for(d["doc_id"]),
                         "WARC-Date": FIXED_DATE,
-                        "WARC-Target-URI": (
-                            f"https://example.org/{d['source']}/{d['doc_id']}"
-                        ),
+                        "WARC-Target-URI": url,
                         "Content-Type": "text/plain; charset=utf-8",
                         "WARC-X-Doc-Id": str(d["doc_id"]),
                         "WARC-X-Lang": str(d["lang"]),
                         "WARC-X-Source": str(d["source"]),
                     },
                 )
-                f.write(gzip_member(rec))
+                member = gzip_member(rec)
+                f.write(member)
+                if cdx:
+                    meta = {
+                        "url": url,
+                        "filename": fname,
+                        "offset": offset,
+                        "length": len(member),
+                        "doc_id": int(d["doc_id"]),
+                    }
+                    ts = FIXED_DATE.replace("-", "").replace(":", "")
+                    ts = ts.replace("T", "").replace("Z", "")
+                    index.append(
+                        f"{surt_key(url)} {ts} "
+                        f"{json.dumps(meta, sort_keys=True)}"
+                    )
+                offset += len(member)
         os.replace(tmp, path)
+        if cdx:
+            cdx_path = os.path.join(out_dir, fname + ".cdxj")
+            with open(cdx_path + ".tmp", "w", encoding="utf-8") as f:
+                for line in sorted(index):
+                    f.write(line + "\n")
+            os.replace(cdx_path + ".tmp", cdx_path)
 
     (
         df.repartitionByRange(n_files, "doc_id")
         .sortWithinPartitions("doc_id")
         .foreachPartition(write_partition)
     )
+
+
+def load_cdx(spark, warc_dir: str) -> DataFrame:
+    """Load every .cdxj sidecar under ``warc_dir`` as a relation
+    (urlkey, ts, url, filename, offset, length, doc_id) — planning input
+    for index-driven fetches; at CC scale this is the petabyte corpus's
+    few-TB index, a normal distributed scan."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    meta_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("filename", StringType()),
+            StructField("offset", LongType()),
+            StructField("length", LongType()),
+            StructField("doc_id", LongType()),
+        ]
+    )
+    lines = spark.read.text(os.path.join(warc_dir, "*.cdxj"))
+    parsed = lines.select(
+        F.split("value", " ", 3).alias("p")
+    ).select(
+        F.col("p")[0].alias("urlkey"),
+        F.col("p")[1].alias("ts"),
+        F.from_json(F.col("p")[2], meta_schema).alias("m"),
+    )
+    return parsed.select(
+        "urlkey", "ts", "m.url", "m.filename", "m.offset", "m.length",
+        "m.doc_id"
+    )
+
+
+def read_warc_records_by_index(
+    spark, warc_dir: str, wanted: DataFrame
+) -> DataFrame:
+    """Random-access fetch: join the CDX index against ``wanted``
+    (a DataFrame with a ``doc_id`` column), then each task seeks straight
+    to its records' gzip members — bytes read are proportional to the
+    HITS, never the archive (the property the tests pin). ``wanted`` is
+    broadcast (a fetch list is small by construction); matched entries
+    are grouped per archive so each file opens once per task."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    idx = load_cdx(spark, warc_dir)
+    hits = idx.join(
+        F.broadcast(wanted.select("doc_id").distinct()), "doc_id"
+    ).select("doc_id", "url", "filename", "offset", "length")
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("url", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fname, grp in pdf.groupby("filename"):
+                with open(os.path.join(warc_dir, fname), "rb") as f:
+                    for _, r in grp.sort_values("offset").iterrows():
+                        f.seek(int(r["offset"]))
+                        member = f.read(int(r["length"]))
+                        [(_h, payload)] = list(
+                            parse_stream(gzip.decompress(member))
+                        )
+                        rows.append(
+                            (int(r["doc_id"]), r["url"], payload)
+                        )
+            yield pd.DataFrame(rows, columns=["doc_id", "url", "payload"])
+
+    return hits.repartition("filename").mapInPandas(fetch, out_schema)
 
 
 class _WarcFilePart(InputPartition):

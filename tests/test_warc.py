@@ -132,6 +132,72 @@ def test_datasource_roundtrip_matches_parquet(spark, tmp_path):
     assert got == want  # byte-exact text survival, every document
 
 
+def test_cdx_sidecar_offsets_are_exact(spark, tmp_path):
+    """Every CDXJ line's (offset, length) must slice exactly one gzip
+    member whose record round-trips standalone — the property that makes
+    index-driven random access sound."""
+    import json
+
+    docs = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out = str(tmp_path / "arch")
+    write_warc_files(docs, out, n_files=3, cdx=True)
+    sidecars = sorted(glob.glob(os.path.join(out, "*.cdxj")))
+    assert len(sidecars) == 3
+    n = 0
+    for sc in sidecars:
+        with open(sc, encoding="utf-8") as f:
+            lines = [ln.rstrip("\n") for ln in f]
+        assert lines == sorted(lines)  # CDX sort order
+        for ln in lines:
+            key, _ts, meta_json = ln.split(" ", 2)
+            meta = json.loads(meta_json)
+            assert key.startswith("org,example)/")
+            with open(os.path.join(out, meta["filename"]), "rb") as f:
+                f.seek(meta["offset"])
+                member = f.read(meta["length"])
+            [(headers, payload)] = list(
+                parse_stream(gzip.decompress(member))
+            )
+            assert headers["WARC-X-Doc-Id"] == str(meta["doc_id"])
+            n += 1
+    assert n == docs.count()
+
+
+def test_index_fetch_matches_direct_read_and_is_selective(spark, tmp_path):
+    from hive_person_service_spark.sources.warc import (
+        load_cdx,
+        read_warc_records_by_index,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "arch")
+    write_warc_files(
+        docs.select("doc_id", "text", "lang", "source"), out, n_files=3,
+        cdx=True,
+    )
+    wanted = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    got = {
+        r.doc_id: bytes(r.payload).decode("utf-8")
+        for r in read_warc_records_by_index(spark, out, wanted).collect()
+    }
+    want = {
+        r.doc_id: r.text
+        for r in docs.where(F.col("doc_id") % 7 == 0).collect()
+    }
+    assert got == want
+    # selectivity: the fetch touches only the hit members' bytes
+    idx = load_cdx(spark, out)
+    hit_bytes = (
+        idx.join(wanted, "doc_id").agg(F.sum("length").alias("b")).first().b
+    )
+    total_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(os.path.join(out, "*.warc.gz"))
+    )
+    assert hit_bytes < total_bytes / 3  # 1-in-7 sample reads a fraction
+
+
 def test_content_length_column_is_payload_bytes(spark, tmp_path):
     docs = load_table(spark, SF_SMALL, "documents")
     out = str(tmp_path / "arch")
