@@ -275,6 +275,60 @@ def timed_counts_v2(events: DataFrame) -> DataFrame:
     )
 
 
+class EventTimeFlushProcessor(StatefulProcessor):
+    """EVENT-time timers: each batch re-arms a timer just past the
+    current watermark; when a later batch's WATERMARK passes it (event
+    time, not wall clock), handleExpiredTimer emits the key's state —
+    the watermark-driven session-finalization shape. Late data cannot
+    resurrect a flushed key below the watermark, which is what makes
+    this correct under out-of-order arrival at 100 TB/day."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._count = handle.getValueState(
+            "count", StructType([StructField("n", LongType())])
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n = self._count.get()[0] if self._count.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._count.update((n,))
+        for ts in self._handle.listTimers():
+            self._handle.deleteTimer(ts)
+        wm = timerValues.getCurrentWatermarkInMs()
+        self._handle.registerTimer(max(wm, 0) + 1)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "kind": ["input"], "n": [n]}
+        )
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        n = self._count.get()[0] if self._count.exists() else 0
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "kind": ["timer"], "n": [n]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def event_time_flush_v2(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Running counts + watermark-driven flush rows (event-time mode);
+    input must carry the ``ts`` event-time column."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            EventTimeFlushProcessor(), _TIMED_OUT, "update", "eventtime"
+        )
+    )
+
+
 class SeededTotalsProcessor(RunningTotalsProcessor):
     """RunningTotals + handleInitialState: state seeded per key from an
     initial-state relation before the first batch (the migration shape:

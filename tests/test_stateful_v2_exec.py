@@ -24,6 +24,7 @@ from tests.conftest import SF_SMALL
 
 from hive_person_service_spark.sources import load_table
 from hive_person_service_spark.streaming.stateful_v2 import (
+    event_time_flush_v2,
     event_type_counts_v2,
     recent_values_totals_v2,
     rocksdb_state_provider,
@@ -273,3 +274,61 @@ def test_initial_state_seeds_value_state(spark):
     # and at least one checked key must genuinely have been seeded
     seeded_keys = {r.user_id for r in initial.select("user_id").collect()}
     assert live_keys & seeded_keys, "split produced no seeded+streamed key"
+
+
+def test_event_time_timers_fire_when_watermark_passes(spark):
+    """EVENT-time timers: run 1 (early-half timestamps) arms timers just
+    past its watermark; run 2 (late-half timestamps, same checkpoint)
+    advances the WATERMARK past them, so every run-1 key must flush —
+    driven by event time in the data, not wall clock."""
+    batch = load_table(spark, SF_SMALL, "events")
+    ts_sorted = [r.ts for r in batch.select("ts").orderBy("ts").collect()]
+    median = ts_sorted[len(ts_sorted) // 2]
+    src = tempfile.mkdtemp(prefix="tws_evt_")
+    ckpt = tempfile.mkdtemp(prefix="tws_evt_ckpt_")
+    out = tempfile.mkdtemp(prefix="tws_evt_out_")
+    stream_schema = None
+
+    def run(df_filter):
+        nonlocal stream_schema
+        ev = load_table(spark, SF_SMALL, "events").where(df_filter).select(
+            "ts", "user_id", "value"
+        )
+        ev.coalesce(1).write.mode("append").parquet(src)
+        stream_schema = ev.schema
+        stream = spark.readStream.schema(stream_schema).parquet(src)
+        with rocksdb_state_provider(spark):
+            q = (
+                event_time_flush_v2(stream)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(out)
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), "stream did not drain in 180s"
+
+    early = F.col("ts") <= F.lit(median)
+    run(early)
+    run(~early)
+    res = spark.read.parquet(out)
+    fired = {
+        r.user_id
+        for r in res.where(F.col("kind") == "timer")
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    early_keys = {
+        r.user_id
+        for r in load_table(spark, SF_SMALL, "events")
+        .where(early)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    assert early_keys, "median split produced no early keys"
+    missing = early_keys - fired
+    assert not missing, f"event-time timers never fired for {sorted(missing)[:5]}"
