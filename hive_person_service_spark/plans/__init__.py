@@ -117,8 +117,12 @@ _CERT_PRIORITY = [
     # H: scalar fn families
     "fn_string", "fn_datetime", "fn_math", "fn_conditional",
     "fn_array_explode", "fn_map", "fn_json_props", "fn_hash",
-    # I: event-time windows + stateful dedup (batch equivalents)
-    "stream_tumbling", "stream_sliding", "stream_session",
+    # I: event-time windows + stateful dedup (batch equivalents) + the
+    # r6 flagship: transformWithStateInPandas EXECUTED through the
+    # vendored protobuf wire shim (stream_sliding's slot; the window
+    # family stays covered by stream_tumbling, and stream_sliding stays
+    # declared + selfchecked)
+    "stream_tumbling", "stream_tws_totals", "stream_session",
     "stream_dedup_events",
     # J: LLM-data-pipeline surface (text_term_freq's slot now showcases
     # the r6 lake-planning tier -- text_tfidf subsumes term-freq math)
