@@ -1,0 +1,87 @@
+"""Round-6 batch 48: Iceberg format-version 3 — deletion vectors in
+Puffin files.
+
+v3 replaces v2's position-delete parquet files with per-data-file
+roaring bitmaps stored as ``deletion-vector-v1`` blobs in Puffin files
+(sources/puffin.py implements both public specs in-repo). The declared
+query proves the WHOLE path — bitmap serialization, Puffin framing,
+manifest pointer fields, the replacement rule (a new DV supersedes all
+earlier deletes of its file, so the writer folds prior v2 positions into
+each bitmap), and the distributed positional anti-join — against an
+oracle on the ORIGINAL parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .pipeline44 import _atomic_layout
+from .registry import declare
+
+_LAYOUT_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_layouts")
+
+
+def _iceberg_v3_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) an Iceberg table whose
+    deletes arrive in TWO generations: first a v2 POSITION-DELETE commit
+    (negative balances), then a v3 DELETION-VECTOR commit (nation 5).
+    The DV writer must fold the v2 positions of every file it touches
+    into the replacement bitmaps (the spec's "a DV replaces all previous
+    deletes" rule), and the reader must ignore position-delete rows for
+    DV-covered files -- this layout makes both halves observable."""
+    from ..sources.iceberg import iceberg_delete, iceberg_delete_dv, iceberg_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:icebergv3dv".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_icebergv3_{digest}")
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp)
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp)
+            iceberg_delete(spark, tmp, "s_acctbal < 0")
+            iceberg_delete_dv(spark, tmp, "s_nationkey = 5")
+    return path
+
+
+@declare(
+    "table_iceberg_v3_dv_scan",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal,
+           MAX(s_suppkey) AS max_key
+    FROM supplier
+    WHERE NOT (s_acctbal < 0) AND s_nationkey <> 5
+    GROUP BY s_nationkey
+    """,
+)
+def table_iceberg_v3_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 DELETION-VECTOR read path: negative-balance suppliers
+    were position-deleted (v2 parquet delete file), then nation 5 was
+    deleted as roaring bitmaps framed as ``deletion-vector-v1`` Puffin
+    blobs (v3), upgrading the table to format-version 3. Files touched by
+    the DV commit carry bitmaps that FOLD IN their earlier v2 positions
+    (the replacement rule), and the scan ignores position-delete rows for
+    DV-covered files while still applying them to uncovered ones. The
+    oracle filters the ORIGINAL parquet by both predicates, so a match
+    proves the bitmap codec, the Puffin framing, the manifest pointer
+    fields AND the supersede semantics are all exact."""
+    from ..sources.iceberg import iceberg_scan
+
+    path = _iceberg_v3_layout(spark, sf_dir)
+    s = iceberg_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.max("s_suppkey").alias("max_key"),
+    )

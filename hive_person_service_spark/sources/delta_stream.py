@@ -261,7 +261,11 @@ def _ice_snapshot_files(table: str, idx: int) -> tuple[set, set]:
     plan = _plan_snapshot(table, meta, sid)
     return (
         {p for p, _s, _i in plan["data"]},
-        set(plan["pos"]) | {p for p, _k, _s in plan["eq"]},
+        set(plan["pos"])
+        | {p for p, _k, _s in plan["eq"]}
+        # v3 DVs: identity is (puffin file, blob offset) -- a replaced DV
+        # for an existing data file is a change commit like any delete
+        | {f"{pf}@{off}" for pf, off, _sz, _sq in plan["dv"].values()},
     )
 
 

@@ -74,7 +74,18 @@ renames re-map old files and added columns null-backfill -- no rewrite.
 Time travel accepts ``snapshot_id`` or ``as_of_timestamp_ms`` (latest
 snapshot at or before the timestamp, the SQL ``FOR TIMESTAMP AS OF``).
 
-Remaining reader gates, each a precise ValueError: format-version > 2;
+v3 DELETION VECTORS are SUPPORTED (round 6): ``iceberg_delete_dv``
+writes per-data-file roaring bitmaps as ``deletion-vector-v1`` blobs in
+a Puffin file (sources/puffin.py), referenced by content=1 manifest
+entries carrying the v3 pointer fields (``referenced_data_file`` /
+``content_offset`` / ``content_size_in_bytes``); the scan decodes each
+bitmap driver-side (KBs -- planning-tier metadata) and applies the
+positions distributed, with the spec's replacement rule: a data file's
+DV supersedes ALL its earlier deletes, so the writer folds prior v2
+positions into every new bitmap and the reader ignores position-delete
+rows for DV-covered files.
+
+Remaining reader gates, each a precise ValueError: format-version > 3;
 ORC/Avro data files. The metadata layer is driver-side (KBs of
 JSON/Avro; this mirrors how Iceberg's own planning works), so every
 Catalyst pushdown still applies to the data scan.
@@ -127,8 +138,8 @@ def _current_metadata_path(table: str) -> Path:
 def _load_metadata(table: str) -> dict:
     meta = json.loads(_current_metadata_path(table).read_text())
     fv = meta.get("format-version", 1)
-    if fv > 2:
-        raise ValueError(f"Iceberg format-version {fv} unsupported (max 2)")
+    if fv > 3:
+        raise ValueError(f"Iceberg format-version {fv} unsupported (max 3)")
     return meta
 
 
@@ -158,18 +169,26 @@ def _plan_snapshot(
     snapshot_id: int | None,
     skip_filters: list[tuple] | None = None,
 ) -> dict:
-    """Plan a snapshot into its three v2 file classes::
+    """Plan a snapshot into its four file classes::
 
         {"data": [(path, seq, info)], "pos": [path],
-         "eq": [(path, (field_id, ...), seq)]}
+         "eq": [(path, (field_id, ...), seq)],
+         "dv": {referenced_data_path: (puffin_path, offset, size, seq)}}
 
     ``seq`` is the manifest's data sequence number (v2); legacy/v1
     records without one read as 0, matching the spec's v1->v2 upgrade
     rule (all pre-upgrade files get sequence number 0). ``info`` carries
     the pruning metadata the manifest entry recorded: ``partition``
     ({name: raw-string-or-None}), ``lower``/``upper``
-    ({field_id: raw bytes})."""
-    plan: dict = {"data": [], "pos": [], "eq": []}
+    ({field_id: raw bytes}).
+
+    ``dv`` is the v3 class: content=1 entries whose file_format is
+    PUFFIN reference ONE data file each (``referenced_data_file``) with
+    the framed deletion-vector blob at (``content_offset``,
+    ``content_size_in_bytes``). The v3 rule "at most one DV applies per
+    data file; the newest replaces all previous deletes" is enforced
+    here by keeping only the highest-sequence DV per referenced file."""
+    plan: dict = {"data": [], "pos": [], "eq": [], "dv": {}}
     snaps = meta.get("snapshots", [])
     if not snaps:
         return plan
@@ -244,6 +263,20 @@ def _plan_snapshot(
             if content not in (0, 1, 2):
                 raise ValueError(f"Iceberg content={content} files unsupported")
             fmt = (df_rec.get("file_format") or "PARQUET").upper()
+            if fmt == "PUFFIN" and content == 1:
+                # v3 deletion vector: one blob per referenced data file;
+                # highest data sequence number wins (the spec's
+                # "replaces all previous deletes" rule)
+                ref = _resolve(table, df_rec["referenced_data_file"])
+                cur = plan["dv"].get(ref)
+                if cur is None or man_seq >= cur[3]:
+                    plan["dv"][ref] = (
+                        _resolve(table, df_rec["file_path"]),
+                        int(df_rec["content_offset"]),
+                        int(df_rec["content_size_in_bytes"]),
+                        man_seq,
+                    )
+                continue
             if fmt != "PARQUET":
                 raise ValueError(f"Iceberg {fmt} data files unsupported")
             path = _resolve(table, df_rec["file_path"])
@@ -291,7 +324,9 @@ def _snapshot_files(
     plan = _plan_snapshot(table, meta, snapshot_id)
     return (
         [p for p, _s, _i in plan["data"]],
-        plan["pos"] + [p for p, _ids, _s in plan["eq"]],
+        plan["pos"]
+        + [p for p, _ids, _s in plan["eq"]]
+        + sorted({pf for pf, _o, _sz, _sq in plan["dv"].values()}),
     )
 
 
@@ -398,17 +433,56 @@ def _live_tagged(
         referenced = [
             r.file_path for r in dels.select("file_path").distinct().collect()
         ]
-        mapping = [(p, _resolve(table, p)) for p in referenced]
-        map_df = spark.createDataFrame(mapping, "file_path string, plain string")
-        dels = dels.join(F.broadcast(map_df), "file_path").select(
-            F.col("plain").alias("__del_path"), F.col("pos").alias("__del_pos")
-        )
-        df = df.join(
-            F.broadcast(dels),
-            on=[F.col("__p") == F.col("__del_path"),
-                F.col("__i") == F.col("__del_pos")],
-            how="left_anti",
-        )
+        # v3 rule: a deletion vector REPLACES all previous deletes for its
+        # data file, so position-delete entries for DV-covered files are
+        # ignored (the DV writer folded them into the bitmap)
+        mapping = [
+            (p, plain)
+            for p in referenced
+            if (plain := _resolve(table, p)) not in plan["dv"]
+        ]
+        if mapping:
+            map_df = spark.createDataFrame(
+                mapping, "file_path string, plain string"
+            )
+            dels = dels.join(F.broadcast(map_df), "file_path").select(
+                F.col("plain").alias("__del_path"),
+                F.col("pos").alias("__del_pos"),
+            )
+            df = df.join(
+                F.broadcast(dels),
+                on=[F.col("__p") == F.col("__del_path"),
+                    F.col("__i") == F.col("__del_pos")],
+                how="left_anti",
+            )
+    if plan["dv"]:
+        # v3 deletion vectors: decode each referenced file's bitmap
+        # driver-side (KBs -- planning-tier metadata, like the manifests
+        # themselves) and apply the positions as ONE broadcast anti-join
+        from .puffin import read_dv_from_puffin
+
+        data_paths = {p for p, _s, _i in plan["data"]}
+        frames = [
+            pd.DataFrame(
+                {
+                    "__del_path": ref,
+                    "__del_pos": read_dv_from_puffin(pf, off, size),
+                }
+            )
+            for ref, (pf, off, size, _seq) in sorted(plan["dv"].items())
+            if ref in data_paths  # DV for a retired file: nothing to do
+        ]
+        if frames:
+            dv_df = spark.createDataFrame(
+                pd.concat(frames, ignore_index=True),
+                "__del_path string, __del_pos long",
+            )
+            df = df.join(
+                F.broadcast(dv_df),
+                on=[F.col("__p") == F.col("__del_path"),
+                    F.col("__i") == F.col("__del_pos")],
+                how="left_anti",
+            )
     if plan["eq"]:
         # each data row carries its file's data sequence number so the
         # strict seq < delete-seq rule can exempt rows appended AFTER the
@@ -712,6 +786,14 @@ _MANIFEST_SCHEMA = {
                         {"name": "file_format", "type": ["null", "string"]},
                         {"name": "record_count", "type": ["null", "long"]},
                         {"name": "file_size_in_bytes", "type": ["null", "long"]},
+                        # v3 deletion-vector pointer fields (spec fields
+                        # 143/144/145): the referenced data file and the
+                        # framed DV blob's position inside the Puffin file
+                        {"name": "referenced_data_file",
+                         "type": ["null", "string"]},
+                        {"name": "content_offset", "type": ["null", "long"]},
+                        {"name": "content_size_in_bytes",
+                         "type": ["null", "long"]},
                         {
                             "name": "equality_ids",
                             "type": [
@@ -793,6 +875,9 @@ _DATA_FILE_DEFAULTS = {
     "partition": None,
     "lower_bounds": None,
     "upper_bounds": None,
+    "referenced_data_file": None,
+    "content_offset": None,
+    "content_size_in_bytes": None,
 }
 
 _MANIFEST_LIST_SCHEMA = {
@@ -1374,6 +1459,105 @@ def iceberg_delete(spark: SparkSession, table: str, predicate: str) -> int:
     return len(rows)
 
 
+def iceberg_delete_dv(spark: SparkSession, table: str, predicate: str) -> int:
+    """``DELETE FROM table WHERE predicate`` as a v3 DELETION-VECTOR
+    commit: matched positions become per-data-file roaring bitmaps framed
+    as ``deletion-vector-v1`` blobs in ONE Puffin file (sources/puffin.py),
+    referenced by content=1 manifest entries carrying the v3 pointer
+    fields (``referenced_data_file`` / ``content_offset`` /
+    ``content_size_in_bytes``, file_format PUFFIN); the table metadata
+    upgrades to format-version 3. No data file is rewritten.
+
+    The v3 invariant "at most one DV per data file; a new DV replaces ALL
+    previous deletes for that file" is honored on write: each emitted
+    bitmap is the UNION of the new matches with every previously-deleted
+    position of that file (prior DV, or v2 position-delete rows -- the
+    v2->v3 upgrade path the spec describes). Returns rows newly deleted.
+
+    Match-finding is a distributed predicate scan over the LIVE rows
+    (so re-deleting is a no-op); bitmap assembly is driver-side, bounded
+    by delete cardinality -- the same planning-tier budget as the
+    manifests themselves."""
+    from pyspark.sql import functions as F
+
+    from .puffin import frame_dv_blob, read_dv_from_puffin, write_puffin
+
+    meta = _load_metadata(table)
+    tagged, plan = _live_tagged(spark, table, meta)
+    if tagged is None:
+        return 0
+    matches = tagged.where(F.expr(predicate)).select("__p", "__i").collect()
+    if not matches:
+        return 0
+    new_by_file: dict[str, set[int]] = {}
+    for r in matches:
+        new_by_file.setdefault(r["__p"], set()).add(int(r["__i"]))
+
+    # previously-deleted positions of the affected files (fold into the
+    # replacement DVs): prior DV bitmaps + v2 position-delete rows
+    prior: dict[str, set[int]] = {p: set() for p in new_by_file}
+    for ref, (pf, off, size, _seq) in plan["dv"].items():
+        if ref in prior:
+            prior[ref].update(int(i) for i in read_dv_from_puffin(pf, off, size))
+    if plan["pos"]:
+        for row in (
+            spark.read.parquet(*plan["pos"]).select("file_path", "pos").collect()
+        ):
+            plain = _resolve(table, row["file_path"])
+            if plain in prior:
+                prior[plain].add(int(row["pos"]))
+
+    d = _meta_dir(table)
+    version = int(_current_metadata_path(table).stem[1:].split(".")[0])
+    snapshot_id = int(time.time() * 1000) * 1000 + version + 1
+    seq = int(meta.get("last-sequence-number") or 0) + 1
+
+    data_dir = os.path.join(table, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    puffin_path = os.path.join(data_dir, f"delete-dv-{uuid.uuid4().hex[:12]}.puffin")
+    order = sorted(new_by_file)
+    cards: list[int] = []
+    blobs: list[dict] = []
+    for path in order:
+        positions = sorted(new_by_file[path] | prior[path])
+        cards.append(len(positions))
+        blobs.append(
+            {
+                "type": "deletion-vector-v1",
+                "data": frame_dv_blob(positions),
+                "snapshot-id": snapshot_id,
+                "sequence-number": seq,
+                "properties": {
+                    "referenced-data-file": path,
+                    "cardinality": str(len(positions)),
+                },
+            }
+        )
+    metas = write_puffin(puffin_path, blobs)
+    puffin_size = os.path.getsize(puffin_path)
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snapshot_id,
+            "data_file": {
+                "content": 1,
+                "file_path": puffin_path,
+                "file_format": "PUFFIN",
+                "record_count": card,
+                "file_size_in_bytes": puffin_size,
+                "equality_ids": None,
+                **_DATA_FILE_DEFAULTS,
+                "referenced_data_file": path,
+                "content_offset": bm["offset"],
+                "content_size_in_bytes": bm["length"],
+            },
+        }
+        for path, card, bm in zip(order, cards, metas)
+    ]
+    _commit_delete_snapshot(table, meta, version, snapshot_id, seq, entries, fv=3)
+    return len(matches)
+
+
 def _commit_delete_snapshot(
     table: str,
     meta: dict,
@@ -1381,10 +1565,12 @@ def _commit_delete_snapshot(
     snapshot_id: int,
     seq: int,
     entries: list[dict],
+    fv: int = 2,
 ) -> None:
-    """Shared tail of the two row-level-delete writers: write the delete
+    """Shared tail of the row-level-delete writers: write the delete
     manifest, a new manifest list carrying all live manifests, and the
-    v2-upgraded metadata version."""
+    upgraded metadata version (``fv`` 2 for position/equality deletes,
+    3 for deletion vectors; never downgrades)."""
     d = _meta_dir(table)
     man_path = str(d / f"manifest-del-{uuid.uuid4().hex[:12]}.avro")
     Path(man_path).write_bytes(write_ocf(entries, _MANIFEST_SCHEMA))
@@ -1407,8 +1593,8 @@ def _commit_delete_snapshot(
     mlist_path = str(d / f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     Path(mlist_path).write_bytes(write_ocf(manifests, _MANIFEST_LIST_SCHEMA))
 
-    # --- new metadata: v2 (row-level deletes are a v2 feature) ---
-    meta["format-version"] = 2
+    # --- new metadata: row-level deletes are a v2 feature, DVs v3 ---
+    meta["format-version"] = max(int(meta.get("format-version", 1)), fv)
     meta["last-sequence-number"] = seq
     meta["snapshots"] = meta.get("snapshots", []) + [
         {
@@ -1568,19 +1754,44 @@ def iceberg_changes(
         plan = _plan_snapshot(table, meta, ids[idx])
         return {p: (s, i) for p, s, i in plan["data"]}
 
-    def deletes(idx: int) -> tuple[set, dict]:
+    def deletes(idx: int) -> tuple[set, dict, dict]:
         if idx < 0:
-            return set(), {}
+            return set(), {}, {}
         plan = _plan_snapshot(table, meta, ids[idx])
-        return set(plan["pos"]), {p: (k, s) for p, k, s in plan["eq"]}
+        return (
+            set(plan["pos"]),
+            {p: (k, s) for p, k, s in plan["eq"]},
+            plan["dv"],
+        )
+
+    def _deleted_positions(pos_files: set, dv: dict, ref: str) -> set:
+        """Every position of data file ``ref`` deleted by the given
+        position-delete files + DV map (driver-side; delete metadata is
+        KBs)."""
+        from .puffin import read_dv_from_puffin
+
+        out: set[int] = set()
+        if ref in dv:
+            pf, off, size, _seq = dv[ref]
+            out.update(int(i) for i in read_dv_from_puffin(pf, off, size))
+        for f in pos_files:
+            import pyarrow.parquet as papq
+
+            t = papq.read_table(f, columns=["file_path", "pos"])
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+            ):
+                if _resolve(table, fp) == ref:
+                    out.add(int(pos))
+        return out
 
     frames = []
     prev_files = data_files(lo)
-    prev_pos, prev_eq = deletes(lo)
+    prev_pos, prev_eq, prev_dv = deletes(lo)
     names = _field_names_by_id(meta)
     for idx in range(lo + 1, hi + 1):
         cur_files = data_files(idx)
-        cur_pos, cur_eq = deletes(idx)
+        cur_pos, cur_eq, cur_dv = deletes(idx)
         sid = ids[idx]
         added = sorted(set(cur_files) - set(prev_files))
         dropped = sorted(set(prev_files) - set(cur_files))
@@ -1669,7 +1880,33 @@ def iceberg_changes(
                         .drop("__p", "__i")
                     )
                     frames.append(_tag(hit, "delete"))
-        prev_files, prev_pos, prev_eq = cur_files, cur_pos, cur_eq
+        # v3 deletion vectors: a new/replaced DV for a still-live data
+        # file deletes exactly the positions NEWLY marked (the bitmap
+        # minus everything already deleted at the previous snapshot --
+        # the same set-difference rule as the Delta CDF twin)
+        changed_dv = [
+            ref
+            for ref, ident in cur_dv.items()
+            if ref in cur_files and prev_dv.get(ref, (None,))[:2] != ident[:2]
+        ]
+        for ref in sorted(changed_dv):
+            newly = sorted(
+                _deleted_positions(cur_pos, cur_dv, ref)
+                - _deleted_positions(prev_pos, prev_dv, ref)
+            )
+            if not newly:
+                continue
+            raw = spark.read.parquet(ref).withColumn(
+                "__i", F.col("_metadata.row_index")
+            )
+            pos_df = spark.createDataFrame([(int(i),) for i in newly], "__di long")
+            hit = raw.join(
+                F.broadcast(pos_df), raw["__i"] == pos_df["__di"], "left_semi"
+            ).drop("__i")
+            frames.append(_tag(hit, "delete"))
+        prev_files, prev_pos, prev_eq, prev_dv = (
+            cur_files, cur_pos, cur_eq, cur_dv,
+        )
     if not frames:
         base = spark.createDataFrame([], _schema_from_iceberg(meta))
         return base.select(

@@ -71,16 +71,17 @@ def test_iceberg_gates(spark, tmp_path):
     v = int(open(hint).read())
     mpath = os.path.join(meta_dir, f"v{v}.metadata.json")
     meta = json.load(open(mpath))
-    # future format version -> precise gate
-    meta_bad = dict(meta, **{"format-version": 3})
+    # future format version -> precise gate (v3 DVs supported since r6,
+    # so the gate now sits at >3)
+    meta_bad = dict(meta, **{"format-version": 4})
     with open(os.path.join(meta_dir, f"v{v+1}.metadata.json"), "w") as fh:
         json.dump(meta_bad, fh)
     open(hint, "w").write(str(v + 1))
-    with pytest.raises(ValueError, match="format-version 3"):
+    with pytest.raises(ValueError, match="format-version 4"):
         iceberg_scan(spark, t)
     # appending to a gated table must surface the gate, NOT silently
     # re-initialize the table over the newer metadata
-    with pytest.raises(ValueError, match="format-version 3"):
+    with pytest.raises(ValueError, match="format-version 4"):
         iceberg_write(_mk(spark, [(2, "b", 2.0)]), t)
     open(hint, "w").write(str(v))
     os.remove(os.path.join(meta_dir, f"v{v+1}.metadata.json"))
