@@ -85,3 +85,107 @@ def table_iceberg_v3_dv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
         F.max("s_suppkey").alias("max_key"),
     )
+
+
+def _uniform_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) a Delta table of supplier
+    (two appends) converted UniForm-style: Iceberg metadata written next
+    to the Delta log, referencing the SAME parquet files. The conversion
+    runs after the first commit AND again after the second, so the layout
+    exercises the incremental re-sync, not just first contact."""
+    from ..sources.convert import iceberg_from_delta
+    from ..sources.delta_log import delta_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:uniform".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_uniform_{digest}")
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            delta_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp, mode="append")
+            iceberg_from_delta(tmp)
+            delta_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp, mode="append")
+            iceberg_from_delta(tmp)
+    return path
+
+
+@declare(
+    "table_uniform_iceberg_read",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def table_uniform_iceberg_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta UniForm read path (sources/convert.py): the table was
+    written as DELTA commits, then Iceberg metadata was generated
+    metadata-only against the same parquet files -- and this query reads
+    it through the ICEBERG client. A hash match against the original
+    supplier parquet proves the converted metadata references exactly the
+    live Delta file set (the re-sync after the second commit included).
+    No data file was copied: the conversion is KBs of JSON/Avro, the
+    property that makes UniForm viable at 100 TB."""
+    from ..sources.iceberg import iceberg_scan
+
+    path = _uniform_layout(spark, sf_dir)
+    s = iceberg_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+
+
+def _convert_to_delta_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) an Iceberg table of
+    supplier (two append snapshots) converted to Delta (``CONVERT TO
+    DELTA``): a version-0 Delta commit referencing the same parquet
+    files, with footer-derived per-file stats."""
+    from ..sources.convert import delta_from_iceberg
+    from ..sources.iceberg import iceberg_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:conv2delta".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_conv2delta_{digest}")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp)
+            iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp)
+            delta_from_iceberg(tmp)
+    return path
+
+
+@declare(
+    "table_convert_to_delta",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def table_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CONVERT TO DELTA`` read path (sources/convert.py): the table was
+    written as ICEBERG snapshots, a metadata-only Delta log was generated
+    over the same parquet files, and this query reads it through the
+    DELTA client. The oracle over the original supplier parquet proves
+    the converted log references exactly the Iceberg snapshot's live
+    file set."""
+    from ..sources.delta_log import delta_scan
+
+    path = _convert_to_delta_layout(spark, sf_dir)
+    s = delta_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )

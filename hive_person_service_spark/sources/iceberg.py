@@ -155,6 +155,14 @@ def _resolve(table: str, location: str) -> str:
     for marker in ("/metadata/", "/data/"):
         if marker in p:
             return os.path.join(table, marker.strip("/"), p.split(marker, 1)[1])
+    # no marker (e.g. UniForm-converted Delta layouts keep Delta's own
+    # directory shape): re-root at the LONGEST path suffix that exists
+    # under the table dir, falling back to the bare basename
+    parts = p.strip("/").split("/")
+    for k in range(len(parts) - 1, 0, -1):
+        cand = os.path.join(table, *parts[-k:])
+        if os.path.exists(cand):
+            return cand
     return os.path.join(table, os.path.basename(p))
 
 
