@@ -189,3 +189,108 @@ def table_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
     )
+
+
+def _delta_v2ckpt_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) a Delta table of supplier
+    whose snapshot must be reconstructed THROUGH a V2 (UUID-named)
+    checkpoint: three commits, a V2 checkpoint (manifest + two sidecars),
+    then one more commit replaying on top."""
+    from ..sources.delta_log import delta_write, write_checkpoint_v2
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:deltav2ckpt".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_v2ckpt_{digest}")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            for k in range(3):
+                delta_write(sup.where(F.col("s_suppkey") % 4 == k), tmp,
+                            mode="append")
+            write_checkpoint_v2(tmp, n_sidecars=2)
+            delta_write(sup.where(F.col("s_suppkey") % 4 == 3), tmp,
+                        mode="append")
+    return path
+
+
+@declare(
+    "table_delta_v2_checkpoint_scan",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def table_delta_v2_checkpoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta V2-checkpoint read path (the modern UUID-named layout:
+    ``<v>.checkpoint.<uuid>.parquet`` manifest + add actions in
+    ``_delta_log/_sidecars/`` parts): the scan reconstructs the snapshot
+    from the manifest's sidecar pointers, then replays the one JSON
+    commit issued AFTER the checkpoint. The oracle over the full original
+    supplier table proves no file was lost or duplicated across the
+    sidecar split and the post-checkpoint replay."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_v2ckpt_layout(spark, sf_dir)
+    s = delta_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+
+
+def _delta_clone_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) a SHALLOW CLONE of the
+    shared supplier Delta layout (pipeline44's ``_delta_layout`` -- the
+    clone must reference the source at its FINAL path, since absolute
+    add paths are the clone mechanism), then DV-delete the negative
+    balances IN THE CLONE ONLY: the bitmaps land in the clone dir while
+    the data files stay shared with (and untouched in) the source."""
+    from ..sources.delta_log import delta_clone, delta_delete
+    from .pipeline44 import _delta_layout
+
+    srcdir = _delta_layout(spark, sf_dir)
+    st = os.stat(os.path.join(sf_dir, "supplier.parquet"))
+    digest = hashlib.sha1(
+        f"{srcdir}:{st.st_mtime_ns}:{st.st_size}:deltaclone".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_clone_{digest}")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        with _atomic_layout(path) as tmp:
+            delta_clone(srcdir, tmp)
+            delta_delete(spark, tmp, "s_acctbal < 0")
+    return path
+
+
+@declare(
+    "table_delta_shallow_clone",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier
+    WHERE NOT (s_acctbal < 0)
+    GROUP BY s_nationkey
+    """,
+)
+def table_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE read path: the clone's log references the source's
+    data files by absolute path (zero bytes copied), and the
+    negative-balance DELETE committed to the CLONE wrote deletion vectors
+    in the clone dir against the shared files. The oracle filtering the
+    original supplier parquet proves the clone sees exactly the source
+    rows minus its own deletes -- while tests pin that the source table
+    itself still serves every row (copy-on-write isolation)."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_clone_layout(spark, sf_dir)
+    s = delta_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )

@@ -29,11 +29,16 @@ projection rename from the schemaString field metadata, id mode by
 resolving ``delta.columnMapping.id`` against the ``PARQUET:field_id``
 footer metadata of the live files (authoritative over physical names,
 per the protocol), with physicalName fallback for untagged fields.
-Classic multi-part checkpoints read by unioning the parts. Remaining
-reader-version gates (v2 checkpoints, unknown features, per-file
-divergent physical names) raise a precise ValueError
-naming the feature -- the honest-gate pattern (same as the JPEG codec's
-arithmetic-coding gate).
+Classic multi-part checkpoints read by unioning the parts; V2
+(UUID-named) checkpoints are SUPPORTED both ways (round 6):
+``write_checkpoint_v2`` emits the manifest + ``_sidecars/`` layout and
+``_read_checkpoint_v2`` reconstructs from it (sidecar add/remove parts
+plus inline actions). ``delta_clone`` is the metadata-only SHALLOW
+CLONE (absolute-path adds into a fresh log; clone-local DVs keep later
+deletes isolated from the source). Remaining reader-version gates
+(JSON-manifest v2 checkpoints, unknown features, per-file divergent
+physical names) raise a precise ValueError naming the feature -- the
+honest-gate pattern (same as the JPEG codec's arithmetic-coding gate).
 
 Scale shape: the log replay is driver-side (a few KB of JSON per commit;
 checkpoints bound replay length -- this is exactly how delta-spark's
@@ -94,16 +99,19 @@ def _read_checkpoint(
         # parts IS the snapshot (order irrelevant: one action per row)
         parts = sorted(_log_dir(table).glob(f"{v:020d}.checkpoint.*.parquet"))
         if not parts:
+            if list(_log_dir(table).glob(f"{v:020d}.checkpoint.*.json")):
+                raise ValueError(
+                    f"Delta V2 checkpoint at version {v} uses the JSON "
+                    "manifest form (unsupported: parquet manifests only)"
+                )
             return -1, {}, {}, {}, {}  # dangling _last_checkpoint: replay JSON
         try:
             n_expected = int(parts[0].name.split(".")[-2])
         except ValueError:
             # UUID-named V2 checkpoint (<v>.checkpoint.<uuid>.parquet):
-            # keep the precise honest-gate error, not a raw int() crash
-            raise ValueError(
-                f"Delta V2 (UUID-named) checkpoint at version {v} "
-                "unsupported by this minimal client"
-            ) from None
+            # the manifest's sidecar actions point at the add/remove
+            # parquet parts under _delta_log/_sidecars/
+            return _read_checkpoint_v2(table, v, parts)
         if len(parts) != n_expected:
             raise ValueError(
                 f"multi-part Delta checkpoint at version {v} incomplete: "
@@ -131,6 +139,59 @@ def _read_checkpoint(
         if row.get("txn") and row["txn"].get("appId") is not None:
             t = row["txn"]
             txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+    return v, files, meta, proto, txns
+
+
+def _read_checkpoint_v2(
+    table: str, v: int, manifests: list[Path]
+) -> tuple[int, dict[str, dict], dict, dict, dict[str, int]]:
+    """V2 (UUID-named) checkpoint read: the manifest's rows hold the
+    checkpointMetadata action, ``sidecar`` pointers to add/remove parquet
+    parts under ``_delta_log/_sidecars/``, and the non-file actions; file
+    actions may also appear inline (both placements are spec-legal).
+    Multiple UUID manifests for one version are equivalent snapshots --
+    any one serves."""
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(str(manifests[-1])).to_pylist()
+    cm = next(
+        (r["checkpointMetadata"] for r in rows if r.get("checkpointMetadata")),
+        None,
+    )
+    if cm is not None and int(cm["version"]) != v:
+        raise ValueError(
+            f"V2 checkpoint manifest at version {v} carries "
+            f"checkpointMetadata.version={cm['version']}"
+        )
+    side_dir = _log_dir(table) / "_sidecars"
+    for r in list(rows):
+        if r.get("sidecar"):
+            side = side_dir / r["sidecar"]["path"]
+            if not side.exists():
+                raise ValueError(f"V2 checkpoint sidecar missing: {side}")
+            rows.extend(pq.read_table(str(side)).to_pylist())
+    files: dict[str, dict] = {}
+    removes: set[str] = set()
+    meta: dict = {}
+    proto: dict = {}
+    txns: dict[str, int] = {}
+    for row in rows:
+        if row.get("add"):
+            a = dict(row["add"])
+            if isinstance(a.get("partitionValues"), list):
+                a["partitionValues"] = dict(a["partitionValues"])
+            files[a["path"]] = a
+        if row.get("remove"):
+            removes.add(row["remove"]["path"])
+        if row.get("metaData"):
+            meta = row["metaData"]
+        if row.get("protocol"):
+            proto = row["protocol"]
+        if row.get("txn") and row["txn"].get("appId") is not None:
+            t = row["txn"]
+            txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t["version"]))
+    for p in removes:  # remove tombstones never count as live
+        files.pop(p, None)
     return v, files, meta, proto, txns
 
 
@@ -432,7 +493,14 @@ def delta_scan(
             )
         )
     else:
-        df = spark.read.option("basePath", table).parquet(*paths)
+        root = os.path.abspath(table) + os.sep
+        if all(os.path.abspath(p).startswith(root) for p in paths):
+            df = spark.read.option("basePath", table).parquet(*paths)
+        else:
+            # absolute external paths (shallow clones): basePath must be
+            # a prefix of every file, so read without it -- clones are
+            # unpartitioned by gate, no hive discovery is needed
+            df = spark.read.parquet(*paths)
     dv_adds = {p: a["deletionVector"] for p, a in files.items()
                if a.get("deletionVector")}
     if dv_adds:
@@ -879,17 +947,17 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
         tmp.unlink(missing_ok=True)
 
 
-def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
-    if interval <= 0 or version == 0 or version % interval:
-        return
+def _checkpoint_schema_and_rows(table: str, version: int):
+    """Shared core of the classic and V2 checkpoint writers: the Arrow
+    action schema and the snapshot's checkpoint rows (adds first, then
+    the metaData/protocol row, then txn rows). Returns (schema, add_rows,
+    other_rows), or None when the snapshot holds deletion vectors (the
+    minimal checkpoint schema doesn't carry deletionVector structs;
+    emitting one would silently RESURRECT deleted rows)."""
     files, meta, proto, _ = _snapshot(table, version)
     if any(a.get("deletionVector") for a in files.values()):
-        # The minimal checkpoint schema doesn't carry deletionVector
-        # structs; emitting one would silently RESURRECT deleted rows.
-        # Skip -- checkpoints are an optimization, JSON replay stays exact.
-        return
+        return None
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     # explicit Arrow schema: pylist inference chokes on the protocol's
     # map<string,string> fields when they are empty dicts
@@ -953,11 +1021,11 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
             "stats": a.get("stats"),
         }
 
-    rows = [
+    add_rows = [
         {"add": add_row(a), "metaData": None, "protocol": None, "txn": None}
         for a in files.values()
     ]
-    rows.append(
+    rows = [
         {
             "add": None,
             "metaData": {
@@ -972,7 +1040,7 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
             },
             "txn": None,
         }
-    )
+    ]
     # carry the idempotent-transaction state: retention may delete the
     # pre-checkpoint JSON commits that held the txn actions, and a
     # checkpoint that dropped them would break streaming exactly-once
@@ -995,6 +1063,22 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
             {"add": None, "metaData": None, "protocol": None,
              "txn": {"appId": app, "version": ver}}
         )
+    return schema, add_rows, rows
+
+
+def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
+    if interval <= 0 or version == 0 or version % interval:
+        return
+    built = _checkpoint_schema_and_rows(table, version)
+    if built is None:
+        # live deletion vectors: skip -- checkpoints are an optimization,
+        # JSON replay stays exact
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema, add_rows, other_rows = built
+    rows = add_rows + other_rows
     pq.write_table(
         pa.Table.from_pylist(rows, schema=schema),
         str(_log_dir(table) / f"{version:020d}.checkpoint.parquet"),
@@ -1002,6 +1086,70 @@ def _maybe_checkpoint(table: str, version: int, interval: int) -> None:
     (_log_dir(table) / "_last_checkpoint").write_text(
         json.dumps({"version": version, "size": len(rows)})
     )
+
+
+def write_checkpoint_v2(table: str, n_sidecars: int = 2) -> dict:
+    """Write a V2 (UUID-named) checkpoint for the CURRENT version -- the
+    modern Delta checkpoint layout (PROTOCOL.md "V2 Checkpoints"): add
+    actions move into sidecar parquet files under ``_delta_log/_sidecars/``
+    and the top-level ``<v>.checkpoint.<uuid>.parquet`` manifest holds the
+    checkpointMetadata action, one sidecar action per part, and the
+    non-file actions (metaData/protocol/txn). At 100 TB this is the layout
+    that matters: sidecars parallelize snapshot reconstruction and
+    incremental checkpoints rewrite only changed parts; this writer's
+    single-node twin keeps the same on-disk contract. Returns
+    {version, manifest, sidecars}."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    version = _list_versions(table)[-1]
+    built = _checkpoint_schema_and_rows(table, version)
+    if built is None:
+        raise ValueError(
+            "cannot checkpoint a snapshot with live deletion vectors "
+            "(the minimal checkpoint schema would resurrect deleted rows)"
+        )
+    schema, add_rows, other_rows = built
+    side_dir = _log_dir(table) / "_sidecars"
+    side_dir.mkdir(exist_ok=True)
+    n = max(1, min(int(n_sidecars), max(1, len(add_rows))))
+    sidecars: list[dict] = []
+    for i in range(n):
+        part = add_rows[i::n]
+        name = f"{uuid.uuid4().hex}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(part, schema=schema), str(side_dir / name)
+        )
+        sidecars.append(
+            {"path": name, "sizeInBytes": os.path.getsize(side_dir / name)}
+        )
+    manifest_schema = pa.schema(
+        list(schema)
+        + [
+            pa.field(
+                "checkpointMetadata", pa.struct([("version", pa.int64())])
+            ),
+            pa.field(
+                "sidecar",
+                pa.struct([("path", pa.string()), ("sizeInBytes", pa.int64())]),
+            ),
+        ]
+    )
+    blank = {"add": None, "metaData": None, "protocol": None, "txn": None,
+             "checkpointMetadata": None, "sidecar": None}
+    rows = [dict(blank, checkpointMetadata={"version": version})]
+    rows += [dict(blank, sidecar=s) for s in sidecars]
+    rows += [dict(blank, **r) for r in other_rows]
+    name = f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=manifest_schema),
+        str(_log_dir(table) / name),
+    )
+    (_log_dir(table) / "_last_checkpoint").write_text(
+        json.dumps({"version": version, "size": len(rows) + len(add_rows)})
+    )
+    return {"version": version, "manifest": name,
+            "sidecars": [s["path"] for s in sidecars]}
 
 
 def delta_txn_version(table: str, app_id: str) -> int:
@@ -1242,9 +1390,14 @@ def _raw_tagged(spark: SparkSession, table: str, files: dict, meta: dict):
             )
         )
         return df
-    df = spark.read.option("basePath", table).parquet(
-        *[os.path.join(table, p) for p in paths]
-    )
+    full_paths = [os.path.join(table, p) for p in paths]
+    root = os.path.abspath(table) + os.sep
+    if all(os.path.abspath(p).startswith(root) for p in full_paths):
+        df = spark.read.option("basePath", table).parquet(*full_paths)
+    else:
+        # absolute external paths (shallow clones): basePath must prefix
+        # every file; clones are unpartitioned by gate
+        df = spark.read.parquet(*full_paths)
     # the predicate speaks LOGICAL names: on a column-mapped table the
     # raw scan yields physical names, so project the logical view first
     pm = _cm_phys_map(meta)
@@ -1531,3 +1684,54 @@ def delta_vacuum(spark: SparkSession, table: str, retain_ms: int = 0) -> list[st
             os.remove(full)
             deleted.append(rel)
     return deleted
+
+
+def delta_clone(src: str, dst: str) -> int:
+    """SHALLOW CLONE: create a new Delta table at ``dst`` whose version-0
+    commit references the SOURCE table's data files by ABSOLUTE path (the
+    spec allows absolute add paths; clones are the canonical producer).
+    Metadata-only -- no data bytes copy, which is what makes CLONE viable
+    on 100 TB tables -- and isolated: later DELETE/UPDATE/MERGE commits
+    land in the clone's own log (deletion vectors write into the clone
+    dir referencing the shared source files), never touching the source.
+
+    Gates, each precise: an existing ``dst`` log; source deletion vectors
+    (their descriptors resolve relative to the SOURCE root -- folding
+    them across roots is rewrite territory); hive-partitioned sources
+    (partition columns are not physical in the shared files, and
+    basePath-style discovery cannot span roots); column mapping."""
+    if (Path(dst) / "_delta_log").exists():
+        raise ValueError(f"_delta_log already exists at {dst}")
+    files, meta, proto, src_v = _snapshot(src)
+    if any(a.get("deletionVector") for a in files.values()):
+        raise ValueError(
+            "shallow clone of a source with live deletion vectors is "
+            "unsupported (DV descriptors resolve relative to the source "
+            "root); run delta_optimize on the source first"
+        )
+    if meta.get("partitionColumns"):
+        raise ValueError(
+            "shallow clone of hive-partitioned sources is unsupported "
+            "(partition columns are not physical in the shared files)"
+        )
+    if _cm_phys_map(meta):
+        raise ValueError("shallow clone of column-mapped sources is unsupported")
+    actions: list[dict] = [
+        {"protocol": {"minReaderVersion": proto.get("minReaderVersion", 1),
+                      "minWriterVersion": proto.get("minWriterVersion", 2)}},
+        {
+            "metaData": {
+                **meta,
+                "id": uuid.uuid4().hex,
+                "configuration": {
+                    **(meta.get("configuration") or {}),
+                    "clonedFrom": src,
+                    "clonedAtVersion": str(src_v),
+                },
+            }
+        },
+    ]
+    for rel, add in sorted(files.items()):
+        actions.append({"add": {**add, "path": os.path.abspath(os.path.join(src, rel))}})
+    _commit(dst, 0, actions)
+    return 0
