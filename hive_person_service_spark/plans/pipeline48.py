@@ -294,3 +294,70 @@ def table_delta_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
     )
+
+
+_TWS_SESSIONS_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+FROM (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS session_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     <= INTERVAL 30 MINUTE
+                THEN 0 ELSE 1 END AS new_sess
+    FROM events))
+GROUP BY user_id, session_id
+"""
+
+
+@declare("stream_tws_sessions", oracle=_TWS_SESSIONS_ORACLE)
+def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30 min) as ARBITRARY STATEFUL streaming on
+    transformWithStateInPandas: the per-user event-time buffer lives in a
+    typed ListState on RocksDB, the session list is recomputed from the
+    full buffer each update (exact under any micro-batch split AND
+    out-of-order arrival -- a late early event that merges two sessions
+    is handled, where incremental merge logic breaks), and every update
+    emits the user's current session list stamped with its strictly
+    increasing buffered-event count. Keeping each user's max-count
+    emission relationally selects the FINAL session list, which must
+    equal the batch window-function sessionization -- the same oracle as
+    events_sessionize minus the session ordinal. This is the §2.I
+    capstone: ListState + real micro-batch replay + the vendored
+    protobuf side channel, oracle-checked."""
+    from ..session import configure
+    from ..streaming.jobs import read_events_stream, run_to_memory_sink
+    from ..streaming.stateful_v2 import rocksdb_state_provider, sessionize_v2
+
+    configure(spark)  # arms the protobuf shim for this session's workers
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("tsu")
+    )
+    with rocksdb_state_provider(spark):
+        out = run_to_memory_sink(
+            sessionize_v2(events), spark, output_mode="update"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    final = (
+        out.withColumn("__mx", F.max("n_total").over(w))
+        .where(F.col("n_total") == F.col("__mx"))
+        .drop("__mx")
+        .distinct()
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        F.date_format(
+            F.timestamp_micros("start_us"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("session_start"),
+        F.date_format(
+            F.timestamp_micros("end_us"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("session_end"),
+    )

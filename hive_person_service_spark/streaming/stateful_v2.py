@@ -353,3 +353,89 @@ def seeded_totals_v2(events: DataFrame, initial: DataFrame) -> DataFrame:
             initialState=initial.groupBy("user_id"),
         )
     )
+
+
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_total", LongType()),
+    ]
+)
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+class SessionizeProcessor(StatefulProcessor):
+    """Exact 30-minute-gap sessionization under ARBITRARY batch splits
+    and out-of-order arrival: the per-user event-time buffer lives in a
+    typed ListState and the session list is recomputed from the full
+    buffer on every update, so a late early event that MERGES two
+    sessions is handled exactly (incremental designs get this wrong).
+    Each update emits the user's complete current session list stamped
+    with n_total (buffered event count, strictly increasing) -- the
+    consumer keeps each user's max-n_total emission, which IS the final
+    session list. The production variant evicts buffer entries below the
+    watermark once their session is final; kept unbounded here because
+    the declared query drains a bounded replay."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._buf = handle.getListState(
+            "tsbuf", StructType([StructField("tsu", LongType())])
+        )
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        new = [
+            int(v)
+            for pdf in rows
+            for v in pdf["tsu"].tolist()
+        ]
+        if new:
+            self._buf.appendList([(v,) for v in new])
+        ts = sorted(int(r[0]) for r in self._buf.get())
+        if not ts:
+            return
+        starts, ends, counts = [], [], []
+        s = ts[0]
+        prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > _SESSION_GAP_US:
+                starts.append(s)
+                ends.append(prev)
+                counts.append(n)
+                s, n = t, 1
+            else:
+                n += 1
+            prev = t
+        starts.append(s)
+        ends.append(prev)
+        counts.append(n)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(starts),
+                "start_us": starts,
+                "end_us": ends,
+                "n_events": counts,
+                "n_total": [len(ts)] * len(starts),
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_v2(events: DataFrame) -> DataFrame:
+    """Gap sessionization on transformWithStateInPandas; input must carry
+    ``user_id`` and ``tsu`` (event time in epoch microseconds)."""
+    return (
+        events.select("user_id", "tsu")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionizeProcessor(), _SESS_OUT, "update", "none"
+        )
+    )

@@ -332,3 +332,61 @@ def test_event_time_timers_fire_when_watermark_passes(spark):
     assert early_keys, "median split produced no early keys"
     missing = early_keys - fired
     assert not missing, f"event-time timers never fired for {sorted(missing)[:5]}"
+
+
+def test_sessionize_out_of_order_merge(spark):
+    """SessionizeProcessor: an early event arriving in a LATER micro-batch
+    must merge two sessions that looked separate after batch 1 -- the
+    full-buffer recompute handles what incremental merge logic breaks.
+    Timeline (minutes): batch 1 delivers t=0 and t=50 (gap 50 > 30 ->
+    two sessions); batch 2 delivers t=25 (bridges: max gap 25 <= 30 ->
+    ONE session of 3 events)."""
+    import os
+    import tempfile
+
+    from hive_person_service_spark.streaming.stateful_v2 import sessionize_v2
+
+    minute = 60 * 1_000_000
+    src = tempfile.mkdtemp(prefix="tws_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="tws_sess_ckpt_")
+    out_dir = tempfile.mkdtemp(prefix="tws_sess_out_")
+
+    def run(batch_rows):
+        df = spark.createDataFrame(batch_rows, "user_id long, tsu long")
+        df.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, tsu long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with rocksdb_state_provider(spark):
+            q = (
+                sessionize_v2(stream)
+                .writeStream.outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda bdf, bid: bdf.write.mode("append").parquet(out_dir)
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(180), "stream did not drain in 180s"
+
+    run([(1, 0 * minute), (1, 50 * minute)])
+    run([(1, 25 * minute)])
+    res = spark.read.parquet(out_dir)
+    final = res.where(
+        F.col("n_total")
+        == res.agg(F.max("n_total")).collect()[0][0]
+    ).collect()
+    assert len(final) == 1
+    r = final[0]
+    assert (r.start_us, r.end_us, r.n_events, r.n_total) == (
+        0, 50 * minute, 3, 3,
+    )
+    # and the batch-1 emission really did see two sessions (the merge
+    # was observable, not vacuous)
+    first = res.where(F.col("n_total") == 2).collect()
+    assert sorted((x.start_us, x.end_us, x.n_events) for x in first) == [
+        (0, 0, 1), (50 * minute, 50 * minute, 1),
+    ]
