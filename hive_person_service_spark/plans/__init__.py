@@ -84,7 +84,8 @@ from . import pipeline44  # noqa: F401,E402  (Avro OCF round-trip, JDBC federati
 from . import pipeline45  # noqa: F401,E402  (BFS shortest path, k-anonymity, DP release, co-occurrence reco, rolling median, JW entity resolution)
 from . import pipeline46  # noqa: F401,E402  (exactly-once Delta streaming ingest; Iceberg partitioned scan + manifest pruning, stats skipping both formats, Delta MERGE, schema evolution, timestamp travel)
 from . import pipeline47  # noqa: F401,E402  (transformWithStateInPandas executed end-to-end: ValueState + MapState on RocksDB through the vendored protobuf wire shim)
-from . import pipeline48  # noqa: F401,E402  (Iceberg v3 deletion vectors in Puffin files)
+from . import pipeline48  # noqa: F401,E402  (Iceberg v3 deletion vectors in Puffin files; UniForm + CONVERT TO DELTA; Delta V2 checkpoints + shallow clone; tws sessionization)
+from . import pipeline49  # noqa: F401,E402  (temperature-scaled mixture allocation)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
