@@ -27,8 +27,13 @@ J.1.1.2 note) is 2x decimation: level k+1 = level k's even rows/columns,
 dims ceil(d/2) — deterministic, so identical inputs yield identical
 archives.
 
-Remaining hierarchical gates (precise ValueErrors): differential DCT
-frames (SOF5/SOF6) and differential arithmetic frames (SOF13-15).
+Round 6 closes the last frame-type gates: differential DCT frames
+(SOF5/SOF6 Huffman, SOF13/SOF14 arithmetic — lossy mid-pyramid
+refinements, reference clamped to sample range, with a final lossless
+correction stage keeping full-stream decode bit-exact) and differential
+lossless arithmetic frames (SOF15) live in jpeg_diff.py and are selected
+by ``encode_jpeg_hier_gray(diff_kind=...)``. Every T.81 frame family the
+spec defines (SOF0-3, 5-7, 9-11, 13-15) now encodes AND decodes in-repo.
 
 Like every codec here this runs as a per-blob function inside
 Arrow-batched pandas UDFs on executors, never in a relational hot path.
@@ -128,18 +133,36 @@ def _sof7_frame(diff: np.ndarray) -> bytes:
 
 def encode_jpeg_hier_gray(
     px: np.ndarray, levels: int = 2, base: str = "lossless",
-    quality: int = 90,
+    quality: int = 90, diff_kind: str = "lossless",
 ) -> bytes:
     """Encode an (h, w) uint8 array as a hierarchical (DHP) stream:
     ``levels-1`` decimations, an initial non-differential frame at the
     smallest level (``base='lossless'`` -> SOF3, ``base='dct'`` -> SOF0
-    baseline at ``quality``), then one EXP + SOF7 differential frame per
-    level back up. The last differential stage corrects to the ORIGINAL
-    samples, so decode is bit-exact for both bases."""
+    baseline at ``quality``), then one EXP + differential frame per level
+    back up. ``diff_kind`` selects the differential coding process:
+
+      * ``'lossless'`` — SOF7 (Huffman, exact per stage; the default)
+      * ``'lossless_arith'`` — SOF15 (QM coder, exact per stage)
+      * ``'dct'`` / ``'dct_prog'`` — SOF5 / SOF6 (Huffman DCT, lossy
+        mid-pyramid refinements) with a FINAL SOF7 correction stage
+      * ``'arith'`` / ``'arith_prog'`` — SOF13 / SOF14 (arithmetic DCT)
+        with a final SOF15 correction stage
+
+    Every configuration decodes bit-exact to the ORIGINAL samples: the
+    lossless kinds are exact at each stage, and the DCT kinds end in a
+    same-resolution lossless differential stage (the Annex J final-
+    refinement arrangement)."""
+    from .jpeg_diff import encode_diff_frame
+
     if levels < 2:
         raise ValueError("hierarchical stream needs >= 2 levels")
     if base not in ("lossless", "dct"):
         raise ValueError(f"unknown base frame kind {base!r}")
+    if diff_kind not in (
+        "lossless", "lossless_arith", "dct", "dct_prog", "arith",
+        "arith_prog",
+    ):
+        raise ValueError(f"unknown differential frame kind {diff_kind!r}")
     h, w = px.shape
     pyramid = [px]
     for _ in range(levels - 1):
@@ -173,9 +196,29 @@ def encode_jpeg_hier_gray(
         if ref.shape != (th, tw):
             raise ValueError(
                 f"pyramid dims drifted: ref {ref.shape} vs {(th, tw)}")
-        diff = (target - ref) & 0xFFFF
-        out += _sof7_frame(diff)
-        ref = (ref + ((diff + 0x8000) & 0xFFFF) - 0x8000) & 0xFFFF
+        if diff_kind == "lossless":
+            diff = (target - ref) & 0xFFFF
+            out += _sof7_frame(diff)
+            ref = (ref + ((diff + 0x8000) & 0xFFFF) - 0x8000) & 0xFFFF
+        elif diff_kind == "lossless_arith":
+            frame, recon = encode_diff_frame(target - ref, "lossless_arith")
+            out += frame
+            ref = (ref + recon) & 0xFFFF
+        else:
+            # lossy DCT refinement: the decoder clamps the running
+            # reference to sample range, so the encoder mirrors that
+            frame, recon = encode_diff_frame(
+                target - ref, diff_kind, quality=quality
+            )
+            out += frame
+            ref = np.clip(ref + recon, 0, 255)
+    if diff_kind in ("dct", "dct_prog"):
+        out += _sof7_frame((px.astype(np.int64) - ref) & 0xFFFF)
+    elif diff_kind in ("arith", "arith_prog"):
+        frame, _recon = encode_diff_frame(
+            px.astype(np.int64) - ref, "lossless_arith"
+        )
+        out += frame
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -271,16 +314,37 @@ def decode_jpeg_hier_gray(raw: bytes) -> np.ndarray:
             if ref is None:
                 raise ValueError("differential frame before initial frame")
             in_sof7 = True
-        elif marker in (0xFFC5, 0xFFC6):
-            raise ValueError(
-                "differential DCT hierarchical frames (SOF5/SOF6) "
-                "unsupported (SOF3/SOF0 initial + SOF7 refinements are)"
-            )
-        elif marker in (0xFFCD, 0xFFCE, 0xFFCF):
-            raise ValueError(
-                "differential ARITHMETIC hierarchical frames (SOF13-15) "
-                "unsupported (SOF3/SOF0 initial + SOF7 refinements are)"
-            )
+        elif marker in (0xFFC5, 0xFFC6, 0xFFCD, 0xFFCE, 0xFFCF):
+            # differential DCT (SOF5/6 Huffman, SOF13/14 arithmetic) and
+            # differential lossless arithmetic (SOF15): slice the self-
+            # contained frame and fold its reconstructed diff in
+            from .jpeg_diff import decode_diff_frame, diff_frame_end
+
+            if ref is None:
+                raise ValueError("differential frame before initial frame")
+            start = frame_start if frame_start >= 0 else pos
+            end = diff_frame_end(raw, start)
+            diff = decode_diff_frame(raw[start:end])
+            if pending_exp is not None:
+                eh, ev = pending_exp
+                ref = _up2(
+                    ref,
+                    diff.shape[0] if ev else ref.shape[0],
+                    diff.shape[1] if eh else ref.shape[1],
+                )
+                pending_exp = None
+            if ref.shape != diff.shape:
+                raise ValueError(
+                    f"differential frame dims {diff.shape} do not match "
+                    f"reference {ref.shape} (missing EXP?)"
+                )
+            if marker == 0xFFCF:  # lossless: modulo-2^16 exact fold
+                ref = (ref + diff) & 0xFFFF
+            else:  # lossy DCT refinement: clamp to sample range
+                ref = np.clip(ref + diff, 0, 255)
+            frame_start = -1
+            pos = end
+            continue
         elif marker == 0xFFC4:
             i = 0
             while i < len(payload):
@@ -322,9 +386,10 @@ def decode_jpeg_hier_gray(raw: bytes) -> np.ndarray:
             pos = end
             continue
         else:
-            # APP0 etc.: if we're accumulating a non-differential frame
-            # slice, remember where it began
-            if frame_start < 0 and marker in (0xFFDB,):
+            # APP0 etc.: if we're accumulating a frame slice (initial
+            # frame, or a differential frame whose DQT/DAC precede its
+            # SOF), remember where it began
+            if frame_start < 0 and marker in (0xFFDB, 0xFFCC):
                 frame_start = pos
         pos += 2 + length
     if ref is None:

@@ -358,21 +358,24 @@ def table_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LAST T.81 coding processes through the engine: HIERARCHICAL
+    """The COMPLETE T.81 frame matrix through the engine: HIERARCHICAL
     sequences (Annex J — DHP header, lossless SOF3 and lossy SOF0 initial
-    frames, EXP upsampling, SOF7 differential refinements;
-    operators/jpeg_hier.py) and LOSSLESS ARITHMETIC frames (SOF11, Annex
-    H.2 — QM coder under 25-context 2D conditioning;
+    frames, EXP upsampling; operators/jpeg_hier.py) whose DIFFERENTIAL
+    coding process rotates by asset id across all six kinds — SOF7
+    (lossless Huffman), SOF15 (lossless arithmetic), and the lossy
+    SOF5/SOF6/SOF13/SOF14 DCT refinements with their final lossless
+    correction stage (operators/jpeg_diff.py) — plus LOSSLESS ARITHMETIC
+    standalone frames (SOF11, Annex H.2 QM coder;
     operators/jpeg_arith.py). Per sampled document: synthesize the
     deterministic pixel pattern, then assert (a) ``hier_exact`` — BOTH
     hierarchical arrangements decode bit-exactly through
-    decode_jpeg_gray's dispatch (the lossy-base pyramid ends exact because
-    the final differential stage corrects it), (b) ``sof11_exact`` — the
-    arithmetic lossless round trip is bit-exact, (c) ``smaller`` — the
-    adaptive QM coder beat the Huffman SOF3 twin. The DuckDB oracle
-    predicts all three flags TRUE plus the id-derived dimensions, so the
-    full T.81 frame matrix is oracle-CHECKED. Arrow-batched mapInPandas,
-    one Python pass per blob."""
+    decode_jpeg_gray's dispatch whatever the differential kind,
+    (b) ``sof11_exact`` — the arithmetic lossless round trip is
+    bit-exact, (c) ``smaller`` — the adaptive QM coder beat the Huffman
+    SOF3 twin. The DuckDB oracle predicts all three flags TRUE plus the
+    id-derived dimensions, so every SOF family the spec defines
+    (0-3, 5-7, 9-11, 13-15) is oracle-CHECKED. Arrow-batched
+    mapInPandas, one Python pass per blob."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -414,14 +417,22 @@ def multimodal_jpeg_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 x = np.arange(w, dtype=np.int64)[None, :]
                 y = np.arange(h, dtype=np.int64)[:, None]
                 px = ((3 * x + 7 * y + int(aid)) % 256).astype(np.uint8)
-                hier_ll = encode_jpeg_hier_gray(px, levels=2, base="lossless")
-                hier_dct = encode_jpeg_hier_gray(px, levels=2, base="dct")
+                # rotate (initial frame, differential kind) by asset id:
+                # 12 combos cover the FULL frame matrix corpus-wide
+                # (SOF7 / SOF15 exact stages; SOF5/6/13/14 lossy stages
+                # + final lossless correction) at one pyramid per asset
+                kinds = ("lossless", "lossless_arith", "dct", "dct_prog",
+                         "arith", "arith_prog")
+                combo = int(aid) % (2 * len(kinds))
+                hier = encode_jpeg_hier_gray(
+                    px,
+                    levels=2,
+                    base="lossless" if combo < len(kinds) else "dct",
+                    diff_kind=kinds[combo % len(kinds)],
+                )
                 arith = encode_jpeg_arith_lossless_gray(px)
                 huff = encode_jpeg_lossless_gray(px)
-                hier_ok = bool(
-                    np.array_equal(decode_jpeg_gray(hier_ll), px)
-                    and np.array_equal(decode_jpeg_gray(hier_dct), px)
-                )
+                hier_ok = bool(np.array_equal(decode_jpeg_gray(hier), px))
                 sof11_ok = bool(
                     np.array_equal(decode_jpeg_gray(arith), px)
                 )

@@ -97,16 +97,26 @@ def test_hierarchical_determinism():
 
 def test_differential_gates_are_precise():
     px = _img(16, 16, seed=2)
-    raw = bytearray(encode_jpeg_hier_gray(px, levels=2, base="lossless"))
-    i = raw.find(b"\xff\xc7")
-    raw[i + 1] = 0xC5  # rewrite SOF7 -> SOF5 (differential sequential DCT)
-    with pytest.raises(ValueError, match="SOF5/SOF6"):
-        decode_jpeg_hier_gray(bytes(raw))
-    # differential frame with no hierarchical context
+    # SOF5-15 differential frames are SUPPORTED since round 6
+    # (tests/test_jpeg_diff.py pins each kind); the remaining precise
+    # gates are a differential frame with no hierarchical context and
+    # multi-component differential frames
     naked = encode_jpeg_lossless_gray(px)
     naked = naked.replace(b"\xff\xc3", b"\xff\xc7", 1)
     with pytest.raises(ValueError, match="hierarchical"):
         decode_jpeg_gray(naked)
+    from hive_person_service_spark.operators.jpeg_diff import (
+        decode_diff_frame,
+        encode_diff_frame,
+    )
+
+    frame = bytearray(
+        encode_diff_frame(np.zeros((8, 8), dtype=np.int64), "dct")[0]
+    )
+    i = frame.find(b"\xff\xc5")
+    frame[i + 9] = 3  # SOF component count -> 3
+    with pytest.raises(ValueError, match="multi-component"):
+        decode_diff_frame(bytes(frame))
 
 
 def test_dhp_dimension_check():
