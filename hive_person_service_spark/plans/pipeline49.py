@@ -101,3 +101,20 @@ def dataset_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc"),
     )
+
+
+@declare("sim_mmr_topk", oracle=None)  # rows-only: greedy sequential
+# selection has no SQL form; pytests pin the lam=1 == plain-top-k
+# identity, an independent quadratic reference replay, and determinism
+def sim_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval (MMR, lambda=0.7): distributed top-50 cosine
+    pool for query vec_id 0, then greedy maximal-marginal-relevance
+    rerank -- each pick maximizes relevance minus its similarity to the
+    already-picked set, so near-duplicate neighbors stop crowding the
+    context window (the standard RAG rerank). Driver work is bounded by
+    the POOL (50 rows), never the corpus; the retrieval stage is the same
+    broadcast-query TakeOrderedAndProject plan as sim_topk."""
+    from ..operators.mmr import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_topk(spark, emb, query_vec_id=0, k=10, pool=50, lam=0.7)
