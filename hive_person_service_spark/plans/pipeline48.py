@@ -361,3 +361,71 @@ def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.timestamp_micros("end_us"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
         ).alias("session_end"),
     )
+
+
+def _iceberg_stats_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) an Iceberg supplier table
+    with a PUBLISHED statistics file: per-column KMV NDV sketches as
+    Puffin blobs registered in the metadata ``statistics`` field."""
+    from ..sources.iceberg import iceberg_write, iceberg_write_stats
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:icestats".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_icestats_{digest}")
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            iceberg_write(sup, tmp)
+            iceberg_write_stats(
+                spark, tmp, ["s_suppkey", "s_nationkey", "s_name"], k=64
+            )
+    return path
+
+
+@declare(
+    "table_iceberg_puffin_stats",
+    oracle="""
+    WITH vals AS (
+      SELECT 's_suppkey' AS col, CAST(s_suppkey AS VARCHAR) AS v FROM supplier
+      UNION ALL
+      SELECT 's_nationkey', CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 's_name', s_name FROM supplier),
+    d AS (SELECT DISTINCT col, v FROM vals WHERE v IS NOT NULL),
+    hv AS (SELECT col, v,
+                  ('0x' || substr(md5(v), 1, 8))::UBIGINT AS h FROM d),
+    rk AS (SELECT col, h,
+                  row_number() OVER (PARTITION BY col ORDER BY h, v) AS rn,
+                  COUNT(*) OVER (PARTITION BY col) AS n
+           FROM hv)
+    SELECT col AS column,
+           CASE WHEN n >= 64
+                THEN ROUND(63.0 * 4294967296.0 / h, 4)
+                ELSE CAST(n AS DOUBLE) END AS ndv
+    FROM rk
+    WHERE rn = CASE WHEN n >= 64 THEN 64 ELSE n END
+    """,
+)
+def table_iceberg_puffin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg TABLE STATISTICS round trip: per-column KMV NDV sketches
+    published as Puffin blobs (one per column, the k minimum 32-bit
+    hashes as the mergeable state) and registered in the metadata
+    ``statistics`` field; this query reads the estimates back
+    METADATA-ONLY via ``iceberg_ndv`` (a Puffin footer read -- the CBO
+    consumption path, no data touched). The deterministic md5-KMV
+    estimator makes the estimate itself oracle-checkable: the DuckDB
+    oracle replays hash -> k-th minimum -> (k-1)*2^32/h per column
+    (exact-count branch when a column has fewer than k distinct values,
+    which s_nationkey exercises). Proves the sketch build, the Puffin
+    blob framing, the metadata registration AND the footer read-back in
+    one hash compare."""
+    from ..sources.iceberg import iceberg_ndv
+
+    path = _iceberg_stats_layout(spark, sf_dir)
+    ndv = iceberg_ndv(path)
+    return spark.createDataFrame(
+        sorted(ndv.items()), "column string, ndv double"
+    )

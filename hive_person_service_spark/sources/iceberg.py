@@ -2030,3 +2030,146 @@ def iceberg_expire_snapshots(
         "files_deleted": n_files,
         "manifests_deleted": n_mans,
     }
+
+
+def iceberg_write_stats(
+    spark: SparkSession, table: str, columns: list[str], k: int = 64
+) -> dict:
+    """Publish TABLE STATISTICS for the current snapshot (the spec's
+    ``statistics`` metadata field): per-column KMV distinct-value
+    sketches written as blobs in a Puffin statistics file under
+    ``metadata/``, each blob carrying the spec-shaped ``ndv`` property
+    planners read (the standard blob type stores a DataSketches theta
+    sketch; this client stores its deterministic md5-KMV state under the
+    namespaced type ``hive-person-service-spark.kmv-ndv-v1`` -- same
+    estimator family, engine-reproducible, so the estimate itself is
+    ORACLE-CHECKABLE). Blob payload = the k minimum 32-bit hashes
+    (little-endian u32s) -- the mergeable sketch STATE (min-union), so
+    incremental restatement unions sketches instead of rescanning.
+
+    The sketch build is distributed (distinct -> hash -> k smallest per
+    column, one shuffle per column batch); only k values per column ever
+    reach the driver. Returns {column: ndv estimate}."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from .puffin import write_puffin
+
+    meta = _load_metadata(table)
+    snap_id = meta.get("current-snapshot-id")
+    if snap_id in (None, -1):
+        raise ValueError(f"no snapshot to attach statistics to: {table}")
+    schema_now = _current_schema(meta)
+    by_name = {f["name"]: f["id"] for f in schema_now.get("fields", [])}
+    missing = [c for c in columns if c not in by_name]
+    if missing:
+        raise ValueError(f"statistics columns not in schema: {missing}")
+
+    scan = iceberg_scan(spark, table)
+    united = None
+    for c in columns:
+        part = scan.select(
+            F.lit(c).alias("col"), F.col(c).cast("string").alias("v")
+        ).where(F.col("v").isNotNull())
+        united = part if united is None else united.unionAll(part)
+    hashed = (
+        united.distinct()
+        .select(
+            "col",
+            "v",
+            F.conv(F.substring(F.md5("v"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("col").orderBy("h", "v")
+    rows = (
+        hashed.select(
+            "col", "h",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy("col")).alias("n"),
+        )
+        .where(F.col("rn") <= k)
+        .collect()  # k rows per column -- sketch-sized, never data-sized
+    )
+    state: dict[str, list[int]] = {c: [] for c in columns}
+    n_distinct: dict[str, int] = {}
+    for r in rows:
+        state[r.col].append(int(r.h))
+        n_distinct[r.col] = int(r.n)
+    blobs = []
+    est: dict[str, float] = {}
+    for c in columns:
+        hs = sorted(state[c])
+        n = n_distinct.get(c, 0)
+        if n >= k:
+            import math
+
+            # HALF_UP at 4 decimals (floor(x*1e4+0.5)): matches DuckDB's
+            # ROUND so the estimate is oracle-comparable bit-for-bit
+            # (Python round() is banker's -- deliberately not used)
+            x = (k - 1) * 4294967296.0 / hs[k - 1]
+            est[c] = math.floor(x * 10000.0 + 0.5) / 10000.0
+        else:
+            est[c] = float(n)  # sketch not full: the state IS the set
+        blobs.append(
+            {
+                "type": "hive-person-service-spark.kmv-ndv-v1",
+                "data": b"".join(_struct.pack("<I", h) for h in hs),
+                "fields": [by_name[c]],
+                "snapshot-id": snap_id,
+                "sequence-number": int(meta.get("last-sequence-number") or 0),
+                "properties": {"ndv": repr(est[c]), "k": str(k), "column": c},
+            }
+        )
+    d = _meta_dir(table)
+    path = str(d / f"stats-{snap_id}-{uuid.uuid4().hex[:8]}.puffin")
+    metas = write_puffin(path, blobs)
+    entry = {
+        "snapshot-id": snap_id,
+        "statistics-path": path,
+        "file-size-in-bytes": os.path.getsize(path),
+        "file-footer-size-in-bytes": os.path.getsize(path)
+        - (metas[-1]["offset"] + metas[-1]["length"] if metas else 4),
+        "blob-metadata": metas,
+    }
+    stats = [
+        s for s in meta.get("statistics", [])
+        if s.get("snapshot-id") != snap_id
+    ] + [entry]
+    meta["statistics"] = stats
+    _bump_metadata(table, meta)
+    return est
+
+
+def iceberg_ndv(table: str, snapshot_id: int | None = None) -> dict:
+    """Planner-side NDV read: resolve the statistics file registered for
+    the snapshot and return {column: ndv} from the blob properties --
+    metadata-only (a Puffin footer read), no data touched. This is how
+    engines consume the spec's statistics files for join ordering/CBO."""
+    from .puffin import read_puffin_footer
+
+    meta = _load_metadata(table)
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    entry = next(
+        (s for s in meta.get("statistics", [])
+         if s.get("snapshot-id") == snapshot_id),
+        None,
+    )
+    if entry is None:
+        raise ValueError(
+            f"no statistics registered for snapshot {snapshot_id}: {table}"
+        )
+    foot = read_puffin_footer(_resolve(table, entry["statistics-path"]))
+    out = {}
+    for b in foot.get("blobs", []):
+        props = b.get("properties") or {}
+        if "ndv" in props:
+            out[props.get("column", str(b.get("fields")))] = float(
+                props["ndv"]
+            )
+    return out

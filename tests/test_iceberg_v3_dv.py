@@ -229,3 +229,52 @@ def test_compressed_puffin_footer_gate(tmp_path):
         fh.write(b"\x01")
     with pytest.raises(ValueError, match="lz4"):
         read_puffin_footer(p)
+
+
+def test_puffin_statistics_roundtrip_and_gates(spark, tmp_path):
+    import struct
+
+    from hive_person_service_spark.sources.iceberg import (
+        _load_metadata,
+        iceberg_ndv,
+        iceberg_write,
+        iceberg_write_stats,
+    )
+    from hive_person_service_spark.sources.puffin import (
+        read_puffin_blob,
+        read_puffin_footer,
+    )
+
+    t = str(tmp_path / "t")
+    rows = [(i, f"g{i % 7}", float(i)) for i in range(200)]
+    iceberg_write(_mk(spark, rows), t)
+    est = iceberg_write_stats(spark, t, ["id", "grp"], k=16)
+    # under-full sketch -> exact; full sketch -> estimate near truth
+    assert est["grp"] == 7.0
+    assert 100 <= est["id"] <= 400  # k=16 KMV: loose but sane
+    # metadata-only read-back matches what the writer reported
+    assert iceberg_ndv(t) == est
+    # the blob payload IS the sketch state: k little-endian u32 minima
+    meta = _load_metadata(t)
+    entry = meta["statistics"][0]
+    blob_id = next(
+        b for b in entry["blob-metadata"]
+        if (b["properties"] or {}).get("column") == "id"
+    )
+    raw = read_puffin_blob(
+        entry["statistics-path"], blob_id["offset"], blob_id["length"]
+    )
+    hs = list(struct.unpack(f"<{len(raw) // 4}I", raw))
+    assert len(hs) == 16 and hs == sorted(hs)
+    foot = read_puffin_footer(entry["statistics-path"])
+    assert all(
+        b["type"] == "hive-person-service-spark.kmv-ndv-v1"
+        for b in foot["blobs"]
+    )
+    # unknown column + missing stats gates
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in schema"):
+        iceberg_write_stats(spark, t, ["nope"])
+    with _pytest.raises(ValueError, match="no statistics registered"):
+        iceberg_ndv(t, snapshot_id=12345)
