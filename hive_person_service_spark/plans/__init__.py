@@ -124,7 +124,11 @@ _CERT_PRIORITY = [
     # vendored protobuf wire shim (stream_sliding's slot; the window
     # family stays covered by stream_tumbling, and stream_sliding stays
     # declared + selfchecked)
-    "stream_tumbling", "stream_tws_totals", "stream_session",
+    # stream_session's slot upgrades to the r6 ListState sessionizer
+    # (same semantics family, ORACLE-CHECKED arbitrary-stateful streaming,
+    # exact under out-of-order batches; stream_session stays declared +
+    # selfchecked)
+    "stream_tumbling", "stream_tws_totals", "stream_tws_sessions",
     "stream_dedup_events",
     # J: LLM-data-pipeline surface (text_term_freq's slot now showcases
     # the r6 lake-planning tier -- text_tfidf subsumes term-freq math)
