@@ -188,6 +188,13 @@ def delta_from_iceberg(table: str) -> int:
             "metadata-only (the Delta reader would resurrect deleted "
             "rows); run iceberg_compact first"
         )
+    if len(meta.get("schemas") or []) > 1:
+        raise ValueError(
+            "schema-evolved Iceberg tables cannot convert metadata-only: "
+            "old data files resolve columns by parquet FIELD ID, which "
+            "the converted Delta log would not carry; rewrite "
+            "(iceberg_compact) first"
+        )
     struct = _schema_from_iceberg(meta)
     actions: list[dict] = [
         {

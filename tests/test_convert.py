@@ -113,3 +113,21 @@ def test_convert_to_delta(spark, tmp_path):
     iceberg_delete(spark, t2, "id = 0")
     with pytest.raises(ValueError, match="row-level deletes"):
         delta_from_iceberg(t2)
+
+
+def test_convert_to_delta_schema_evolution_gate(spark, tmp_path):
+    from hive_person_service_spark.sources.convert import delta_from_iceberg
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_alter,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "t")
+    iceberg_write(_mk(spark, [(1, "a", 1.0)]), t)
+    iceberg_alter(t, rename_columns={"grp": "bucket"})
+    iceberg_write(
+        spark.createDataFrame([(2, "b", 2.0)], "id long, bucket string, v double"),
+        t,
+    )
+    with pytest.raises(ValueError, match="schema-evolved"):
+        delta_from_iceberg(t)
