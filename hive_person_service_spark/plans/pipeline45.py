@@ -102,11 +102,12 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "reco_item_cooccurrence",
     oracle="""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    item_n AS (
+    item_n AS MATERIALIZED (
       SELECT l_partkey, CAST(COUNT(*) AS DOUBLE) AS s FROM baskets GROUP BY 1),
-    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM baskets),
+    tot AS MATERIALIZED (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM baskets),
     co AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
              CAST(COUNT(*) AS BIGINT) AS co_orders
