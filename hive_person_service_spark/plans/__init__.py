@@ -86,6 +86,7 @@ from . import pipeline46  # noqa: F401,E402  (exactly-once Delta streaming inges
 from . import pipeline47  # noqa: F401,E402  (transformWithStateInPandas executed end-to-end: ValueState + MapState on RocksDB through the vendored protobuf wire shim)
 from . import pipeline48  # noqa: F401,E402  (Iceberg v3 deletion vectors in Puffin files; UniForm + CONVERT TO DELTA; Delta V2 checkpoints + shallow clone; tws sessionization)
 from . import pipeline49  # noqa: F401,E402  (temperature-scaled mixture allocation)
+from . import pipeline50  # noqa: F401,E402  (Apache Hudi interop: CoW snapshot/time-travel/incremental, MOR log-merge snapshot + read-optimized tier)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.

@@ -1,0 +1,240 @@
+"""Round-7 sources: Apache Hudi interop (the THIRD open-table format).
+
+A user of a Hive-era lake migrating tables through Hudi (the original
+"transactional Hive" project) gets the same treatment Delta and Iceberg
+got in rounds 5-6: a minimal public-layout client (sources/hudi.py --
+timeline replay, file-group/file-slice resolution, bucket-index routing,
+MOR log-format decode) with the data path always a plain pruned parquet
+scan.  Five faces declared here:
+
+* ``table_hudi_scan``        -- CoW snapshot across 3 commits (2 inserts
+                                + 1 upsert rewrite);
+* ``table_hudi_time_travel`` -- the same table as-of its first commit;
+* ``table_hudi_incremental`` -- the incremental pull of exactly the
+                                records the upsert commit wrote;
+* ``table_hudi_mor_read``    -- MERGE_ON_READ snapshot: base parquet +
+                                Avro log blocks (update + DELETE blocks)
+                                merged per record key;
+* ``table_hudi_read_optimized`` -- MOR's cheap-but-stale tier: base
+                                files only, pinned to the pre-log state.
+
+Every oracle runs on the ORIGINAL supplier parquet with the table's
+mutation history re-expressed relationally, so agreement proves
+snapshot/merge reconstruction is exact -- the same proof structure as
+``table_delta_scan`` / ``table_iceberg_v2_deletes``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .pipeline44 import _LAYOUT_ROOT, _atomic_layout
+from .registry import declare
+
+
+def _hudi_cow_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per fixture identity) a COPY_ON_WRITE Hudi table
+    from supplier in THREE commits: even keys, odd keys, then an upsert
+    adding 1000 to the balance of every suppkey divisible by 10 (a
+    bucket-targeted base-file rewrite)."""
+    from ..sources.hudi import hudi_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudicow".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_hudicow_{digest}")
+    if not os.path.isdir(os.path.join(path, ".hoodie")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            hudi_write(spark, tmp, sup.where(F.col("s_suppkey") % 2 == 0),
+                       record_key="s_suppkey")
+            hudi_write(spark, tmp, sup.where(F.col("s_suppkey") % 2 == 1),
+                       record_key="s_suppkey")
+            upd = sup.where(F.col("s_suppkey") % 10 == 0).withColumn(
+                "s_acctbal", F.col("s_acctbal") + 1000.0
+            )
+            hudi_write(spark, tmp, upd, record_key="s_suppkey")
+    return path
+
+
+def _hudi_mor_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) a MERGE_ON_READ Hudi table: one base commit
+    holding all suppliers, an AVRO_DATA log block negating the balance of
+    every suppkey divisible by 7, then a DELETE log block removing every
+    suppkey divisible by 13.  No compaction -- the logs stay live so the
+    snapshot/read-optimized split is observable."""
+    from ..sources.hudi import hudi_delete, hudi_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudimor".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_hudimor_{digest}")
+    if not os.path.isdir(os.path.join(path, ".hoodie")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            hudi_write(spark, tmp, sup, record_key="s_suppkey",
+                       table_type="mor")
+            upd = sup.where(F.col("s_suppkey") % 7 == 0).withColumn(
+                "s_acctbal", -F.col("s_acctbal")
+            )
+            hudi_write(spark, tmp, upd, record_key="s_suppkey",
+                       table_type="mor")
+            victims = [
+                str(r[0])
+                for r in sup.where(F.col("s_suppkey") % 13 == 0)
+                .select("s_suppkey")
+                .collect()
+            ]  # bounded: 1-in-13 of a dimension table
+            hudi_delete(spark, tmp, victims)
+    return path
+
+
+@declare(
+    "table_hudi_scan",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(CASE WHEN s_suppkey % 10 = 0
+                          THEN s_acctbal + 1000.0
+                          ELSE s_acctbal END), 2) AS bal,
+           MAX(s_suppkey) AS max_key
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def table_hudi_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CoW snapshot at HEAD through the minimal public-layout client
+    (sources/hudi.py): timeline replay + file-slice resolution pick the
+    newest committed base file per file group; the upsert commit rewrote
+    only the buckets holding %10 keys, so agreement proves both the
+    rewrite's merge (incoming wins per record key) and that untouched
+    buckets still serve their older slices."""
+    from ..sources.hudi import hudi_scan
+
+    path = _hudi_cow_layout(spark, sf_dir)
+    s = hudi_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.max("s_suppkey").alias("max_key"),
+    )
+
+
+@declare(
+    "table_hudi_time_travel",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier
+    WHERE s_suppkey % 2 = 0
+    GROUP BY s_nationkey
+    """,
+)
+def table_hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi time travel: the CoW table read as-of its FIRST commit (the
+    even-key insert) -- slice resolution simply ignores every younger
+    instant, including the upsert's rewritten base files, so a match
+    proves versioned reads see exactly the historical file set."""
+    from ..sources.hudi import hudi_scan, hudi_timeline
+
+    path = _hudi_cow_layout(spark, sf_dir)
+    first = hudi_timeline(path)[0]["instant"]
+    s = hudi_scan(spark, path, as_of=first)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+
+
+@declare(
+    "table_hudi_incremental",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_chg,
+           ROUND(SUM(s_acctbal + 1000.0), 2) AS bal
+    FROM supplier
+    WHERE s_suppkey % 10 = 0
+    GROUP BY s_nationkey
+    """,
+)
+def table_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi incremental pull (the change-capture query): records written
+    by commits AFTER the second insert -- i.e. exactly the upsert's %10
+    rows at their NEW balance.  Planning prunes to the file groups the
+    window's commits touched (from commit metadata, no full-table diff),
+    then filters on the _hoodie_commit_time meta column; carried-over
+    rows in the rewritten files keep their original commit time and drop
+    out, which is the semantics that makes incremental ETL exact."""
+    from ..sources.hudi import hudi_incremental, hudi_timeline
+
+    path = _hudi_cow_layout(spark, sf_dir)
+    second = hudi_timeline(path)[1]["instant"]
+    s = hudi_incremental(spark, path, begin=second)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_chg"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+
+
+@declare(
+    "table_hudi_mor_read",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(CASE WHEN s_suppkey % 7 = 0
+                          THEN -s_acctbal
+                          ELSE s_acctbal END), 2) AS bal
+    FROM supplier
+    WHERE s_suppkey % 13 <> 0
+    GROUP BY s_nationkey
+    """,
+)
+def table_hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE_ON_READ snapshot: base parquet + two generations of log
+    blocks -- an AVRO_DATA update block (balance negated for %7 keys) and
+    a DELETE block (%13 keys) -- merged per record key, newest commit
+    winning, executor-side (mapInPandas over the HoodieLogFormat
+    framing).  A %91 key is updated THEN deleted, so agreement also pins
+    the merge ordering between block generations."""
+    from ..sources.hudi import hudi_scan
+
+    path = _hudi_mor_layout(spark, sf_dir)
+    s = hudi_scan(spark, path, mode="snapshot")
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+
+
+@declare(
+    "table_hudi_read_optimized",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def table_hudi_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOR's read-optimized tier: base files ONLY, so the un-compacted
+    log updates and deletes are intentionally invisible and the result
+    equals the original insert -- the freshness/cost trade every real
+    MOR deployment leans on.  (tests/test_hudi.py pins that after
+    hudi_compact the read-optimized view catches up to the snapshot.)"""
+    from ..sources.hudi import hudi_scan
+
+    path = _hudi_mor_layout(spark, sf_dir)
+    s = hudi_scan(spark, path, mode="read_optimized")
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )

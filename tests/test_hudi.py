@@ -1,0 +1,263 @@
+"""Hudi client pins (sources/hudi.py) -- the semantics the DuckDB
+oracles in plans/pipeline50.py cannot see: log-block framing bytes,
+timeline snapshot isolation, compaction catch-up, meta-column
+integrity, scan pushdown, and the emptied-bucket delete edge."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_person_service_spark.sources.hudi import (
+    BLOCK_AVRO_DATA,
+    BLOCK_DELETE,
+    HEADER_INSTANT_TIME,
+    HEADER_SCHEMA,
+    META_COLS,
+    _decode_avro_data,
+    _encode_avro_data,
+    _file_slices,
+    _read_log_blocks,
+    _write_log_block,
+    hudi_compact,
+    hudi_delete,
+    hudi_incremental,
+    hudi_scan,
+    hudi_timeline,
+    hudi_write,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    rows = [(i, f"name{i}", float(i) * 1.5) for i in range(1, 101)]
+    return spark.createDataFrame(rows, "id long, name string, bal double")
+
+
+def _fresh(tmp_path, name):
+    p = str(tmp_path / name)
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# log-format framing (pure bytes, no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_log_block_roundtrip_bytes():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": ["null", "string"]},
+            {"name": "v", "type": ["null", "double"]},
+        ],
+    }
+    records = [{"k": "a", "v": 1.5}, {"k": None, "v": -0.0}, {"k": "z", "v": None}]
+    out = io.BytesIO()
+    _write_log_block(
+        out,
+        BLOCK_AVRO_DATA,
+        {HEADER_INSTANT_TIME: "20240101000001000", HEADER_SCHEMA: json.dumps(schema)},
+        _encode_avro_data(records, schema),
+    )
+    # two blocks back to back must both parse (the reader walks magics)
+    _write_log_block(out, BLOCK_DELETE, {HEADER_INSTANT_TIME: "20240101000002000"}, b"")
+    blocks = _read_log_blocks(out.getvalue())
+    assert [b[0] for b in blocks] == [BLOCK_AVRO_DATA, BLOCK_DELETE]
+    btype, header, content = blocks[0]
+    assert header[HEADER_INSTANT_TIME] == "20240101000001000"
+    got = _decode_avro_data(content, json.loads(header[HEADER_SCHEMA]))
+    assert got == records
+
+
+def test_log_block_bad_magic_raises():
+    with pytest.raises(ValueError, match="magic"):
+        _read_log_blocks(b"#NOPE#" + b"\x00" * 32)
+
+
+# ---------------------------------------------------------------------------
+# timeline + slices
+# ---------------------------------------------------------------------------
+
+
+def test_inflight_commit_invisible(spark, people, tmp_path):
+    """Snapshot isolation: base files from an instant with only
+    .requested/.inflight markers (writer crashed pre-commit) must not
+    be served."""
+    t = _fresh(tmp_path, "cow_iso")
+    hudi_write(spark, t, people, record_key="id")
+    assert hudi_scan(spark, t).count() == 100
+    # simulate a crashed writer: a new base file + transition markers,
+    # no completed instant
+    phantom_instant = "20240101009999000"
+    src = [f for f in os.listdir(t) if f.endswith(".parquet")][0]
+    fid = src.split("_")[0]
+    shutil.copy(
+        os.path.join(t, src),
+        os.path.join(t, f"{fid}_0-1-0_{phantom_instant}.parquet"),
+    )
+    open(os.path.join(t, ".hoodie", f"{phantom_instant}.commit.requested"), "w").close()
+    open(os.path.join(t, ".hoodie", f"{phantom_instant}.commit.inflight"), "w").close()
+    assert hudi_scan(spark, t).count() == 100  # phantom file ignored
+    slices = _file_slices(t)
+    assert all(s["base_instant"] != phantom_instant for s in slices.values())
+
+
+def test_insert_overwrite_replaces_all(spark, people, tmp_path):
+    t = _fresh(tmp_path, "cow_iow")
+    hudi_write(spark, t, people, record_key="id")
+    hudi_write(
+        spark, t, people.where("id <= 7"), record_key="id", mode="insert_overwrite"
+    )
+    got = sorted(r["id"] for r in hudi_scan(spark, t).collect())
+    assert got == list(range(1, 8))
+
+
+def test_delete_empties_bucket_completely(spark, tmp_path):
+    """Deleting every key of a bucket must not resurrect the old slice
+    (the replacecommit path)."""
+    rows = [(i, float(i)) for i in range(1, 41)]
+    spark_df = spark.createDataFrame(rows, "id long, bal double")
+    t = _fresh(tmp_path, "cow_empty")
+    hudi_write(spark, t, spark_df, record_key="id", n_buckets=2)
+    import zlib
+
+    bucket0 = [str(i) for i in range(1, 41) if zlib.crc32(str(i).encode()) % 2 == 0]
+    hudi_delete(spark, t, bucket0, n_buckets=2)
+    got = {r["id"] for r in hudi_scan(spark, t).collect()}
+    assert got == {i for i in range(1, 41) if zlib.crc32(str(i).encode()) % 2 == 1}
+
+
+def test_meta_columns_integrity(spark, people, tmp_path):
+    t = _fresh(tmp_path, "cow_meta")
+    c1 = hudi_write(spark, t, people, record_key="id")
+    df = hudi_scan(spark, t, drop_meta=False)
+    assert df.columns[:5] == META_COLS
+    bad = df.where(
+        (F.col("_hoodie_commit_time") != c1)
+        | (F.col("_hoodie_record_key") != F.col("id").cast("string"))
+        | (F.col("_hoodie_partition_path") != "")
+        | ~F.col("_hoodie_commit_seqno").startswith(c1)
+    ).count()
+    assert bad == 0
+    # file-name meta column matches the physical file that holds the row
+    names = {r[0] for r in df.select("_hoodie_file_name").distinct().collect()}
+    on_disk = {f for f in os.listdir(t) if f.endswith(".parquet")}
+    assert names == on_disk
+
+
+def test_cow_upsert_preserves_original_commit_time(spark, people, tmp_path):
+    """Carried-over rows in a rewritten base file keep their original
+    _hoodie_commit_time -- the property incremental pulls rely on."""
+    t = _fresh(tmp_path, "cow_cc")
+    c1 = hudi_write(spark, t, people, record_key="id")
+    c2 = hudi_write(
+        spark,
+        t,
+        people.where("id = 1").withColumn("bal", F.lit(0.0)),
+        record_key="id",
+    )
+    df = hudi_scan(spark, t, drop_meta=False)
+    times = {r["id"]: r["_hoodie_commit_time"] for r in df.collect()}
+    assert times[1] == c2
+    assert set(times.values()) == {c1, c2}
+    carried = [k for k, v in times.items() if v == c1]
+    assert len(carried) == 99
+
+
+# ---------------------------------------------------------------------------
+# MOR
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def mor_table(spark, people, tmp_path):
+    t = _fresh(tmp_path, "mor")
+    i1 = hudi_write(spark, t, people, record_key="id", table_type="mor")
+    i2 = hudi_write(
+        spark,
+        t,
+        people.where("id % 7 = 0").withColumn("bal", -F.col("bal")),
+        record_key="id",
+        table_type="mor",
+    )
+    i3 = hudi_delete(spark, t, [str(i) for i in range(1, 101) if i % 13 == 0])
+    return t, (i1, i2, i3)
+
+
+def _expected_final(people_rows=range(1, 101)):
+    out = {}
+    for i in people_rows:
+        if i % 13 == 0:
+            continue
+        out[i] = -(i * 1.5) if i % 7 == 0 else i * 1.5
+    return out
+
+
+def test_mor_snapshot_merges_updates_and_deletes(spark, mor_table):
+    t, _ = mor_table
+    got = {r["id"]: r["bal"] for r in hudi_scan(spark, t).collect()}
+    assert got == _expected_final()
+
+
+def test_mor_update_then_delete_ordering(spark, people, tmp_path):
+    """A key updated in one log generation and deleted in the next must
+    stay deleted (newest block wins); and a delete then re-insert must
+    resurrect."""
+    t = _fresh(tmp_path, "mor_ord")
+    hudi_write(spark, t, people, record_key="id", table_type="mor")
+    hudi_write(
+        spark, t,
+        people.where("id = 20").withColumn("bal", F.lit(1.0)),
+        record_key="id", table_type="mor",
+    )
+    hudi_delete(spark, t, ["20"])
+    assert hudi_scan(spark, t).where("id = 20").count() == 0
+    hudi_write(
+        spark, t,
+        people.where("id = 20").withColumn("bal", F.lit(2.0)),
+        record_key="id", table_type="mor",
+    )
+    got = hudi_scan(spark, t).where("id = 20").collect()
+    assert len(got) == 1 and got[0]["bal"] == 2.0
+
+
+def test_mor_compaction_catches_up_read_optimized(spark, mor_table):
+    t, _ = mor_table
+    before = {r["id"]: r["bal"] for r in hudi_scan(spark, t).collect()}
+    hudi_compact(spark, t)
+    ro = {r["id"]: r["bal"] for r in hudi_scan(spark, t, mode="read_optimized").collect()}
+    snap = {r["id"]: r["bal"] for r in hudi_scan(spark, t).collect()}
+    assert ro == before  # read-optimized caught up
+    assert snap == before  # snapshot unchanged by compaction
+
+
+def test_mor_incremental_window(spark, mor_table):
+    t, (i1, i2, _i3) = mor_table
+    inc = hudi_incremental(spark, t, begin=i1, end=i2)
+    got = {r["id"]: r["bal"] for r in inc.collect()}
+    assert got == {i: -(i * 1.5) for i in range(1, 101) if i % 7 == 0}
+
+
+# ---------------------------------------------------------------------------
+# plan shape
+# ---------------------------------------------------------------------------
+
+
+def test_scan_pushdown_reaches_parquet(spark, people, tmp_path):
+    """The Hudi data path is a plain parquet scan: a filter on the scan
+    must appear in PushedFilters, and column pruning must shrink
+    ReadSchema (the 100 TB property)."""
+    t = _fresh(tmp_path, "cow_push")
+    hudi_write(spark, t, people, record_key="id")
+    df = hudi_scan(spark, t).where(F.col("id") > 50).select("id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThan(id,50)" in plan
+    assert "bal" not in plan.split("ReadSchema")[1].splitlines()[0]
