@@ -5,7 +5,7 @@ A user of a Hive-era lake migrating tables through Hudi (the original
 got in rounds 5-6: a minimal public-layout client (sources/hudi.py --
 timeline replay, file-group/file-slice resolution, bucket-index routing,
 MOR log-format decode) with the data path always a plain pruned parquet
-scan.  Five faces declared here:
+scan.  Six faces declared here:
 
 * ``table_hudi_scan``        -- CoW snapshot across 3 commits (2 inserts
                                 + 1 upsert rewrite);
@@ -16,7 +16,9 @@ scan.  Five faces declared here:
                                 Avro log blocks (update + DELETE blocks)
                                 merged per record key;
 * ``table_hudi_read_optimized`` -- MOR's cheap-but-stale tier: base
-                                files only, pinned to the pre-log state.
+                                files only, pinned to the pre-log state;
+* ``stream_hudi_tail``       -- streaming FROM the timeline through a
+                                Python DataSource (sources/hudi_stream.py).
 
 Every oracle runs on the ORIGINAL supplier parquet with the table's
 mutation history re-expressed relationally, so agreement proves
@@ -237,4 +239,84 @@ def table_hudi_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("s_nationkey").agg(
         F.count("*").alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+
+
+def _hudi_stream_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) a CoW Hudi table fed by THREE insert commits of
+    disjoint orders thirds -- the append-shaped history a streaming tail
+    consumes."""
+    from ..sources.hudi import hudi_write
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudistream".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"orders_hudistream_{digest}")
+    if not os.path.isdir(os.path.join(path, ".hoodie")):
+        with _atomic_layout(path) as tmp:
+            orders = load_table(spark, sf_dir, "orders")
+            for third in range(3):
+                hudi_write(
+                    spark, tmp,
+                    orders.where(F.col("o_orderkey") % 3 == third),
+                    record_key="o_orderkey",
+                )
+    return path
+
+
+@declare(
+    "stream_hudi_tail",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stream_hudi_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM Hudi -- the third leg of the lakehouse circle
+    (delta_tail and iceberg_tail are rounds 5-6): orders written across
+    three Hudi commits stream back OUT through the hudi_tail Python
+    DataSource (offsets = timeline instants, per-commit rows filtered on
+    _hoodie_commit_time so CoW carried-over rows never re-stream; real
+    availableNow drain into a scratch sink), then aggregate.  The oracle
+    aggregates the ORIGINAL orders table: agreement proves the timeline
+    round trip served every record exactly once."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.hudi_stream import register_hudi_tail
+
+    table = _hudi_stream_layout(spark, sf_dir)
+    register_hudi_tail(spark)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"hudi_tail_drain_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        spark.readStream.format("hudi_tail")
+        .option("table", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("hudi_tail drain did not finish in 120s")
+    t = spark.read.parquet(os.path.join(scratch, "out"))
+    return t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.max("o_orderkey").alias("max_key"),
     )

@@ -210,10 +210,13 @@ def _commit(
     write_stats: list[dict],
     operation: str,
     replaced_file_ids: list[str] | None = None,
+    schema_json: str | None = None,
 ) -> None:
     """Write the requested/inflight transition markers then the completed
     instant file (HoodieCommitMetadata JSON) -- the single-writer rename
-    discipline all three table formats in this repo share."""
+    discipline all three table formats in this repo share.  The writer
+    schema rides ``extraMetadata.schema`` (Avro JSON), where real Hudi
+    commit metadata carries it and where hudi_stream.py reads it back."""
     md = _meta_dir(table)
     open(os.path.join(md, f"{instant}.{action}.requested"), "w").close()
     open(os.path.join(md, f"{instant}.{action}.inflight"), "w").close()
@@ -223,6 +226,8 @@ def _commit(
         "operationType": operation.upper(),
         "fileIdAndRelativePaths": {s["fileId"]: s["path"] for s in write_stats},
     }
+    if schema_json is not None:
+        meta["extraMetadata"] = {"schema": schema_json}
     if replaced_file_ids is not None:
         meta["partitionToReplaceFileIds"] = {"": replaced_file_ids}
     tmp = os.path.join(md, f".{instant}.{action}.tmp-{uuid.uuid4().hex[:8]}")
@@ -435,13 +440,24 @@ def _write_base_files(df_meta: DataFrame, table: str, instant: str) -> list[dict
         F.format_string("%08d", F.col("_hoodie_bucket")),
         F.lit(f"-0000-0000-0000-000000000000-0_{_WRITE_TOKEN}_{instant}.parquet"),
     )
-    (
-        df_meta.withColumn("_hoodie_file_name", fname)
-        .repartition(F.col("_hoodie_bucket"))
-        .write.mode("overwrite")
-        .partitionBy("_hoodie_bucket")
-        .parquet(staging)
-    )
+    spark = df_meta.sparkSession
+    # INT96 (Spark's default) kills footer stats and round-trips as ns
+    # through Arrow; real Hudi base files carry INT64 micros
+    prev_tst = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            df_meta.withColumn("_hoodie_file_name", fname)
+            .repartition(F.col("_hoodie_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_hoodie_bucket")
+            .parquet(staging)
+        )
+    finally:
+        if prev_tst is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tst)
     stats = []
     for entry in sorted(os.listdir(staging)):
         if not entry.startswith("_hoodie_bucket="):
@@ -494,19 +510,20 @@ def hudi_write(
     ttype = _table_type(table)
     instant = _next_instant(table)
     slices = _file_slices(table)
+    schema_json = json.dumps(spark_to_avro_schema(df.schema, "HoodieTableSchema"))
 
     df_meta = _with_meta(df, record_key, instant, n_buckets)
 
     if mode == "insert_overwrite":
         stats = _write_base_files(df_meta, table, instant)
         _commit(table, instant, "replacecommit", stats, "insert_overwrite",
-                replaced_file_ids=sorted(slices))
+                replaced_file_ids=sorted(slices), schema_json=schema_json)
         return instant
 
     if not slices:  # first commit: plain bulk insert
         stats = _write_base_files(df_meta, table, instant)
         _commit(table, instant, "commit" if ttype == "cow" else "deltacommit",
-                stats, "bulk_insert")
+                stats, "bulk_insert", schema_json=schema_json)
         return instant
 
     touched = {
@@ -534,7 +551,7 @@ def hudi_write(
             stats += _write_base_files(
                 df_meta.where(F.col("_hoodie_bucket").isin(new_buckets)), table, instant
             )
-        _commit(table, instant, "commit", stats, "upsert")
+        _commit(table, instant, "commit", stats, "upsert", schema_json=schema_json)
     else:
         if new_buckets:
             stats += _write_base_files(
@@ -577,7 +594,7 @@ def hudi_write(
                     "totalWriteBytes": out.tell(),
                 }
             )
-        _commit(table, instant, "deltacommit", stats, "upsert")
+        _commit(table, instant, "deltacommit", stats, "upsert", schema_json=schema_json)
     return instant
 
 

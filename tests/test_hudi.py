@@ -261,3 +261,58 @@ def test_scan_pushdown_reaches_parquet(spark, people, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThan(id,50)" in plan
     assert "bal" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+# ---------------------------------------------------------------------------
+# hudi_tail streaming source
+# ---------------------------------------------------------------------------
+
+
+def test_hudi_tail_batch_face_streams_each_record_once(spark, people, tmp_path):
+    from hive_person_service_spark.sources.hudi_stream import register_hudi_tail
+
+    t = _fresh(tmp_path, "tail1")
+    hudi_write(spark, t, people.where("id <= 50"), record_key="id")
+    hudi_write(spark, t, people.where("id > 50"), record_key="id")
+    register_hudi_tail(spark)
+    got = spark.read.format("hudi_tail").option("table", t).load()
+    assert got.count() == 100
+    assert got.select("id").distinct().count() == 100  # no carried-over dups
+
+
+def test_hudi_tail_upsert_streams_new_version_only(spark, people, tmp_path):
+    """A CoW upsert rewrites whole buckets; the tail must serve only the
+    rows the commit WROTE (commit-time filter), not the carried-over
+    rows of the rewritten file."""
+    from hive_person_service_spark.sources.hudi_stream import register_hudi_tail
+
+    t = _fresh(tmp_path, "tail2")
+    hudi_write(spark, t, people, record_key="id")
+    hudi_write(
+        spark, t,
+        people.where("id <= 3").withColumn("bal", F.lit(7.0)),
+        record_key="id",
+    )
+    register_hudi_tail(spark)
+    got = spark.read.format("hudi_tail").option("table", t).load().collect()
+    assert len(got) == 103  # 100 inserts + 3 new record versions
+    assert sum(1 for r in got if r["bal"] == 7.0) == 3
+
+
+def test_hudi_tail_delete_gates_unless_skipped(spark, people, tmp_path):
+    from hive_person_service_spark.sources.hudi_stream import register_hudi_tail
+
+    t = _fresh(tmp_path, "tail3")
+    hudi_write(spark, t, people, record_key="id")
+    hudi_delete(spark, t, ["1", "2"])
+    register_hudi_tail(spark)
+    df = spark.read.format("hudi_tail").option("table", t).load()
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        df.collect()
+    skipped = (
+        spark.read.format("hudi_tail")
+        .option("table", t)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    assert skipped.count() == 100  # delete commit skipped whole
