@@ -1,0 +1,114 @@
+"""Round-7 graph addition: k-core decomposition (bounded peel).
+
+``graph_kcore_peel`` runs R synchronized peeling rounds of the k-core
+algorithm over the customer<->supplier co-shipment graph: each round
+drops every edge touching a node of degree < K, and reports the
+surviving node/edge counts per round.  Fixing the ROUND COUNT (rather
+than iterating to fixpoint) makes the whole computation a finite
+relational expression both engines can evaluate exactly -- the DuckDB
+oracle is the same R rounds unrolled into chained CTEs, so the
+iterative peel is hash-checked end to end (the graph_components
+precedent: certify multi-hop logic against an independent engine).
+
+Scale shape: one round = a degree groupBy + two hash joins against the
+node-degree relation, all shuffling on node id; R bounds the job count
+the way the BFS diameter bounds graph_shortest_path.  Each round's
+edge set is cached and the previous round unpersisted -- the standard
+iterative-refinement pattern (PageRank does the same), keeping lineage
+depth O(1) per round instead of recomputing the whole prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .registry import declare
+
+KCORE_K = 25
+KCORE_ROUNDS = 6
+
+_EDGES_SQL = """
+e0 AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+s0 AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)
+"""
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    # every CTE MATERIALIZED: DuckDB's default inlining expands the
+    # round chain combinatorially (s_i referenced 3x per round -- the
+    # reco_item_cooccurrence lesson from round 6)
+    ctes = [_EDGES_SQL.strip()]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (SELECT a, COUNT(*) AS d FROM s{p} GROUP BY a),
+s{i} AS MATERIALIZED (
+  SELECT s.a, s.b FROM s{p} s
+  JOIN d{i} da ON s.a = da.a AND da.d >= {k}
+  JOIN d{i} db ON s.b = db.a AND db.d >= {k})"""
+        )
+    stats = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS round,"
+        f" CAST(COUNT(DISTINCT a) AS BIGINT) AS n_nodes,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_edges FROM s{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + stats
+
+
+@declare("graph_kcore_peel", oracle=_kcore_oracle(KCORE_K, KCORE_ROUNDS))
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peel (K=25, 6 synchronized rounds) of the symmetrized
+    customer<->supplier shipment graph; output = (round, n_nodes,
+    n_edges) survival curve.  The edge counts are over the SYMMETRIZED
+    directed relation (2x the undirected edge count), same as the
+    oracle's CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1_000_000).alias("b"),
+        )
+        .distinct()
+    )
+    s = e0.unionByName(
+        e0.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()  # the loop's base relation: build the edge join ONCE
+
+    stats: list[tuple[int, int, int]] = []
+    prev_cached = s
+    prev_edges = -1
+    for i in range(1, KCORE_ROUNDS + 1):
+        d = s.groupBy("a").agg(F.count("*").alias("d")).where(F.col("d") >= KCORE_K)
+        keep_a = F.broadcast(d.select("a"))
+        keep_b = F.broadcast(d.select(F.col("a").alias("b")))
+        s = s.join(keep_a, "a").join(keep_b, "b").select("a", "b").cache()
+        # collect this round's TWO numbers eagerly (a bounded
+        # R-rows-total driver collect, like PageRank's convergence
+        # probes) so the output never re-walks the peel lineage
+        row = s.agg(
+            F.countDistinct("a").alias("n"), F.count("*").alias("e")
+        ).collect()[0]
+        stats.append((i, int(row["n"]), int(row["e"])))
+        prev_cached.unpersist()
+        prev_cached = s
+        if int(row["e"]) == prev_edges:
+            # fixpoint: peeling only removes edges, so an unchanged
+            # edge COUNT means an identical edge SET -- every later
+            # round is equal by induction; emit without computing
+            stats.extend(
+                (j, int(row["n"]), int(row["e"]))
+                for j in range(i + 1, KCORE_ROUNDS + 1)
+            )
+            break
+        prev_edges = int(row["e"])
+    prev_cached.unpersist()
+    return spark.createDataFrame(
+        stats, "round bigint, n_nodes bigint, n_edges bigint"
+    )
