@@ -133,6 +133,12 @@ def main() -> int:
             "q_multimodal_decode": lambda: qs["multimodal_decode_resize"](
                 spark, sf_dir
             ),
+            # round-7 addition: Hudi MOR snapshot (timeline replay, base
+            # parquet + HoodieLogFormat Avro/delete blocks merged per
+            # record key) -- the most involved open-format read path
+            "q_table_hudi_mor_read": lambda: qs["table_hudi_mor_read"](
+                spark, sf_dir
+            ),
         }
     )
 
