@@ -110,13 +110,13 @@ def scan_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declare(
     "orders_market_basket",
     oracle="""
-    WITH basket AS (
+    WITH basket AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ), n_orders AS (
       SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM basket
-    ), part_support AS (
+    ), part_support AS MATERIALIZED (
       SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS sup FROM basket GROUP BY l_partkey
-    ), pair_support AS (
+    ), pair_support AS MATERIALIZED (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
              CAST(COUNT(*) AS BIGINT) AS co
       FROM basket a JOIN basket b
