@@ -112,3 +112,121 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stats, "round bigint, n_nodes bigint, n_edges bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means TRAINING (full Lloyd rounds, oracle-checked)
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ROUNDS = 3
+KM_DIM = 64
+
+
+def _km_oracle(k: int, rounds: int, dim: int) -> str:
+    """DuckDB replay of the identical quantized Lloyd iteration: every
+    CTE MATERIALIZED (multi-referenced), centroid updates rounded to 6
+    decimals exactly like the Spark side, so each round's assignment is
+    argmax over BIT-IDENTICAL centroid values in both engines."""
+    ctes = [
+        f"""cent1 AS MATERIALIZED (
+      SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings ORDER BY vec_id LIMIT {k})"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+      SELECT vec_id, c_id AS cluster, cos FROM (
+        SELECT e.vec_id, c.c_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), c.ce) AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_dot_product(
+                                    CAST(e.embedding AS DOUBLE[]), c.ce) DESC,
+                                  c.c_id) AS rn
+        FROM embeddings e CROSS JOIN cent{r} c) WHERE rn = 1)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""cent{r + 1} AS MATERIALIZED (
+      SELECT cluster AS c_id, list(v ORDER BY dim) AS ce FROM (
+        SELECT a.cluster, t.i AS dim,
+               ROUND(AVG(CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE)), 6) AS v
+        FROM a{r} a JOIN embeddings e USING (vec_id)
+        CROSS JOIN range(1, {dim + 1}) t(i)
+        GROUP BY a.cluster, t.i)
+      GROUP BY cluster)"""
+            )
+    stats = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({r} AS BIGINT) AS round, CAST(cluster AS BIGINT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs, ROUND(AVG(cos), 4) AS mean_cos
+    FROM a{r} GROUP BY cluster"""
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + stats
+
+
+@declare("ml_kmeans_train", oracle=_km_oracle(KM_K, KM_ROUNDS, KM_DIM))
+def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means TRAINING, oracle-checked end to end -- rare for an
+    iterative ML fit and possible because every source of cross-engine
+    drift is pinned: deterministic seeds (K lowest vec_ids), a fixed
+    round count, and centroid updates QUANTIZED to 6 decimals so both
+    engines argmax over bit-identical centroids each round.  Output is
+    the per-round training curve (cluster sizes + mean best-cosine).
+
+    Scale shape per round: assignment is a broadcast of K centroids +
+    map-side argmax (max-of-struct partial agg); the update is one
+    posexplode + groupBy(cluster, dim) -- K*dim accumulators; only
+    K*dim rounded doubles ever reach the driver (the same sufficient-
+    statistics bound as ml_train_ols)."""
+    from ..functions.vectors import cosine_expr, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("ev")
+    )
+    cents = [
+        (int(r["vec_id"]), list(r["ev"]))
+        for r in emb.orderBy("vec_id").limit(KM_K).collect()
+    ]  # bounded: K seed vectors
+    emb = emb.cache()
+
+    stats: list[tuple[int, int, int, float]] = []
+    for r in range(1, KM_ROUNDS + 1):
+        cent_df = F.broadcast(
+            spark.createDataFrame(cents, "c_id long, ce array<double>")
+        )
+        scored = emb.crossJoin(cent_df).select(
+            "vec_id",
+            "c_id",
+            cosine_expr(F.col("ev"), F.col("ce")).alias("cos"),
+        )
+        assign = scored.groupBy("vec_id").agg(
+            F.max(F.struct(F.col("cos"), (-F.col("c_id")).alias("neg_c"))).alias("b")
+        ).select(
+            "vec_id",
+            (-F.col("b.neg_c")).cast("long").alias("cluster"),
+            F.col("b.cos").alias("cos"),
+        )
+        for row in assign.groupBy("cluster").agg(
+            F.count("*").alias("n"), F.round(F.avg("cos"), 4).alias("mc")
+        ).collect():
+            stats.append((r, int(row["cluster"]), int(row["n"]), float(row["mc"])))
+        if r < KM_ROUNDS:
+            upd = (
+                assign.join(emb, "vec_id")
+                .select("cluster", F.posexplode("ev").alias("dim", "val"))
+                .groupBy("cluster", "dim")
+                .agg(F.round(F.avg("val"), 6).alias("v"))
+                .collect()
+            )  # bounded: K*dim rounded doubles
+            by_c: dict[int, dict[int, float]] = {}
+            for row in upd:
+                by_c.setdefault(int(row["cluster"]), {})[int(row["dim"])] = float(row["v"])
+            cents = [
+                (c, [dims[i] for i in range(KM_DIM)])
+                for c, dims in sorted(by_c.items())
+            ]
+    emb.unpersist()
+    return spark.createDataFrame(
+        sorted(stats), "round bigint, cluster bigint, n_vecs bigint, mean_cos double"
+    )
