@@ -320,3 +320,56 @@ def stream_hudi_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def _hudi_part_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) a CoW Hudi table of orders PARTITIONED by
+    o_orderstatus (3 partitions, non-hive-style value dirs)."""
+    from ..sources.hudi import hudi_write
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudipart".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"orders_hudipart_{digest}")
+    if not os.path.isdir(os.path.join(path, ".hoodie")):
+        with _atomic_layout(path) as tmp:
+            orders = load_table(spark, sf_dir, "orders")
+            hudi_write(spark, tmp, orders, record_key="o_orderkey",
+                       partition_field="o_orderstatus")
+    return path
+
+
+@declare(
+    "table_hudi_partition_pruned",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def table_hudi_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi PARTITIONED table (orders by o_orderstatus) read with
+    partition pruning: slice resolution drops the other partitions
+    DRIVER-SIDE, so Spark never lists their files (inputFiles pinned to
+    the one partition dir in tests/test_hudi.py) -- the planning
+    property that matters at 100 TB, where a status predicate must not
+    touch two-thirds of the lake.  Oracle filters the original orders
+    to the same partition; agreement proves the partitioned layout
+    holds every row of exactly that partition."""
+    from ..sources.hudi import hudi_scan
+
+    path = _hudi_part_layout(spark, sf_dir)
+    s = hudi_scan(spark, path, partitions=["F"])
+    return s.groupBy(F.year("o_orderdate").cast("long").alias("yr")).agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double")
+            / 100.0
+        ).alias("revenue"),
+    )

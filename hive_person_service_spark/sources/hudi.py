@@ -220,8 +220,11 @@ def _commit(
     md = _meta_dir(table)
     open(os.path.join(md, f"{instant}.{action}.requested"), "w").close()
     open(os.path.join(md, f"{instant}.{action}.inflight"), "w").close()
+    by_part: dict[str, list[dict]] = {}
+    for s in write_stats:
+        by_part.setdefault(s.get("partitionPath", ""), []).append(s)
     meta = {
-        "partitionToWriteStats": {"": write_stats},
+        "partitionToWriteStats": by_part or {"": []},
         "compacted": operation == "compact",
         "operationType": operation.upper(),
         "fileIdAndRelativePaths": {s["fileId"]: s["path"] for s in write_stats},
@@ -261,35 +264,54 @@ def _file_slices(table: str, as_of: str | None = None) -> dict[str, dict]:
     for t, a in done:
         meta = _read_instant(table, t, a)
         if a == "replacecommit":
-            for fid in meta.get("partitionToReplaceFileIds", {}).get("", []):
-                replaced[fid] = max(t, replaced.get(fid, ""))
+            for fids in meta.get("partitionToReplaceFileIds", {}).values():
+                for fid in fids:
+                    replaced[fid] = max(t, replaced.get(fid, ""))
         if a == "deltacommit":
-            for st in meta.get("partitionToWriteStats", {}).get("", []):
-                if st.get("logFile"):
-                    log_membership[os.path.basename(st["path"])] = t
+            for stats in meta.get("partitionToWriteStats", {}).values():
+                for st in stats:
+                    if st.get("logFile"):
+                        log_membership[os.path.basename(st["path"])] = t
+
+    # partition dirs are one level deep (non-hive-style: the dir name IS
+    # the partition value); "" = the table root itself
+    part_dirs = [("", table)]
+    for entry in sorted(os.listdir(table)):
+        full = os.path.join(table, entry)
+        if (
+            os.path.isdir(full)
+            and entry != META_DIR
+            and not entry.startswith(".")
+        ):
+            part_dirs.append((entry, full))
 
     groups: dict[str, dict] = {}
-    for name in os.listdir(table):
-        m = _BASE_RE.match(name)
-        if not m:
-            continue
-        if m["instant"] not in commit_set:
-            continue  # uncommitted / rolled-back / future base file
-        g = groups.setdefault(m["file_id"], {"base": None, "base_instant": "", "logs": []})
-        if m["instant"] > g["base_instant"]:
-            g["base"] = os.path.join(table, name)
-            g["base_instant"] = m["instant"]
+    for part, pdir in part_dirs:
+        for name in os.listdir(pdir):
+            m = _BASE_RE.match(name)
+            if not m:
+                continue
+            if m["instant"] not in commit_set:
+                continue  # uncommitted / rolled-back / future base file
+            g = groups.setdefault(
+                m["file_id"],
+                {"base": None, "base_instant": "", "logs": [], "partition": part},
+            )
+            if m["instant"] > g["base_instant"]:
+                g["base"] = os.path.join(pdir, name)
+                g["base_instant"] = m["instant"]
 
-    for name in os.listdir(table):
-        m = _LOG_RE.match(name)
-        if not m:
-            continue
-        if name not in log_membership:
-            continue  # log from an uncommitted deltacommit
-        g = groups.get(m["file_id"])
-        if g is None or m["base"] != g["base_instant"]:
-            continue  # stacked on a superseded base: compaction absorbed it
-        g["logs"].append((int(m["version"]), os.path.join(table, name)))
+    for part, pdir in part_dirs:
+        for name in os.listdir(pdir):
+            m = _LOG_RE.match(name)
+            if not m:
+                continue
+            if name not in log_membership:
+                continue  # log from an uncommitted deltacommit
+            g = groups.get(m["file_id"])
+            if g is None or m["base"] != g["base_instant"]:
+                continue  # stacked on a superseded base: compaction absorbed it
+            g["logs"].append((int(m["version"]), os.path.join(pdir, name)))
 
     out = {}
     for fid, g in groups.items():
@@ -400,22 +422,47 @@ def _decode_avro_data(content: bytes, avro_schema: dict) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def _file_id(bucket: int) -> str:
-    return f"{bucket:08d}-0000-0000-0000-000000000000-0"
+def _part_tag(partition: str) -> str:
+    """4-hex tag embedding the partition into the file id, so the same
+    bucket number in two partitions is two distinct file groups (the
+    bucket index is per-partition in real Hudi too)."""
+    if not partition:
+        return "0000"  # non-partitioned ids keep their original form
+    import hashlib as _hl
+
+    return _hl.md5(partition.encode()).hexdigest()[:4]
+
+
+def _file_id(bucket: int, partition: str = "") -> str:
+    return f"{bucket:08d}-{_part_tag(partition)}-0000-0000-000000000000-0"
 
 
 def _bucket_of(key_col, n_buckets: int):
     return F.pmod(F.crc32(key_col.cast("string")), F.lit(n_buckets)).cast("int")
 
 
-def _with_meta(df: DataFrame, record_key: str, instant: str, n_buckets: int) -> DataFrame:
+def _with_meta(
+    df: DataFrame,
+    record_key: str,
+    instant: str,
+    n_buckets: int,
+    partition_field: str | None = None,
+) -> DataFrame:
     """Attach the five Hudi meta columns + the routing bucket."""
     key = F.col(record_key).cast("string")
     bucket = _bucket_of(key, n_buckets)
-    seq = F.row_number().over(Window.partitionBy(bucket).orderBy(key))
+    part = (
+        F.col(partition_field).cast("string") if partition_field else F.lit("")
+    )
+    seq = F.row_number().over(Window.partitionBy(part, bucket).orderBy(key))
+    tag = F.when(part == "", F.lit("0000")).otherwise(
+        F.substring(F.md5(part), 1, 4)
+    )
     fname_expr = F.concat(
         F.format_string("%08d", bucket),
-        F.lit("-0000-0000-0000-000000000000-0_" + _WRITE_TOKEN + "_" + instant + ".parquet"),
+        F.lit("-"),
+        tag,
+        F.lit("-0000-0000-000000000000-0_" + _WRITE_TOKEN + "_" + instant + ".parquet"),
     )
     return df.select(
         F.lit(instant).alias("_hoodie_commit_time"),
@@ -423,7 +470,7 @@ def _with_meta(df: DataFrame, record_key: str, instant: str, n_buckets: int) -> 
             "_hoodie_commit_seqno"
         ),
         key.alias("_hoodie_record_key"),
-        F.lit("").alias("_hoodie_partition_path"),
+        part.alias("_hoodie_partition_path"),
         fname_expr.alias("_hoodie_file_name"),
         *[F.col(c) for c in df.columns],
         bucket.alias("_hoodie_bucket"),
@@ -431,14 +478,20 @@ def _with_meta(df: DataFrame, record_key: str, instant: str, n_buckets: int) -> 
 
 
 def _write_base_files(df_meta: DataFrame, table: str, instant: str) -> list[dict]:
-    """Write one base parquet per touched bucket (Spark does the data
-    movement -- repartition by bucket, one file per value dir -- the
-    driver only renames into Hudi's ``<fileId>_<token>_<instant>``
-    naming) and return the write stats."""
+    """Write one base parquet per touched file group (Spark does the
+    data movement -- repartition by (partition, bucket), one file per
+    value dir -- the driver only renames into Hudi's partition-dir +
+    ``<fileId>_<token>_<instant>`` naming) and return the write stats."""
+    from urllib.parse import unquote
+
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex[:8]}")
     fname = F.concat(
         F.format_string("%08d", F.col("_hoodie_bucket")),
-        F.lit(f"-0000-0000-0000-000000000000-0_{_WRITE_TOKEN}_{instant}.parquet"),
+        F.lit("-"),
+        F.when(F.col("_hoodie_partition_path") == "", F.lit("0000")).otherwise(
+            F.substring(F.md5(F.col("_hoodie_partition_path")), 1, 4)
+        ),
+        F.lit(f"-0000-0000-000000000000-0_{_WRITE_TOKEN}_{instant}.parquet"),
     )
     spark = df_meta.sparkSession
     # INT96 (Spark's default) kills footer stats and round-trips as ns
@@ -448,9 +501,13 @@ def _write_base_files(df_meta: DataFrame, table: str, instant: str) -> list[dict
     try:
         (
             df_meta.withColumn("_hoodie_file_name", fname)
-            .repartition(F.col("_hoodie_bucket"))
+            # _hp duplicates the partition path because partitionBy
+            # REMOVES its columns from the files, and real Hudi keeps
+            # _hoodie_partition_path materialized in every base file
+            .withColumn("_hp", F.col("_hoodie_partition_path"))
+            .repartition(F.col("_hp"), F.col("_hoodie_bucket"))
             .write.mode("overwrite")
-            .partitionBy("_hoodie_bucket")
+            .partitionBy("_hp", "_hoodie_bucket")
             .parquet(staging)
         )
     finally:
@@ -459,26 +516,36 @@ def _write_base_files(df_meta: DataFrame, table: str, instant: str) -> list[dict
         else:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev_tst)
     stats = []
-    for entry in sorted(os.listdir(staging)):
-        if not entry.startswith("_hoodie_bucket="):
+    for pdir in sorted(os.listdir(staging)):
+        if not pdir.startswith("_hp="):
             continue
-        bucket = int(entry.split("=")[1])
-        srcdir = os.path.join(staging, entry)
-        parts = [f for f in os.listdir(srcdir) if f.endswith(".parquet")]
-        if len(parts) != 1:  # repartition(col) guarantees one, but be loud
-            raise RuntimeError(f"hudi: expected 1 file per bucket, got {parts}")
-        fid = _file_id(bucket)
-        name = f"{fid}_{_WRITE_TOKEN}_{instant}.parquet"
-        os.rename(os.path.join(srcdir, parts[0]), os.path.join(table, name))
-        stats.append(
-            {
-                "fileId": fid,
-                "path": name,
-                "prevCommit": "null",
-                "numWrites": 0,
-                "totalWriteBytes": os.path.getsize(os.path.join(table, name)),
-            }
-        )
+        partition = unquote(pdir.split("=", 1)[1])
+        if partition == "__HIVE_DEFAULT_PARTITION__":
+            partition = ""
+        dest_dir = os.path.join(table, partition) if partition else table
+        os.makedirs(dest_dir, exist_ok=True)
+        for entry in sorted(os.listdir(os.path.join(staging, pdir))):
+            if not entry.startswith("_hoodie_bucket="):
+                continue
+            bucket = int(entry.split("=")[1])
+            srcdir = os.path.join(staging, pdir, entry)
+            parts = [f for f in os.listdir(srcdir) if f.endswith(".parquet")]
+            if len(parts) != 1:  # repartition(cols) guarantees one, but be loud
+                raise RuntimeError(f"hudi: expected 1 file per group, got {parts}")
+            fid = _file_id(bucket, partition)
+            name = f"{fid}_{_WRITE_TOKEN}_{instant}.parquet"
+            os.rename(os.path.join(srcdir, parts[0]), os.path.join(dest_dir, name))
+            rel = os.path.join(partition, name) if partition else name
+            stats.append(
+                {
+                    "fileId": fid,
+                    "path": rel,
+                    "partitionPath": partition,
+                    "prevCommit": "null",
+                    "numWrites": 0,
+                    "totalWriteBytes": os.path.getsize(os.path.join(dest_dir, name)),
+                }
+            )
     import shutil
 
     shutil.rmtree(staging, ignore_errors=True)
@@ -494,6 +561,7 @@ def hudi_write(
     mode: str = "upsert",
     precombine: str | None = None,
     n_buckets: int = 4,
+    partition_field: str | None = None,
 ) -> str:
     """Insert/upsert ``df`` into a Hudi table (creating it if absent).
 
@@ -512,7 +580,7 @@ def hudi_write(
     slices = _file_slices(table)
     schema_json = json.dumps(spark_to_avro_schema(df.schema, "HoodieTableSchema"))
 
-    df_meta = _with_meta(df, record_key, instant, n_buckets)
+    df_meta = _with_meta(df, record_key, instant, n_buckets, partition_field)
 
     if mode == "insert_overwrite":
         stats = _write_base_files(df_meta, table, instant)
@@ -527,52 +595,59 @@ def hudi_write(
         return instant
 
     touched = {
-        int(r[0]): r[1]
-        for r in df_meta.groupBy("_hoodie_bucket").count().collect()
-    }  # bounded: one row per bucket, never per record
-    existing = {int(fid.split("-")[0]) for fid in slices}
-    new_buckets = sorted(set(touched) - existing)
-    upd_buckets = sorted(set(touched) & existing)
+        (r["_hoodie_partition_path"], int(r["_hoodie_bucket"])): int(r["count"])
+        for r in df_meta.groupBy("_hoodie_partition_path", "_hoodie_bucket")
+        .count()
+        .collect()
+    }  # bounded: one row per touched FILE GROUP, never per record
+    fid_of = {pb: _file_id(pb[1], pb[0]) for pb in touched}
+    upd_groups = sorted(pb for pb in touched if fid_of[pb] in slices)
+    new_groups = sorted(pb for pb in touched if fid_of[pb] not in slices)
+    gkey = F.concat_ws(
+        "\x01", F.col("_hoodie_partition_path"), F.col("_hoodie_bucket").cast("string")
+    )
+
+    def _keys(groups):
+        return ["\x01".join([p, str(b)]) for p, b in groups]
 
     stats: list[dict] = []
     if ttype == "cow":
-        # rewrite each touched existing bucket: merged = incoming wins
-        if upd_buckets:
-            fids = [_file_id(b) for b in upd_buckets]
+        # rewrite each touched existing file group: merged = incoming wins
+        if upd_groups:
+            fids = [fid_of[pb] for pb in upd_groups]
             old = _read_base(spark, table, [slices[f]["base"] for f in fids])
             old = old.withColumn(
                 "_hoodie_bucket",
                 _bucket_of(F.col("_hoodie_record_key"), n_buckets),
             )
-            inc = df_meta.where(F.col("_hoodie_bucket").isin(upd_buckets))
+            inc = df_meta.where(gkey.isin(_keys(upd_groups)))
             merged = _latest_per_key(inc.unionByName(old))
             stats += _write_base_files(merged, table, instant)
-        if new_buckets:
+        if new_groups:
             stats += _write_base_files(
-                df_meta.where(F.col("_hoodie_bucket").isin(new_buckets)), table, instant
+                df_meta.where(gkey.isin(_keys(new_groups))), table, instant
             )
         _commit(table, instant, "commit", stats, "upsert", schema_json=schema_json)
     else:
-        if new_buckets:
+        if new_groups:
             stats += _write_base_files(
-                df_meta.where(F.col("_hoodie_bucket").isin(new_buckets)), table, instant
+                df_meta.where(gkey.isin(_keys(new_groups))), table, instant
             )
         schema = df_meta.drop("_hoodie_bucket").schema
         avro_schema = spark_to_avro_schema(schema, "HoodieRecord")
-        for b in upd_buckets:
-            fid = _file_id(b)
+        for p, b in upd_groups:
+            fid = fid_of[(p, b)]
             base_instant = slices[fid]["base_instant"]
             pdf = (
-                df_meta.where(F.col("_hoodie_bucket") == b)
+                df_meta.where(gkey == "\x01".join([p, str(b)]))
                 .drop("_hoodie_bucket")
                 .toPandas()
-            )  # one bucket's delta -- the same bounded batch a real
+            )  # one file group's delta -- the same bounded batch a real
             # writer buffers before sealing a log block
             records = _pdf_to_records(pdf, schema)
-            version = sum(
-                1 for p in slices[fid]["logs"]
-            ) + 1
+            version = len(slices[fid]["logs"]) + 1
             name = f".{fid}_{base_instant}.log.{version}_{_WRITE_TOKEN}"
+            rel = os.path.join(p, name) if p else name
             out = io.BytesIO()
             _write_log_block(
                 out,
@@ -583,12 +658,13 @@ def hudi_write(
                 },
                 _encode_avro_data(records, avro_schema),
             )
-            with open(os.path.join(table, name), "wb") as fh:
+            with open(os.path.join(table, rel), "wb") as fh:
                 fh.write(out.getvalue())
             stats.append(
                 {
                     "fileId": fid,
-                    "path": name,
+                    "path": rel,
+                    "partitionPath": p,
                     "logFile": True,
                     "prevCommit": base_instant,
                     "totalWriteBytes": out.tell(),
@@ -607,6 +683,13 @@ def hudi_delete(spark: SparkSession, table: str, keys: list[str], n_buckets: int
     ttype = _table_type(table)
     instant = _next_instant(table)
     slices = _file_slices(table)
+    if any(g.get("partition") for g in slices.values()):
+        raise ValueError(
+            "hudi_delete: key-only deletes need a GLOBAL index to locate "
+            "partitions; this client ships the (non-global) bucket index, "
+            "so deletes on partitioned tables are not supported -- delete "
+            "with (key, partition) routing or rewrite via insert_overwrite"
+        )
     by_bucket: dict[int, list[str]] = {}
     for k in keys:
         b = _crc32_bucket(str(k), n_buckets)
@@ -766,6 +849,7 @@ def hudi_scan(
     mode: str = "snapshot",
     as_of: str | None = None,
     drop_meta: bool = True,
+    partitions: list[str] | None = None,
 ) -> DataFrame:
     """Read a Hudi table.
 
@@ -776,6 +860,12 @@ def hudi_scan(
     returned).  The data path is one multi-file parquet scan --
     predicate pushdown and column pruning flow through untouched."""
     slices = _file_slices(table, as_of=as_of)
+    if partitions is not None:
+        # PARTITION PRUNING, driver-side from the slice map: at 100 TB
+        # the scan plan never even lists the skipped partitions\' files
+        slices = {
+            fid: g for fid, g in slices.items() if g["partition"] in partitions
+        }
     if not slices:
         raise ValueError(f"hudi: no completed file slices in {table!r}")
     if mode == "read_optimized" or _table_type(table) == "cow":
@@ -807,8 +897,9 @@ def hudi_incremental(
     touched: set[str] = set()
     for t, a in window_commits:
         meta = _read_instant(table, t, a)
-        for st in meta.get("partitionToWriteStats", {}).get("", []):
-            touched.add(st["fileId"])
+        for stats_list in meta.get("partitionToWriteStats", {}).values():
+            for st in stats_list:
+                touched.add(st["fileId"])
     slices = _file_slices(table, as_of=end)
     picked = {fid: s for fid, s in slices.items() if fid in touched}
     if not picked:

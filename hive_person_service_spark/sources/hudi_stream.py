@@ -142,7 +142,12 @@ def _instant_rows(table: str, instant: str, action: str, skip_change: bool) -> l
     names_types = _avro_field_types(_latest_schema(table))
     names = [n for n, _t in names_types]
     rows: list[tuple] = []
-    for st in meta.get("partitionToWriteStats", {}).get("", []):
+    all_stats = [
+        st
+        for stats_list in meta.get("partitionToWriteStats", {}).values()
+        for st in stats_list
+    ]
+    for st in all_stats:
         full = os.path.join(table, st["path"])
         if st.get("logFile"):
             with open(full, "rb") as fh:

@@ -316,3 +316,52 @@ def test_hudi_tail_delete_gates_unless_skipped(spark, people, tmp_path):
         .load()
     )
     assert skipped.count() == 100  # delete commit skipped whole
+
+
+# ---------------------------------------------------------------------------
+# partitioned tables
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_roundtrip_and_upsert(spark, tmp_path):
+    rows = [(i, ["red", "green", "blue"][i % 3], float(i)) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "id long, color string, bal double")
+    t = _fresh(tmp_path, "cow_part")
+    hudi_write(spark, t, df, record_key="id", partition_field="color")
+    # files live under <partition>/ dirs, partition column materialized
+    assert os.path.isdir(os.path.join(t, "red"))
+    got = hudi_scan(spark, t, drop_meta=False)
+    assert got.count() == 60
+    bad = got.where(F.col("_hoodie_partition_path") != F.col("color")).count()
+    assert bad == 0
+    # upsert one partition's keys: only that partition's groups rewrite
+    upd = df.where("id in (3, 6)").withColumn("bal", F.lit(0.0))
+    hudi_write(spark, t, upd, record_key="id", partition_field="color")
+    vals = {r["id"]: r["bal"] for r in hudi_scan(spark, t).collect()}
+    assert vals[3] == 0.0 and vals[6] == 0.0 and vals[4] == 4.0
+    assert len(vals) == 60  # no duplicated file groups across partitions
+
+
+def test_partition_pruning_limits_files_read(spark, tmp_path):
+    rows = [(i, ["red", "green", "blue"][i % 3], float(i)) for i in range(1, 61)]
+    df = spark.createDataFrame(rows, "id long, color string, bal double")
+    t = _fresh(tmp_path, "cow_prune")
+    hudi_write(spark, t, df, record_key="id", partition_field="color")
+    pruned = hudi_scan(spark, t, partitions=["red"])
+    assert {r["color"] for r in pruned.collect()} == {"red"}
+    # the PLAN only lists the pruned partition's files (driver-side
+    # pruning happens before Spark ever sees paths)
+    files = pruned.inputFiles()
+    assert files and all("/red/" in f for f in files)
+    n_red_files = len([f for f in os.listdir(os.path.join(t, "red"))
+                       if f.endswith(".parquet")])
+    assert len(files) == n_red_files
+
+
+def test_partitioned_delete_gates(spark, tmp_path):
+    rows = [(i, "p" + str(i % 2), float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, part string, bal double")
+    t = _fresh(tmp_path, "cow_delgate")
+    hudi_write(spark, t, df, record_key="id", partition_field="part")
+    with pytest.raises(ValueError, match="GLOBAL index"):
+        hudi_delete(spark, t, ["1"])
