@@ -110,11 +110,18 @@ _CERT_PRIORITY = [
     # A (r5): Avro landing-zone round-trip (oracle-checked source row
     # in place of rows-only agg_approx_distinct, which stays declared)
     "source_avro_roundtrip",
-    # D: aggregates
+    # D: aggregates (r7: agg_grouping_sets' slot showcases the Hudi
+    # MERGE_ON_READ snapshot -- base parquet + HoodieLogFormat log
+    # blocks merged per record key, the round's most involved read
+    # path; multi-grain aggregation stays driver-covered by agg_rollup,
+    # and agg_grouping_sets stays declared + selfchecked)
     "agg_groupby", "agg_count_distinct",
-    "agg_rollup", "agg_grouping_sets", "agg_percentile", "agg_stats",
-    # E: windows
-    "win_rank", "win_lag_lead", "win_running_sum", "win_topk_per_group",
+    "agg_rollup", "table_hudi_mor_read", "agg_percentile", "agg_stats",
+    # E: windows (r7: win_topk_per_group's slot showcases ml_train_ols,
+    # the oracle-checked distributed MODEL FIT -- the ranking machinery
+    # stays driver-covered by win_rank, and win_topk_per_group stays
+    # declared + selfchecked)
+    "win_rank", "win_lag_lead", "win_running_sum", "ml_train_ols",
     # F: sort / limit
     "sort_global", "sort_limit_topk",
     # G: set ops
