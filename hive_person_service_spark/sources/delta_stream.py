@@ -6,14 +6,21 @@ streaming-source contract: append commits stream through; commits that
 CHANGE existing data fail the stream unless ``skipChangeCommits`` is
 set, exactly delta-spark's option of the same name).
 
-Scale note: this uses SimpleDataSourceStreamReader, whose batch rows
-materialize in the driver-side reader (the documented Spark contract
-for the simple API) -- right for control-plane-size tails and for
-pinning semantics; a partitioned DataSourceStreamReader serving file
-splits is the drop-in upgrade path at volume. Offsets are exact and
-replayable: readBetweenOffsets re-serves any (start, end] version range
-deterministically, which is what gives the downstream checkpoint
-exactly-once.
+Scale posture (round 8): the default reader is a PARTITIONED
+``DataSourceStreamReader`` -- the driver plans each micro-batch from
+the JSON commit log ONLY (never opening a data file) and emits one
+``InputPartition`` per add-action parquet file; row decode happens in
+``read(partition)`` on the EXECUTORS, so streamed bytes never funnel
+through the driver.  That is the shape that survives a 100 TB stream:
+driver work is O(#files of metadata), data work is parallel across the
+cluster.  ``.option("simpleReader", "true")`` opts back into the
+previous ``SimpleDataSourceStreamReader`` (driver-side rows) -- kept so
+tests can pin that both faces serve identical batches.
+
+Offsets are exact and replayable either way: ``partitions(start, end)``
+(or the simple reader's ``readBetweenOffsets``) re-plans any
+(start, end] version range deterministically, which is what gives the
+downstream checkpoint exactly-once.
 
 Rows are decoded with pyarrow straight from the add-actions' parquet
 (deletion-vector-free by the append-only contract); hive partition
@@ -27,9 +34,12 @@ import json
 import os
 from datetime import date
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
@@ -72,14 +82,13 @@ def _typed_partition(raw: str | None, spark_type: str):
     return raw
 
 
-def _version_rows(table: str, v: int, fields: list[dict],
-                  skip_change: bool) -> list[tuple]:
-    """All rows ADDED at version v, in schema field order. A commit that
-    changes existing data (remove actions or deletion vectors) raises
-    unless skip_change, in which case it is skipped whole -- the
-    delta-spark semantics."""
-    import pyarrow.parquet as papq
-
+def _version_add_payloads(table: str, v: int, fields: list[dict],
+                          skip_change: bool) -> list[dict]:
+    """Driver-side planning for version v: the add-action data files as
+    picklable payloads -- METADATA ONLY, no data file is opened here.
+    A commit that changes existing data (remove actions or deletion
+    vectors) raises unless skip_change, in which case it is skipped
+    whole -- the delta-spark semantics."""
     actions = _read_version_actions(table, v)
     changes_existing = any(
         "remove" in a
@@ -94,41 +103,67 @@ def _version_rows(table: str, v: int, fields: list[dict],
             "Delta source requires append-only commits "
             "(set skipChangeCommits=true to skip them)"
         )
-    rows: list[tuple] = []
     names = [f["name"] for f in fields]
     type_of = {
         f["name"]: f["type"] if isinstance(f["type"], str) else "complex"
         for f in fields
     }
+    payloads: list[dict] = []
     for a in actions:
         add = a.get("add")
         if not add or not add.get("dataChange", True):
             continue
-        full = os.path.join(table, add["path"])
-        tbl = papq.read_table(full)
-        pv = add.get("partitionValues") or {}
-        file_cols = set(tbl.column_names)
-        cols = {
-            n: tbl.column(n).to_pylist() if n in file_cols else None
+        payloads.append({
+            "file": os.path.join(table, add["path"]),
+            "names": names,
+            "type_of": type_of,
+            "part_raw": add.get("partitionValues") or {},
+        })
+    return payloads
+
+
+def _payload_rows(p: dict):
+    """Decode ONE add-action file to rows in schema field order.  This
+    is the executor-side half: the only place delta_tail opens a data
+    file.  Hive partition columns (absent from the file) re-attach from
+    the add's partitionValues, typed from the table schema."""
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(p["file"])
+    names = p["names"]
+    file_cols = set(tbl.column_names)
+    cols = {
+        n: tbl.column(n).to_pylist() if n in file_cols else None
+        for n in names
+    }
+    part_vals = {
+        n: _typed_partition(p["part_raw"].get(n), p["type_of"][n])
+        for n in names
+        if n not in file_cols
+    }
+    for i in range(tbl.num_rows):
+        yield tuple(
+            cols[n][i] if cols[n] is not None else part_vals[n]
             for n in names
-        }
-        n_rows = tbl.num_rows
-        part_vals = {
-            n: _typed_partition(pv.get(n), type_of[n])
-            for n in names
-            if n not in file_cols
-        }
-        for i in range(n_rows):
-            rows.append(
-                tuple(
-                    cols[n][i] if cols[n] is not None else part_vals[n]
-                    for n in names
-                )
-            )
+        )
+
+
+def _version_rows(table: str, v: int, fields: list[dict],
+                  skip_change: bool) -> list[tuple]:
+    """All rows ADDED at version v (simple-reader / batch face)."""
+    rows: list[tuple] = []
+    for p in _version_add_payloads(table, v, fields, skip_change):
+        rows.extend(_payload_rows(p))
     return rows
 
 
-class DeltaTailStreamReader(SimpleDataSourceStreamReader):
+class DeltaTailStreamReader(DataSourceStreamReader):
+    """Partitioned stream reader (the default).  latestOffset() and
+    partitions() run on the DRIVER over the JSON commit log only;
+    read(partition) decodes one add-action parquet file on an EXECUTOR.
+    One InputPartition per data file => a multi-file commit fans out
+    across the cluster."""
+
     def __init__(self, options):
         self.table = options.get("table")
         if not self.table:
@@ -137,12 +172,56 @@ class DeltaTailStreamReader(SimpleDataSourceStreamReader):
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
         self.starting = int(options.get("startingVersion", "0"))
-        # default: drain ALL pending versions in one micro-batch --
-        # SimpleDataSourceStreamReader takes a single batch under
-        # Trigger.AvailableNow (the repo-documented fallback), so a
-        # too-small cap would truncate availableNow drains; lower it
-        # (the maxFilesPerTrigger analog) only with a processing-time
-        # trigger + run_stream_until_idle
+        # rate limit analog of maxFilesPerTrigger: at most this many log
+        # versions per micro-batch, measured from the last COMMITTED
+        # offset (availableNow still drains everything, batch by batch)
+        self.max_versions = int(options.get("maxVersionsPerBatch", "1000000"))
+        self.fields = _table_schema_fields(self.table)
+        self._committed = self.starting - 1
+
+    def initialOffset(self):
+        return {"version": self.starting - 1}
+
+    def latestOffset(self):
+        pending = [
+            v for v in _log_versions(self.table) if v > self._committed
+        ][: self.max_versions]
+        return {"version": pending[-1] if pending else self._committed}
+
+    def partitions(self, start, end):
+        parts: list[InputPartition] = []
+        for v in _log_versions(self.table):
+            if start["version"] < v <= end["version"]:
+                for p in _version_add_payloads(
+                    self.table, v, self.fields, self.skip_change
+                ):
+                    parts.append(InputPartition(p))
+        # a batch may be all skipped change-commits; Spark still wants a
+        # partition list, so hand it one empty sentinel
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return iter(())
+        return _payload_rows(partition.value)
+
+    def commit(self, end):
+        self._committed = max(self._committed, end["version"])
+
+
+class DeltaTailSimpleStreamReader(SimpleDataSourceStreamReader):
+    """The pre-round-8 simple reader (driver-side rows), kept behind
+    .option('simpleReader', 'true') so tests can pin that the
+    partitioned face serves identical batches."""
+
+    def __init__(self, options):
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("delta_tail requires .option('table', <path>)")
+        self.skip_change = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        self.starting = int(options.get("startingVersion", "0"))
         self.max_versions = int(options.get("maxVersionsPerBatch", "1000000"))
         self.fields = _table_schema_fields(self.table)
 
@@ -173,7 +252,8 @@ class DeltaTailStreamReader(SimpleDataSourceStreamReader):
 
 
 class DeltaTailBatchReader(DataSourceReader):
-    """Batch face: the whole log replayed append-only (same contract)."""
+    """Batch face: the whole log replayed append-only (same contract),
+    one InputPartition per add-action file (executor-side decode)."""
 
     def __init__(self, options):
         self.table = options.get("table")
@@ -182,11 +262,19 @@ class DeltaTailBatchReader(DataSourceReader):
         )
         self.fields = _table_schema_fields(self.table)
 
-    def read(self, partition):
+    def partitions(self):
+        parts = []
         for v in _log_versions(self.table):
-            yield from _version_rows(
+            for p in _version_add_payloads(
                 self.table, v, self.fields, self.skip_change
-            )
+            ):
+                parts.append(InputPartition(p))
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return iter(())
+        return _payload_rows(partition.value)
 
 
 class DeltaTailDataSource(DataSource):
@@ -201,8 +289,18 @@ class DeltaTailDataSource(DataSource):
     def reader(self, schema):
         return DeltaTailBatchReader(self.options)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
+        if str(self.options.get("simpleReader", "false")).lower() == "true":
+            # raising NOT_IMPLEMENTED is the documented fallback hook:
+            # Spark then wraps simpleStreamReader()
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (simpleReader)"},
+            )
         return DeltaTailStreamReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return DeltaTailSimpleStreamReader(self.options)
 
 
 def register_delta_tail(spark) -> None:
@@ -216,7 +314,9 @@ def register_delta_tail(spark) -> None:
 # monotonic); each batch serves the data files FIRST REFERENCED by the
 # pending snapshots. Append snapshots stream through; snapshots that
 # drop files or add delete files gate precisely unless
-# skipChangeCommits. Same simple-reader scale posture as delta_tail.
+# skipChangeCommits. Same partitioned-reader scale posture as
+# delta_tail: planning walks metadata (manifest lists / manifests) on
+# the driver, rows decode per-file on executors.
 # ---------------------------------------------------------------------------
 
 
@@ -269,10 +369,11 @@ def _ice_snapshot_files(table: str, idx: int) -> tuple[set, set]:
     )
 
 
-def _ice_version_rows(table: str, idx: int, names: list[str],
-                      skip_change: bool) -> list[tuple]:
-    import pyarrow.parquet as papq
-
+def _ice_version_payloads(table: str, idx: int, names: list[str],
+                          skip_change: bool) -> list[dict]:
+    """Driver-side planning for snapshot index idx: the NEWLY referenced
+    data files as payloads (metadata walk only -- manifest lists and
+    manifests, never a data file).  Change snapshots gate here."""
     prev_data, prev_del = _ice_snapshot_files(table, idx - 1)
     cur_data, cur_del = _ice_snapshot_files(table, idx)
     dropped = prev_data - cur_data
@@ -285,25 +386,79 @@ def _ice_version_rows(table: str, idx: int, names: list[str],
             "streaming an Iceberg source requires append-only snapshots "
             "(set skipChangeCommits=true to skip them)"
         )
+    return [
+        {"file": path, "names": names}
+        for path in sorted(cur_data - prev_data)
+    ]
+
+
+def _ice_payload_rows(p: dict):
+    """Executor-side decode of one newly-added Iceberg data file."""
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(p["file"])
+    names = p["names"]
+    file_cols = set(tbl.column_names)
+    cols = {
+        n: tbl.column(n).to_pylist() if n in file_cols else None
+        for n in names
+    }
+    for i in range(tbl.num_rows):
+        yield tuple(
+            cols[n][i] if cols[n] is not None else None for n in names
+        )
+
+
+def _ice_version_rows(table: str, idx: int, names: list[str],
+                      skip_change: bool) -> list[tuple]:
     rows: list[tuple] = []
-    for path in sorted(cur_data - prev_data):
-        tbl = papq.read_table(path)
-        file_cols = set(tbl.column_names)
-        cols = {
-            n: tbl.column(n).to_pylist() if n in file_cols else None
-            for n in names
-        }
-        for i in range(tbl.num_rows):
-            rows.append(
-                tuple(
-                    cols[n][i] if cols[n] is not None else None
-                    for n in names
-                )
-            )
+    for p in _ice_version_payloads(table, idx, names, skip_change):
+        rows.extend(_ice_payload_rows(p))
     return rows
 
 
-class IcebergTailStreamReader(SimpleDataSourceStreamReader):
+class IcebergTailStreamReader(DataSourceStreamReader):
+    """Partitioned stream reader: snapshot planning on the driver, one
+    InputPartition per newly-referenced data file, decode on
+    executors."""
+
+    def __init__(self, options):
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("iceberg_tail requires .option('table', <path>)")
+        self.skip_change = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        self.names = [f.name for f in _ice_schema_fields(self.table).fields]
+
+    def initialOffset(self):
+        return {"index": -1}
+
+    def latestOffset(self):
+        n = len(_ice_meta(self.table).get("snapshots", []))
+        return {"index": n - 1}
+
+    def partitions(self, start, end):
+        parts: list[InputPartition] = []
+        for idx in range(start["index"] + 1, end["index"] + 1):
+            for p in _ice_version_payloads(
+                self.table, idx, self.names, self.skip_change
+            ):
+                parts.append(InputPartition(p))
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return iter(())
+        return _ice_payload_rows(partition.value)
+
+    def commit(self, end):
+        pass
+
+
+class IcebergTailSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Simple (driver-side) face, behind .option('simpleReader','true')."""
+
     def __init__(self, options):
         self.table = options.get("table")
         if not self.table:
@@ -349,12 +504,20 @@ class IcebergTailBatchReader(DataSourceReader):
         )
         self.names = [f.name for f in _ice_schema_fields(self.table).fields]
 
-    def read(self, partition):
+    def partitions(self):
         n = len(_ice_meta(self.table).get("snapshots", []))
+        parts = []
         for idx in range(n):
-            yield from _ice_version_rows(
+            for p in _ice_version_payloads(
                 self.table, idx, self.names, self.skip_change
-            )
+            ):
+                parts.append(InputPartition(p))
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return iter(())
+        return _ice_payload_rows(partition.value)
 
 
 class IcebergTailDataSource(DataSource):
@@ -368,8 +531,16 @@ class IcebergTailDataSource(DataSource):
     def reader(self, schema):
         return IcebergTailBatchReader(self.options)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
+        if str(self.options.get("simpleReader", "false")).lower() == "true":
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (simpleReader)"},
+            )
         return IcebergTailStreamReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return IcebergTailSimpleStreamReader(self.options)
 
 
 def register_iceberg_tail(spark) -> None:

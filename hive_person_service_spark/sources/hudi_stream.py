@@ -24,13 +24,17 @@ The writer schema comes from the newest commit's
 mapped to Spark types WITHOUT a session (the DataSource.schema() hook
 runs in a sessionless worker).
 
-Scale posture: SimpleDataSourceStreamReader, whose batch rows
-materialize in the driver-side reader (the documented Spark contract
-for the simple API) -- right for control-plane-size tails and for
-pinning semantics; a partitioned DataSourceStreamReader serving file
-splits is the drop-in upgrade at volume.  Offsets are exact and
-replayable: readBetweenOffsets re-serves any (start, end] instant range
-deterministically, which gives the downstream checkpoint exactly-once.
+Scale posture (round 8): the default reader is a PARTITIONED
+``DataSourceStreamReader`` -- the driver plans each micro-batch from
+the timeline's commit metadata ONLY (never opening a base or log file)
+and emits one ``InputPartition`` per write-stat file (base parquet or
+log file); decode runs in ``read(partition)`` on the EXECUTORS, so
+streamed bytes never funnel through the driver.
+``.option("simpleReader", "true")`` opts back into the previous
+``SimpleDataSourceStreamReader`` so tests can pin both faces equal.
+Offsets are exact and replayable: ``partitions(start, end)`` re-plans
+any (start, end] instant range deterministically, which gives the
+downstream checkpoint exactly-once.
 """
 
 from __future__ import annotations
@@ -39,9 +43,12 @@ import datetime as _dt
 import json
 import os
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 
@@ -124,11 +131,13 @@ def _from_avro_value(v, t):
     return v
 
 
-def _instant_rows(table: str, instant: str, action: str, skip_change: bool) -> list[tuple]:
-    """Records WRITTEN at `instant` (commit-time filter applies Hudi's
-    incremental semantics), in schema field order."""
-    import pyarrow.parquet as papq
-
+def _instant_payloads(table: str, instant: str, action: str,
+                      skip_change: bool,
+                      names_types: list[tuple]) -> list[dict]:
+    """Driver-side planning for one instant: the write-stat files as
+    picklable payloads -- commit METADATA only, no base/log file is
+    opened here.  replacecommit / DELETE operations gate with a precise
+    error unless skip_change (then the commit is skipped whole)."""
     meta = _read_instant(table, instant, action)
     op = meta.get("operationType", "")
     if action == "replacecommit" or op == "DELETE":
@@ -139,46 +148,74 @@ def _instant_rows(table: str, instant: str, action: str, skip_change: bool) -> l
             "data; streaming a Hudi source requires append/upsert commits "
             "(set skipChangeCommits=true to skip them)"
         )
-    names_types = _avro_field_types(_latest_schema(table))
+    payloads: list[dict] = []
+    for stats_list in meta.get("partitionToWriteStats", {}).values():
+        for st in stats_list:
+            payloads.append({
+                "file": os.path.join(table, st["path"]),
+                "log": bool(st.get("logFile")),
+                "instant": instant,
+                "names_types": names_types,
+                "skip_change": skip_change,
+            })
+    return payloads
+
+
+def _payload_rows(p: dict) -> list[tuple]:
+    """Executor-side decode of one write-stat file (base parquet or
+    HoodieLogFormat log), filtered to rows WRITTEN at the payload's
+    instant (Hudi incremental semantics).  DELETE log blocks -- only
+    discoverable by reading the log content -- gate here with the same
+    error the driver-side planner uses for DELETE commits."""
+    import pyarrow.parquet as papq
+
+    names_types = p["names_types"]
     names = [n for n, _t in names_types]
+    instant = p["instant"]
     rows: list[tuple] = []
-    all_stats = [
-        st
-        for stats_list in meta.get("partitionToWriteStats", {}).values()
-        for st in stats_list
-    ]
-    for st in all_stats:
-        full = os.path.join(table, st["path"])
-        if st.get("logFile"):
-            with open(full, "rb") as fh:
-                blob = fh.read()
-            for btype, header, content in _read_log_blocks(blob):
-                if header.get(HEADER_INSTANT_TIME) != instant:
+    if p["log"]:
+        with open(p["file"], "rb") as fh:
+            blob = fh.read()
+        for btype, header, content in _read_log_blocks(blob):
+            if header.get(HEADER_INSTANT_TIME) != instant:
+                continue
+            if btype == BLOCK_DELETE:
+                if p["skip_change"]:
                     continue
-                if btype == BLOCK_DELETE:
-                    if skip_change:
-                        continue
-                    raise ValueError(
-                        f"hudi_tail: instant {instant} carries a DELETE log "
-                        "block (set skipChangeCommits=true to skip)"
-                    )
-                if btype != BLOCK_AVRO_DATA:
+                raise ValueError(
+                    f"hudi_tail: instant {instant} carries a DELETE log "
+                    "block (set skipChangeCommits=true to skip)"
+                )
+            if btype != BLOCK_AVRO_DATA:
+                continue
+            schema = json.loads(header[HEADER_SCHEMA])
+            for r in _decode_avro_data(content, schema):
+                if r.get("_hoodie_commit_time") != instant:
                     continue
-                schema = json.loads(header[HEADER_SCHEMA])
-                for r in _decode_avro_data(content, schema):
-                    if r.get("_hoodie_commit_time") != instant:
-                        continue
-                    rows.append(
-                        tuple(_from_avro_value(r.get(n), t) for n, t in names_types)
-                    )
-        else:
-            tbl = papq.read_table(full)
-            ct = tbl.column("_hoodie_commit_time").to_pylist()
-            cols = {n: tbl.column(n).to_pylist() for n in names}
-            for i in range(tbl.num_rows):
-                if ct[i] != instant:
-                    continue  # carried-over row from a CoW rewrite
-                rows.append(tuple(_plain(cols[n][i]) for n in names))
+                rows.append(
+                    tuple(_from_avro_value(r.get(n), t)
+                          for n, t in names_types)
+                )
+    else:
+        tbl = papq.read_table(p["file"])
+        ct = tbl.column("_hoodie_commit_time").to_pylist()
+        cols = {n: tbl.column(n).to_pylist() for n in names}
+        for i in range(tbl.num_rows):
+            if ct[i] != instant:
+                continue  # carried-over row from a CoW rewrite
+            rows.append(tuple(_plain(cols[n][i]) for n in names))
+    return rows
+
+
+def _instant_rows(table: str, instant: str, action: str,
+                  skip_change: bool) -> list[tuple]:
+    """Records WRITTEN at `instant`, in schema field order (simple /
+    batch face: plan + decode in one place)."""
+    names_types = _avro_field_types(_latest_schema(table))
+    rows: list[tuple] = []
+    for p in _instant_payloads(table, instant, action, skip_change,
+                               names_types):
+        rows.extend(_payload_rows(p))
     return rows
 
 
@@ -188,7 +225,51 @@ def _plain(v):
     return v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
 
 
-class HudiTailStreamReader(SimpleDataSourceStreamReader):
+class HudiTailStreamReader(DataSourceStreamReader):
+    """Partitioned stream reader (the default): timeline planning on
+    the driver, one InputPartition per write-stat file, decode on
+    executors."""
+
+    def __init__(self, options):
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("hudi_tail requires .option('table', <path>)")
+        self.skip_change = (
+            str(options.get("skipChangeCommits", "false")).lower() == "true"
+        )
+        self.starting = str(options.get("startingInstant", ""))
+        self.names_types = _avro_field_types(_latest_schema(self.table))
+
+    def initialOffset(self):
+        return {"instant": self.starting}
+
+    def latestOffset(self):
+        instants = _completed_instants(self.table)
+        latest = instants[-1][0] if instants else self.starting
+        return {"instant": max(latest, self.starting)}
+
+    def partitions(self, start, end):
+        parts: list[InputPartition] = []
+        for t, a in _completed_instants(self.table):
+            if start["instant"] < t <= end["instant"]:
+                for p in _instant_payloads(
+                    self.table, t, a, self.skip_change, self.names_types
+                ):
+                    parts.append(InputPartition(p))
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return iter(())
+        return iter(_payload_rows(partition.value))
+
+    def commit(self, end):
+        pass
+
+
+class HudiTailSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Simple (driver-side) face, behind .option('simpleReader','true')."""
+
     def __init__(self, options):
         self.table = options.get("table")
         if not self.table:
@@ -224,7 +305,8 @@ class HudiTailStreamReader(SimpleDataSourceStreamReader):
 class HudiTailBatchReader(DataSourceReader):
     """Batch face: the whole timeline replayed incrementally (same
     per-commit filter, so it equals the snapshot for upsert-free
-    tables and the record-version history otherwise)."""
+    tables and the record-version history otherwise), one
+    InputPartition per write-stat file."""
 
     def __init__(self, options):
         self.table = options.get("table")
@@ -232,9 +314,20 @@ class HudiTailBatchReader(DataSourceReader):
             str(options.get("skipChangeCommits", "false")).lower() == "true"
         )
 
-    def read(self, partition):
+    def partitions(self):
+        names_types = _avro_field_types(_latest_schema(self.table))
+        parts = []
         for t, a in _completed_instants(self.table):
-            yield from _instant_rows(self.table, t, a, self.skip_change)
+            for p in _instant_payloads(
+                self.table, t, a, self.skip_change, names_types
+            ):
+                parts.append(InputPartition(p))
+        return parts or [InputPartition(None)]
+
+    def read(self, partition):
+        if partition.value is None:
+            return iter(())
+        return iter(_payload_rows(partition.value))
 
 
 class HudiTailDataSource(DataSource):
@@ -248,8 +341,16 @@ class HudiTailDataSource(DataSource):
     def reader(self, schema):
         return HudiTailBatchReader(self.options)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
+        if str(self.options.get("simpleReader", "false")).lower() == "true":
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader (simpleReader)"},
+            )
         return HudiTailStreamReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return HudiTailSimpleStreamReader(self.options)
 
 
 def register_hudi_tail(spark) -> None:
