@@ -116,9 +116,16 @@ def logreg_train(
     for j in range(k):
         margin = margin + F.lit(w[j]) * F.col(f"_z{j}")
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    # clamp before the logs: a saturated sigmoid (|margin| beyond ~37
+    # in float64) yields p of exactly 0.0/1.0, and Spark's ln of a
+    # non-positive value is NULL -- which would silently DROP the
+    # worst-classified rows from the average loss
+    eps = 1e-15
+    p_safe = F.greatest(F.least(p, F.lit(1.0 - eps)), F.lit(eps))
     row = z.agg(
         F.avg(
-            -F.col("_y") * F.log(p) - (F.lit(1.0) - F.col("_y")) * F.log(F.lit(1.0) - p)
+            -F.col("_y") * F.log(p_safe)
+            - (F.lit(1.0) - F.col("_y")) * F.log(F.lit(1.0) - p_safe)
         ).alias("loss"),
         F.avg(((margin > 0).cast("double") == F.col("_y")).cast("double")).alias("a"),
     ).collect()[0]

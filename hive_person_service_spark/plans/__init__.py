@@ -99,6 +99,16 @@ from . import pipeline52  # noqa: F401,E402  (k-core peel with an unrolled-CTE o
 # 100% relational. Redundant same-family variants (extra filter shapes,
 # set-op ALLs, TPC-H analogs) sort after the prefix; they keep their
 # round-1 driver greens and stay covered by selfcheck/pytest.
+#
+# CERT-ROTATION POLICY (fixed-size window, explicit sign-off per ADVICE
+# r7): each round's showcases may DISPLACE a same-family variant whose
+# family stays driver-covered by another prefix entry.  Rotated out so
+# far -- agg_approx_distinct (r5, rows-only by design), agg_grouping_sets
+# (r7, family covered by agg_rollup), win_topk_per_group (r7, family
+# covered by win_rank), stream_sliding (r6, family covered by
+# stream_tumbling).  Every displaced query stays DECLARED, selfchecked
+# at all three SFs, and pytest-covered; displacement changes which
+# queries land in the driver's 50-query sample, nothing else.
 _CERT_PRIORITY = [
     # A: scan + project (parquet pushdown)
     "scan_project",

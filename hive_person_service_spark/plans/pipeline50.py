@@ -49,7 +49,7 @@ def _hudi_cow_layout(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "supplier.parquet")
     st = os.stat(src)
     digest = hashlib.sha1(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudicow".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudicow8".encode()
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"supplier_hudicow_{digest}")
     if not os.path.isdir(os.path.join(path, ".hoodie")):
@@ -77,7 +77,7 @@ def _hudi_mor_layout(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "supplier.parquet")
     st = os.stat(src)
     digest = hashlib.sha1(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudimor".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudimor8".encode()
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"supplier_hudimor_{digest}")
     if not os.path.isdir(os.path.join(path, ".hoodie")):
@@ -251,7 +251,7 @@ def _hudi_stream_layout(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
     digest = hashlib.sha1(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudistream".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudistream8".encode()
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"orders_hudistream_{digest}")
     if not os.path.isdir(os.path.join(path, ".hoodie")):
@@ -330,7 +330,7 @@ def _hudi_part_layout(spark: SparkSession, sf_dir: str) -> str:
     src = os.path.join(sf_dir, "orders.parquet")
     st = os.stat(src)
     digest = hashlib.sha1(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudipart".encode()
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudipart8".encode()
     ).hexdigest()[:12]
     path = os.path.join(_LAYOUT_ROOT, f"orders_hudipart_{digest}")
     if not os.path.isdir(os.path.join(path, ".hoodie")):
@@ -372,4 +372,153 @@ def table_hudi_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("double")
             / 100.0
         ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# round 8: record-index deletes + CDC read
+# ---------------------------------------------------------------------------
+
+
+def _hudi_keydel_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) a PARTITIONED CoW Hudi table of suppliers
+    (partition = s_nationkey), build its RECORD INDEX, then delete
+    every %9 suppkey BY KEY ONLY -- the operation that needs the
+    global key->partition mapping."""
+    from ..sources.hudi import (
+        hudi_build_record_index,
+        hudi_delete,
+        hudi_write,
+    )
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudikeydel8".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_hudikeydel_{digest}")
+    if not os.path.isdir(os.path.join(path, ".hoodie")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            hudi_write(spark, tmp, sup, record_key="s_suppkey",
+                       partition_field="s_nationkey")
+            hudi_build_record_index(spark, tmp)
+            victims = [
+                str(r[0])
+                for r in sup.where(F.col("s_suppkey") % 9 == 0)
+                .select("s_suppkey")
+                .collect()
+            ]  # bounded: 1-in-9 of a dimension table
+            if victims:
+                hudi_delete(spark, tmp, victims)
+    return path
+
+
+@declare(
+    "table_hudi_key_delete",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(s_acctbal), 2) AS bal,
+           MAX(s_suppkey) AS max_key
+    FROM supplier
+    WHERE s_suppkey % 9 <> 0
+    GROUP BY s_nationkey
+    """,
+)
+def table_hudi_key_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-ONLY deletes on a PARTITIONED Hudi table through the RECORD
+    INDEX (the public metadata-table record-index shape): the bucket
+    index alone cannot locate a key's partition, so hudi_delete resolves
+    victims via a broadcast join against the persisted key->partition
+    index (bounded by the victim count, never a table scan), then
+    routes per (partition, bucket) file group.  The oracle removes the
+    same keys relationally; agreement proves every victim was found in
+    its partition and nothing else was touched.  Closes the round-7
+    gate at sources/hudi.py:688."""
+    from ..sources.hudi import hudi_scan
+
+    path = _hudi_keydel_layout(spark, sf_dir)
+    s = hudi_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.max("s_suppkey").alias("max_key"),
+    )
+
+
+def _hudi_cdc_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) the CDC fixture: insert all suppliers, upsert
+    %10 balances +1000, delete %13 keys (CoW, non-partitioned)."""
+    from ..sources.hudi import hudi_delete, hudi_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudicdc8".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_hudicdc_{digest}")
+    if not os.path.isdir(os.path.join(path, ".hoodie")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            hudi_write(spark, tmp, sup, record_key="s_suppkey")
+            upd = sup.where(F.col("s_suppkey") % 10 == 0).withColumn(
+                "s_acctbal", F.col("s_acctbal") + 1000.0
+            )
+            hudi_write(spark, tmp, upd, record_key="s_suppkey")
+            victims = [
+                str(r[0])
+                for r in sup.where(F.col("s_suppkey") % 13 == 0)
+                .select("s_suppkey")
+                .collect()
+            ]
+            if victims:
+                hudi_delete(spark, tmp, victims)
+    return path
+
+
+@declare(
+    "table_hudi_cdc",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'update_preimage' AS _change_type,
+             CAST(COUNT(*) AS BIGINT) AS n_chg,
+             ROUND(SUM(s_acctbal), 2) AS bal,
+             MAX(s_suppkey) AS max_key
+      FROM supplier WHERE s_suppkey % 10 = 0 HAVING COUNT(*) > 0
+      UNION ALL
+      SELECT 'update_postimage',
+             CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(s_acctbal + 1000.0), 2),
+             MAX(s_suppkey)
+      FROM supplier WHERE s_suppkey % 10 = 0 HAVING COUNT(*) > 0
+      UNION ALL
+      SELECT 'delete',
+             CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(CASE WHEN s_suppkey % 10 = 0
+                            THEN s_acctbal + 1000.0
+                            ELSE s_acctbal END), 2),
+             MAX(s_suppkey)
+      FROM supplier WHERE s_suppkey % 13 = 0 HAVING COUNT(*) > 0
+    )
+    """,
+)
+def table_hudi_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CDC read with BEFORE/AFTER images (the Delta CDF precedent,
+    plans/pipeline44.py): the upsert commit emits update_preimage rows
+    at the ORIGINAL balance and update_postimage rows at +1000; the
+    delete commit emits delete pre-images at the post-upsert state (a
+    %130 key deleted after being updated carries +1000 -- ordering
+    between commits pinned).  Per commit, only the touched file groups'
+    previous and current slices are read, and the diff is one shuffle
+    on the record key over that bounded footprint."""
+    from ..sources.hudi import hudi_cdc, hudi_timeline
+
+    path = _hudi_cdc_layout(spark, sf_dir)
+    first = hudi_timeline(path)[0]["instant"]
+    c = hudi_cdc(spark, path, begin=first)
+    return c.groupBy("_change_type").agg(
+        F.count("*").alias("n_chg"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+        F.max("s_suppkey").alias("max_key"),
     )

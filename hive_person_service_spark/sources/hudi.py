@@ -87,16 +87,21 @@ META_DIR = ".hoodie"
 MAGIC = b"#HUDI#"
 LOG_FORMAT_VERSION = 1
 
-# HoodieLogBlockType ordinals (public enum order)
-BLOCK_COMMAND = 1
-BLOCK_DELETE = 2
-BLOCK_AVRO_DATA = 4
+# HoodieLogBlockType ordinals -- the public enum's 0-BASED ordinal()
+# values as real Hudi writes them on the wire:
+# COMMAND=0, DELETE=1, CORRUPT=2, AVRO_DATA=3 (round-8 fix: these were
+# off by one, which would have made a real Hudi reader parse AVRO_DATA
+# blocks as HFILE blocks)
+BLOCK_COMMAND = 0
+BLOCK_DELETE = 1
+BLOCK_AVRO_DATA = 3
 
-# HeaderMetadataType ordinals (public enum order)
-HEADER_INSTANT_TIME = 1
-HEADER_TARGET_INSTANT = 2
-HEADER_SCHEMA = 3
-HEADER_COMMAND_BLOCK_TYPE = 4
+# HeaderMetadataType ordinals (0-based public ordinal() values:
+# INSTANT_TIME=0, TARGET_INSTANT_TIME=1, SCHEMA=2, COMMAND_BLOCK_TYPE=3)
+HEADER_INSTANT_TIME = 0
+HEADER_TARGET_INSTANT = 1
+HEADER_SCHEMA = 2
+HEADER_COMMAND_BLOCK_TYPE = 3
 
 META_COLS = [
     "_hoodie_commit_time",
@@ -117,6 +122,12 @@ _LOG_RE = re.compile(
 
 _WRITE_TOKEN = "0-1-0"
 
+# DELETE-block payload: (recordKey, partitionPath) records in the
+# repo's length-prefixed Avro framing (_encode_avro_data).  NOTE: real
+# Hudi's delete payload is a versioned HoodieDeleteRecordList (an Avro
+# ARRAY with a format-version prefix); this client's delete blocks are
+# self-compatible only -- the block TYPE ordinal and framing match the
+# public layout, the delete payload encoding does not.
 _DELETE_SCHEMA = {
     "type": "record",
     "name": "HoodieDeleteRecord",
@@ -136,7 +147,8 @@ def _meta_dir(table: str) -> str:
     return os.path.join(table, META_DIR)
 
 
-def _init_table(table: str, table_type: str, record_key: str, precombine: str | None) -> None:
+def _init_table(table: str, table_type: str, record_key: str,
+                precombine: str | None, n_buckets: int = 4) -> None:
     md = _meta_dir(table)
     os.makedirs(md, exist_ok=True)
     props = os.path.join(md, "hoodie.properties")
@@ -150,12 +162,47 @@ def _init_table(table: str, table_type: str, record_key: str, precombine: str | 
         "hoodie.timeline.layout.version=1",
         "hoodie.table.recordkey.fields=" + record_key,
         "hoodie.index.type=BUCKET",
+        # persisted at creation (as real Hudi does) so every later
+        # upsert/delete/compaction routes keys to the SAME file groups;
+        # a conflicting caller-supplied bucket count is rejected
+        "hoodie.bucket.index.num.buckets=" + str(n_buckets),
         "hoodie.datasource.write.hive_style_partitioning=false",
     ]
     if precombine:
         lines.append("hoodie.table.precombine.field=" + precombine)
     with open(props, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def _table_prop(table: str, key: str) -> str | None:
+    props = os.path.join(_meta_dir(table), "hoodie.properties")
+    if not os.path.exists(props):
+        return None
+    with open(props) as fh:
+        for line in fh:
+            if line.startswith(key + "="):
+                return line.rstrip("\n").split("=", 1)[1]
+    return None
+
+
+def _resolve_n_buckets(table: str, caller: int | None) -> int:
+    """The table's persisted bucket count; a DIFFERENT caller-supplied
+    value is an error (it would route keys to file groups that don't
+    match the on-disk layout, silently duplicating keys).  Tables
+    created before the property existed fall back to the caller value
+    (or the default 4)."""
+    stored = _table_prop(table, "hoodie.bucket.index.num.buckets")
+    if stored is None:
+        return caller if caller is not None else 4
+    stored_n = int(stored)
+    if caller is not None and caller != stored_n:
+        raise ValueError(
+            f"hudi: table was created with "
+            f"hoodie.bucket.index.num.buckets={stored_n}; routing with "
+            f"n_buckets={caller} would split keys across mismatched file "
+            "groups -- omit n_buckets or pass the stored value"
+        )
+    return stored_n
 
 
 def _table_type(table: str) -> str:
@@ -188,10 +235,18 @@ def _read_instant(table: str, instant: str, action: str) -> dict:
         return json.load(fh)
 
 
+_MAX_INSTANT_SEQ = 24 * 3600 * 1000 - 1  # one synthetic day of millis
+
+
 def _next_instant(table: str) -> str:
     """Deterministic monotonically increasing 17-digit instant (format
     yyyyMMddHHmmssSSS); derived from the timeline, not the wall clock,
-    so fixture layouts are reproducible byte-for-byte."""
+    so fixture layouts are reproducible byte-for-byte.  The sequence
+    number is encoded into the FULL HHmmssSSS tail as a millisecond
+    offset, so every generated instant is a valid timestamp and the
+    ordering stays monotone for up to 86.4M timeline actions (round-8
+    fix: the old 4-digit counter truncated past 9999 actions and could
+    emit invalid time fields)."""
     done = _completed_instants(table)
     n = len(done) + 1
     md = _meta_dir(table)
@@ -200,7 +255,15 @@ def _next_instant(table: str) -> str:
         # an instant
         seen = {f.split(".")[0] for f in os.listdir(md) if f[0].isdigit()}
         n = max(n, len(seen) + 1)
-    return f"2024010100{n:04d}000"[:17].ljust(17, "0")
+    if n > _MAX_INSTANT_SEQ:
+        raise ValueError(
+            f"hudi: timeline exhausted the representable instant range "
+            f"({n} > {_MAX_INSTANT_SEQ} actions)"
+        )
+    h, rem = divmod(n, 3600 * 1000)
+    m, rem = divmod(rem, 60 * 1000)
+    s, ms = divmod(rem, 1000)
+    return f"20240101{h:02d}{m:02d}{s:02d}{ms:03d}"
 
 
 def _commit(
@@ -560,7 +623,7 @@ def hudi_write(
     table_type: str = "cow",
     mode: str = "upsert",
     precombine: str | None = None,
-    n_buckets: int = 4,
+    n_buckets: int | None = None,
     partition_field: str | None = None,
 ) -> str:
     """Insert/upsert ``df`` into a Hudi table (creating it if absent).
@@ -574,7 +637,9 @@ def hudi_write(
     seen for the first time still get a base file, as real MOR writers
     do).  ``mode="insert_overwrite"`` replaces ALL existing file groups
     via a replacecommit.  Returns the new instant time."""
-    _init_table(table, table_type, record_key, precombine)
+    _init_table(table, table_type, record_key, precombine,
+                n_buckets if n_buckets is not None else 4)
+    n_buckets = _resolve_n_buckets(table, n_buckets)
     ttype = _table_type(table)
     instant = _next_instant(table)
     slices = _file_slices(table)
@@ -586,12 +651,14 @@ def hudi_write(
         stats = _write_base_files(df_meta, table, instant)
         _commit(table, instant, "replacecommit", stats, "insert_overwrite",
                 replaced_file_ids=sorted(slices), schema_json=schema_json)
+        _record_index_append(table, df_meta)
         return instant
 
     if not slices:  # first commit: plain bulk insert
         stats = _write_base_files(df_meta, table, instant)
         _commit(table, instant, "commit" if ttype == "cow" else "deltacommit",
                 stats, "bulk_insert", schema_json=schema_json)
+        _record_index_append(table, df_meta)
         return instant
 
     touched = {
@@ -671,40 +738,53 @@ def hudi_write(
                 }
             )
         _commit(table, instant, "deltacommit", stats, "upsert", schema_json=schema_json)
+    _record_index_append(table, df_meta)
     return instant
 
 
-def hudi_delete(spark: SparkSession, table: str, keys: list[str], n_buckets: int = 4) -> str:
-    """Row-level delete.  MOR: append a DELETE log block (recordKey,
-    partitionPath pairs) to each affected bucket; CoW: rewrite the
-    affected buckets' base files without the victims, committed as a
-    replacecommit so a bucket emptied entirely disappears instead of
-    resurrecting its old slice."""
+def hudi_delete(spark: SparkSession, table: str, keys: list[str],
+                n_buckets: int | None = None) -> str:
+    """Row-level delete by record key.  MOR: append a DELETE log block
+    (recordKey, partitionPath pairs) to each affected bucket; CoW:
+    rewrite the affected buckets' base files without the victims,
+    committed as a replacecommit so a bucket emptied entirely disappears
+    instead of resurrecting its old slice.
+
+    PARTITIONED tables: the (non-global) bucket index can't locate a
+    key's partition, so key-only deletes resolve partitions through the
+    RECORD INDEX (the public metadata-table record-index shape --
+    hudi_build_record_index); without one the delete gates with a
+    precise error."""
+    n_buckets = _resolve_n_buckets(table, n_buckets)
     ttype = _table_type(table)
     instant = _next_instant(table)
     slices = _file_slices(table)
-    if any(g.get("partition") for g in slices.values()):
-        raise ValueError(
-            "hudi_delete: key-only deletes need a GLOBAL index to locate "
-            "partitions; this client ships the (non-global) bucket index, "
-            "so deletes on partitioned tables are not supported -- delete "
-            "with (key, partition) routing or rewrite via insert_overwrite"
-        )
-    by_bucket: dict[int, list[str]] = {}
-    for k in keys:
-        b = _crc32_bucket(str(k), n_buckets)
-        by_bucket.setdefault(b, []).append(str(k))
+    partitioned = any(g.get("partition") for g in slices.values())
+    if partitioned:
+        part_of = _record_index_lookup(spark, table, [str(k) for k in keys])
+        # keys the index never saw are a no-op, matching delete semantics
+        keys = [k for k in map(str, keys) if k in part_of]
+    else:
+        part_of = {str(k): "" for k in keys}
+
+    # group victims by (partition, bucket) = file group
+    by_group: dict[tuple[str, int], list[str]] = {}
+    for k in map(str, keys):
+        p = part_of[k]
+        b = _crc32_bucket(k, n_buckets)
+        by_group.setdefault((p, b), []).append(k)
 
     stats: list[dict] = []
     if ttype == "mor":
-        for b, ks in sorted(by_bucket.items()):
-            fid = _file_id(b)
+        for (p, b), ks in sorted(by_group.items()):
+            fid = _file_id(b, p)
             if fid not in slices:
                 continue
             base_instant = slices[fid]["base_instant"]
             version = len(slices[fid]["logs"]) + 1
             name = f".{fid}_{base_instant}.log.{version}_{_WRITE_TOKEN}"
-            records = [{"recordKey": k, "partitionPath": ""} for k in sorted(ks)]
+            rel = os.path.join(p, name) if p else name
+            records = [{"recordKey": k, "partitionPath": p} for k in sorted(ks)]
             out = io.BytesIO()
             _write_log_block(
                 out,
@@ -713,16 +793,20 @@ def hudi_delete(spark: SparkSession, table: str, keys: list[str], n_buckets: int
                  HEADER_SCHEMA: json.dumps(_DELETE_SCHEMA)},
                 _encode_avro_data(records, _DELETE_SCHEMA),
             )
-            with open(os.path.join(table, name), "wb") as fh:
+            with open(os.path.join(table, rel), "wb") as fh:
                 fh.write(out.getvalue())
-            stats.append({"fileId": fid, "path": name, "logFile": True,
-                          "prevCommit": base_instant})
+            stats.append({"fileId": fid, "path": rel, "partitionPath": p,
+                          "logFile": True, "prevCommit": base_instant})
         _commit(table, instant, "deltacommit", stats, "delete")
     else:
-        fids = [_file_id(b) for b in sorted(by_bucket) if _file_id(b) in slices]
+        fids = [
+            _file_id(b, p) for (p, b) in sorted(by_group)
+            if _file_id(b, p) in slices
+        ]
         if fids:
             old = _read_base(spark, table, [slices[f]["base"] for f in fids])
-            keep = old.where(~F.col("_hoodie_record_key").isin([k for ks in by_bucket.values() for k in ks]))
+            all_keys = [k for ks in by_group.values() for k in ks]
+            keep = old.where(~F.col("_hoodie_record_key").isin(all_keys))
             keep = keep.withColumn("_hoodie_bucket", _bucket_of(F.col("_hoodie_record_key"), n_buckets))
             stats += _write_base_files(keep, table, instant)
         _commit(table, instant, "replacecommit", stats, "delete",
@@ -736,12 +820,14 @@ def _crc32_bucket(key: str, n_buckets: int) -> int:
     return zlib.crc32(key.encode()) % n_buckets
 
 
-def hudi_compact(spark: SparkSession, table: str, n_buckets: int = 4) -> str:
+def hudi_compact(spark: SparkSession, table: str,
+                 n_buckets: int | None = None) -> str:
     """MOR compaction: for every file group carrying log files, write a
     NEW base file holding the merged slice at a fresh ``commit`` instant.
     Older logs become unreachable (they are stacked on the superseded
     base instant), which is exactly how read-optimized queries regain
     freshness."""
+    n_buckets = _resolve_n_buckets(table, n_buckets)
     instant = _next_instant(table)
     slices = _file_slices(table)
     logged = {fid: s for fid, s in slices.items() if s["logs"]}
@@ -918,6 +1004,233 @@ def hudi_incremental(
         & (F.col("_hoodie_commit_time") <= (end or "99999999999999999"))
     )
     return df.drop(*META_COLS) if drop_meta else df
+
+
+# ---------------------------------------------------------------------------
+# record index (the public metadata-table record-index shape)
+# ---------------------------------------------------------------------------
+
+_RECORD_INDEX_REL = os.path.join(META_DIR, "metadata", "record_index")
+
+
+def _record_index_dir(table: str) -> str:
+    return os.path.join(table, _RECORD_INDEX_REL)
+
+
+def hudi_build_record_index(spark: SparkSession, table: str,
+                            n_shards: int = 8) -> int:
+    """Build (or rebuild) the table's RECORD INDEX: a record-key ->
+    partition-path mapping persisted as parquet under
+    ``.hoodie/metadata/record_index`` (where real Hudi's metadata table
+    keeps its record_index partition).  Built DISTRIBUTED from the
+    current snapshot -- one shuffle on the key into ``n_shards`` files
+    -- and kept fresh by hudi_write appending each commit's keys.  This
+    is what makes KEY-ONLY deletes work on partitioned tables: the
+    bucket index alone is per-partition, not global.  Returns the
+    number of indexed keys."""
+    import shutil
+
+    df = hudi_scan(spark, table, drop_meta=False).select(
+        F.col("_hoodie_record_key").alias("record_key"),
+        F.col("_hoodie_partition_path").alias("partition_path"),
+    )
+    d = _record_index_dir(table)
+    staging = d + f".staging-{uuid.uuid4().hex[:8]}"
+    df.repartition(n_shards, "record_key").write.mode("overwrite").parquet(
+        staging
+    )
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    os.rename(staging, d)
+    return spark.read.parquet(d).count()
+
+
+def _record_index_append(table: str, df_meta: DataFrame) -> None:
+    """Incremental index upkeep: append this commit's (key, partition)
+    pairs when the table carries a record index.  Lookups dedupe;
+    stale entries for later-deleted keys are harmless (a delete routed
+    to a partition the key already left is a no-op)."""
+    d = _record_index_dir(table)
+    if not os.path.isdir(d):
+        return
+    (
+        df_meta.select(
+            F.col("_hoodie_record_key").alias("record_key"),
+            F.col("_hoodie_partition_path").alias("partition_path"),
+        )
+        .distinct()
+        .write.mode("append")
+        .parquet(d)
+    )
+
+
+def _record_index_lookup(spark: SparkSession, table: str,
+                         keys: list[str]) -> dict[str, str]:
+    """key -> partition_path for the victim keys, via a BROADCAST join
+    of the (tiny) victim list against the index parquet -- output is
+    bounded by len(keys), never a full-table scan.  Gates precisely
+    when no index exists."""
+    d = _record_index_dir(table)
+    if not os.path.isdir(d):
+        raise ValueError(
+            "hudi_delete: key-only deletes on a PARTITIONED table need "
+            "the record index to locate partitions (the bucket index is "
+            "not global) -- build one with "
+            "hudi_build_record_index(spark, table)"
+        )
+    if not keys:
+        return {}
+    idx = spark.read.parquet(d)
+    victims = spark.createDataFrame([(k,) for k in keys], "record_key string")
+    hits = (
+        idx.join(F.broadcast(victims), "record_key")
+        .select("record_key", "partition_path")
+        .distinct()
+        .collect()
+    )
+    out: dict[str, str] = {}
+    for r in hits:
+        prev = out.get(r["record_key"])
+        if prev is not None and prev != r["partition_path"]:
+            raise ValueError(
+                f"hudi: record index maps key {r['record_key']!r} to "
+                "multiple partitions (partition-changing upserts need a "
+                "global-index write path)"
+            )
+        out[r["record_key"]] = r["partition_path"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CDC read (before/after images -- the Delta CDF precedent)
+# ---------------------------------------------------------------------------
+
+
+def hudi_cdc(
+    spark: SparkSession,
+    table: str,
+    begin: str,
+    end: str | None = None,
+) -> DataFrame:
+    """Incremental pull WITH change images: for every completed commit
+    in ``(begin, end]`` emit
+
+      * ``insert``            -- rows whose key was absent before;
+      * ``update_preimage`` / ``update_postimage`` -- both versions of
+        every key the commit rewrote (CoW rewrite, MOR AVRO_DATA log);
+      * ``delete``            -- the pre-image of every removed key
+        (replacecommit deletes, MOR DELETE blocks, insert_overwrite
+        evictions).
+
+    Output = data columns + ``_change_type`` + ``_commit_instant``.
+
+    Scale shape: per commit, only the TOUCHED file groups' previous and
+    current slices are read (file pruning from commit metadata), and
+    the before/after diff is one shuffle on the record key over that
+    bounded footprint -- never a whole-table diff.  The classification
+    uses a union + per-key window rather than self-joins, so the same
+    base files can appear on both sides without analyzer ambiguity."""
+    done = _completed_instants(table)
+    window_commits = [
+        (t, a) for (t, a) in done if t > begin and (end is None or t <= end)
+    ]
+    ttype = _table_type(table)
+
+    def _group_state(slices: dict[str, dict]) -> DataFrame | None:
+        if not slices:
+            return None
+        if ttype == "cow":
+            files = [s["base"] for s in slices.values() if s["base"]]
+            return _read_base(spark, table, files) if files else None
+        return _merge_slices(spark, table, slices)
+
+    frames: list[DataFrame] = []
+    for t, a in window_commits:
+        meta = _read_instant(table, t, a)
+        touched: set[str] = set()
+        for stats_list in meta.get("partitionToWriteStats", {}).values():
+            for st in stats_list:
+                touched.add(st["fileId"])
+        for fids in meta.get("partitionToReplaceFileIds", {}).values():
+            touched.update(fids)
+        prior = [x for (x, _a2) in done if x < t]
+        prev_t = prior[-1] if prior else None
+        prev_sl = (
+            {
+                fid: s
+                for fid, s in _file_slices(table, as_of=prev_t).items()
+                if fid in touched
+            }
+            if prev_t is not None
+            else {}
+        )
+        cur_sl = {
+            fid: s
+            for fid, s in _file_slices(table, as_of=t).items()
+            if fid in touched
+        }
+        prev_df = _group_state(prev_sl)
+        cur_df = _group_state(cur_sl)
+
+        side = "_cdc_side"
+        if prev_df is None and cur_df is None:
+            continue
+        if prev_df is None:
+            u = cur_df.withColumn(side, F.lit("c"))
+        elif cur_df is None:
+            u = prev_df.withColumn(side, F.lit("p"))
+        else:
+            u = prev_df.withColumn(side, F.lit("p")).unionByName(
+                cur_df.withColumn(side, F.lit("c"))
+            )
+        w = Window.partitionBy("_hoodie_record_key")
+        is_p = (F.col(side) == "p").cast("int")
+        is_c = (F.col(side) == "c").cast("int")
+        cur_ct = F.max(
+            F.when(F.col(side) == "c", F.col("_hoodie_commit_time"))
+        ).over(w)
+        u = (
+            u.withColumn("_has_p", F.max(is_p).over(w) == 1)
+            .withColumn("_has_c", F.max(is_c).over(w) == 1)
+            .withColumn("_cur_ct", cur_ct)
+        )
+        change = (
+            F.when(
+                (F.col(side) == "c") & ~F.col("_has_p"), F.lit("insert")
+            )
+            .when(
+                (F.col(side) == "c")
+                & F.col("_has_p")
+                & (F.col("_cur_ct") == t),
+                F.lit("update_postimage"),
+            )
+            .when(
+                (F.col(side) == "p") & ~F.col("_has_c"), F.lit("delete")
+            )
+            .when(
+                (F.col(side) == "p")
+                & F.col("_has_c")
+                & (F.col("_cur_ct") == t),
+                F.lit("update_preimage"),
+            )
+        )
+        frames.append(
+            u.withColumn("_change_type", change)
+            .where(F.col("_change_type").isNotNull())
+            .withColumn("_commit_instant", F.lit(t))
+            .drop(side, "_has_p", "_has_c", "_cur_ct", *META_COLS)
+        )
+
+    if not frames:
+        empty = hudi_scan(spark, table).limit(0)
+        return empty.withColumn("_change_type", F.lit("")).withColumn(
+            "_commit_instant", F.lit("")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def hudi_timeline(table: str) -> list[dict]:

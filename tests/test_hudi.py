@@ -358,10 +358,149 @@ def test_partition_pruning_limits_files_read(spark, tmp_path):
     assert len(files) == n_red_files
 
 
-def test_partitioned_delete_gates(spark, tmp_path):
+def test_partitioned_delete_gates_without_record_index(spark, tmp_path):
     rows = [(i, "p" + str(i % 2), float(i)) for i in range(1, 21)]
     df = spark.createDataFrame(rows, "id long, part string, bal double")
     t = _fresh(tmp_path, "cow_delgate")
     hudi_write(spark, t, df, record_key="id", partition_field="part")
-    with pytest.raises(ValueError, match="GLOBAL index"):
+    with pytest.raises(ValueError, match="record index"):
         hudi_delete(spark, t, ["1"])
+
+
+def test_partitioned_delete_via_record_index(spark, tmp_path):
+    """Key-only deletes on a PARTITIONED table resolve partitions
+    through the record index (the metadata-table record-index shape):
+    build it, delete keys from BOTH partitions in one call, verify the
+    survivors, and verify the index stays fresh across later writes."""
+    from hive_person_service_spark.sources.hudi import (
+        hudi_build_record_index,
+    )
+
+    rows = [(i, "p" + str(i % 2), float(i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "id long, part string, bal double")
+    t = _fresh(tmp_path, "cow_delidx")
+    hudi_write(spark, t, df, record_key="id", partition_field="part")
+    assert hudi_build_record_index(spark, t) == 20
+    hudi_delete(spark, t, ["1", "2", "19"])  # victims span p0 and p1
+    got = {r.id for r in hudi_scan(spark, t).collect()}
+    assert got == set(range(1, 21)) - {1, 2, 19}
+    # unknown keys are a no-op
+    hudi_delete(spark, t, ["9999"])
+    assert hudi_scan(spark, t).count() == 17
+    # a later write keeps the index fresh: its new key is deletable
+    hudi_write(
+        spark,
+        t,
+        spark.createDataFrame([(50, "p0", 5.0)], "id long, part string, bal double"),
+        record_key="id",
+        partition_field="part",
+    )
+    hudi_delete(spark, t, ["50"])
+    got = {r.id for r in hudi_scan(spark, t).collect()}
+    assert got == set(range(1, 21)) - {1, 2, 19}
+
+
+def test_n_buckets_persisted_and_conflicts_rejected(spark, tmp_path):
+    """hoodie.bucket.index.num.buckets is written at creation and a
+    conflicting caller value is rejected on every later write/delete
+    (it would route keys to mismatched file groups)."""
+    t = _fresh(tmp_path, "nbuckets")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "id long, bal double"
+    )
+    hudi_write(spark, t, df, record_key="id", n_buckets=2)
+    props = open(os.path.join(t, ".hoodie", "hoodie.properties")).read()
+    assert "hoodie.bucket.index.num.buckets=2" in props
+    with pytest.raises(ValueError, match="num.buckets"):
+        hudi_write(spark, t, df, record_key="id", n_buckets=3)
+    with pytest.raises(ValueError, match="num.buckets"):
+        hudi_delete(spark, t, ["1"], n_buckets=8)
+    # omitting n_buckets resolves the stored value and routes correctly
+    hudi_write(
+        spark,
+        t,
+        spark.createDataFrame([(3, 33.0)], "id long, bal double"),
+        record_key="id",
+    )
+    got = {r.id: r.bal for r in hudi_scan(spark, t).collect()}
+    assert got[3] == 33.0 and len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# CDC read (before/after images)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_map(df):
+    return {
+        (r["_change_type"], r.id): (r.bal, r["_commit_instant"])
+        for r in df.collect()
+    }
+
+
+def test_hudi_cdc_cow_insert_update_delete(spark, people, tmp_path):
+    """CoW: an insert commit emits inserts; an upsert emits pre+post
+    images at old/new values; a delete replacecommit emits the
+    pre-image; untouched keys never appear."""
+    from hive_person_service_spark.sources.hudi import hudi_cdc
+
+    t = _fresh(tmp_path, "cdc_cow")
+    i1 = hudi_write(spark, t, people, record_key="id")
+    upd = people.where(F.col("id") % 10 == 0).withColumn(
+        "bal", F.col("bal") + 100.0
+    )
+    i2 = hudi_write(spark, t, upd, record_key="id")
+    i3 = hudi_delete(spark, t, ["7", "20"])
+
+    cdc = hudi_cdc(spark, t, begin=i1)
+    m = _cdc_map(cdc)
+    # updates: 10 keys, pre at old bal, post at +100
+    assert m[("update_preimage", 10)] == (15.0, i2)
+    assert m[("update_postimage", 10)] == (115.0, i2)
+    # key 20 was updated at i2 THEN deleted at i3: delete pre-image
+    # carries the updated value
+    assert m[("delete", 20)] == (130.0, i3)
+    assert m[("delete", 7)] == (10.5, i3)
+    # untouched keys don't appear
+    assert ("insert", 3) not in m and ("update_preimage", 3) not in m
+    n_upd = sum(1 for (ct, _k) in m if ct == "update_preimage")
+    n_del = sum(1 for (ct, _k) in m if ct == "delete")
+    assert n_upd == 10 and n_del == 2
+    # window starting before i1 sees the initial 100 inserts too
+    full = hudi_cdc(spark, t, begin="0")
+    assert sum(1 for (ct, _k) in _cdc_map(full) if ct == "insert") == 100
+
+
+def test_hudi_cdc_mor_log_blocks(spark, people, tmp_path):
+    """MOR: AVRO_DATA log updates emit pre/post images, DELETE blocks
+    emit delete pre-images -- all decoded through the log codec."""
+    from hive_person_service_spark.sources.hudi import hudi_cdc
+
+    t = _fresh(tmp_path, "cdc_mor")
+    i1 = hudi_write(spark, t, people, record_key="id", table_type="mor")
+    upd = people.where(F.col("id") == 5).withColumn("bal", F.lit(999.0))
+    i2 = hudi_write(spark, t, upd, record_key="id", table_type="mor")
+    i3 = hudi_delete(spark, t, ["6"])
+    m = _cdc_map(hudi_cdc(spark, t, begin=i1))
+    assert m[("update_preimage", 5)] == (7.5, i2)
+    assert m[("update_postimage", 5)] == (999.0, i2)
+    assert m[("delete", 6)] == (9.0, i3)
+    assert len(m) == 3
+
+
+def test_hudi_cdc_insert_overwrite_evictions(spark, people, tmp_path):
+    """insert_overwrite: surviving re-inserted keys emit update images,
+    evicted keys emit delete pre-images, new keys emit inserts."""
+    from hive_person_service_spark.sources.hudi import hudi_cdc
+
+    t = _fresh(tmp_path, "cdc_iow")
+    i1 = hudi_write(spark, t, people.where(F.col("id") <= 10), record_key="id")
+    repl = spark.createDataFrame(
+        [(1, "one", 11.0), (200, "new", 2.0)], "id long, name string, bal double"
+    )
+    i2 = hudi_write(spark, t, repl, record_key="id", mode="insert_overwrite")
+    m = _cdc_map(hudi_cdc(spark, t, begin=i1))
+    assert m[("update_preimage", 1)] == (1.5, i2)
+    assert m[("update_postimage", 1)] == (11.0, i2)
+    assert m[("insert", 200)] == (2.0, i2)
+    assert sum(1 for (ct, _k) in m if ct == "delete") == 9  # ids 2..10

@@ -4,6 +4,8 @@ closed-form check for ml_train_ols."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -98,3 +100,19 @@ def test_logreg_separable_toy_drives_margin(spark):
     assert fit["accuracy"] == 1.0
     assert fit["weights"][0] > 0
     assert fit["loss"] < 0.12
+
+
+def test_logreg_saturated_sigmoid_loss_is_finite(spark):
+    """Perfectly separable data with a hot learning rate drives the
+    sigmoid to exact 0.0/1.0 in float64; the loss clamp must keep every
+    row in the average instead of NULLing the saturated ones (round-8
+    fix: unclamped ln(0) rows were silently dropped)."""
+    from hive_person_service_spark.operators.ml_train import logreg_train
+
+    rows = [(float(x), 0.0) for x in range(-50, 0)] + [
+        (float(x), 1.0) for x in range(1, 51)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double")
+    m = logreg_train(df, ["x"], "y", iters=200, lr=5.0)
+    assert math.isfinite(m["loss"]) and m["loss"] >= 0.0
+    assert m["accuracy"] == 1.0
