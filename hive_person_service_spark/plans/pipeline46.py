@@ -931,3 +931,95 @@ def table_delta_ts_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg: partition-spec EVOLUTION (round 8)
+# ---------------------------------------------------------------------------
+
+
+def _iceberg_spec_evo_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) an events table whose partition spec CHANGED
+    mid-history: even event_ids written under spec 0 = day(ts), then
+    iceberg_update_spec to month(ts) + bucket[8](user_id), then odd
+    event_ids written under spec 1 -- the mixed-spec manifest history
+    every long-lived Iceberg table accumulates."""
+    path = os.path.join(
+        _LAYOUT_ROOT, f"events_icespecevo_{_digest(sf_dir, 'events', 'icespecevo8')}"
+    )
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        from ..sources.iceberg import iceberg_update_spec, iceberg_write
+
+        with _atomic_layout(path) as tmp:
+            ev = load_table(spark, sf_dir, "events").select(
+                "event_id", "ts", "user_id", "event_type", "value"
+            )
+            iceberg_write(
+                ev.where(F.col("event_id") % 2 == 0),
+                tmp,
+                partition_spec=[
+                    {"name": "ts_day", "transform": "day", "source": "ts"},
+                ],
+            )
+            iceberg_update_spec(
+                tmp,
+                [
+                    {"name": "ts_month", "transform": "month", "source": "ts"},
+                    {"name": "uid_bucket", "transform": "bucket[8]",
+                     "source": "user_id"},
+                ],
+            )
+            iceberg_write(ev.where(F.col("event_id") % 2 == 1), tmp)
+    return path
+
+
+@declare(
+    "table_iceberg_spec_evolution",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM events
+    WHERE CAST(ts AS DATE) <=
+          (SELECT CAST(MIN(ts) AS DATE) + INTERVAL 2 DAY FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def table_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read across a PARTITION-SPEC CHANGE: half the events sit in
+    manifests written under spec 0 = day(ts), half under spec 1 =
+    month(ts) + bucket[8](user_id) (iceberg_update_spec -- metadata-only,
+    no rewrite).  The first-three-days predicate is passed as a
+    skip_filter on the SOURCE column ts, so the planner must project it
+    through EACH manifest's own transform (day for spec-0 files, month
+    for spec-1 files) -- resolving partition tuples per
+    ``partition_spec_id``, never the current default.  The oracle
+    recomputes the rollup relationally over all events; agreement proves
+    per-spec pruning dropped no qualifying file from either era and the
+    mixed-spec snapshot is complete.  Pruning-shape evidence is pinned in
+    tests/test_iceberg_spec_evolution.py."""
+    from ..sources.iceberg import iceberg_scan
+
+    path = _iceberg_spec_evo_layout(spark, sf_dir)
+    cutoff = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.date_add(F.to_date(F.min("ts")), 2).alias("d"))
+        .first()["d"]
+    )
+    end_micros = (
+        (cutoff - datetime.date(1970, 1, 1)).days + 1
+    ) * 86_400_000_000 - 1
+    df = iceberg_scan(spark, path, skip_filters=[("ts", "<=", end_micros)])
+    return (
+        df.where(F.to_date("ts") <= F.lit(cutoff))
+        .groupBy(
+            F.to_date("ts").cast("string").alias("event_date"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+        )
+    )

@@ -225,35 +225,49 @@ def _plan_snapshot(
         types_now = {
             f["name"]: f["type"] for f in schema_now.get("fields", [])
         }
-        spec_fields_now = _spec_fields_from_meta(meta)
-        result_types_now = {
-            f["name"]: transform_result_type(
-                f["transform"], types_now[f["source"]]
-            )
-            for f in spec_fields_now
-            if f["source"] in types_now
-        }
+        # resolved lazily PER SPEC-ID: after spec evolution a snapshot
+        # mixes manifests written under different specs, and each
+        # summary must decode with the spec it was written under
+        _spec_cache: dict[int, tuple[list[dict], dict[str, str]]] = {}
+
+        def _spec_for(spec_id: int):
+            if spec_id not in _spec_cache:
+                fields = _spec_fields_for_id(meta, spec_id)
+                _spec_cache[spec_id] = (
+                    fields,
+                    {
+                        f["name"]: transform_result_type(
+                            f["transform"], types_now[f["source"]]
+                        )
+                        for f in fields
+                        if f["source"] in types_now
+                    },
+                )
+            return _spec_cache[spec_id]
 
         def skip_summary(m: dict) -> bool:
             if (m.get("content") or 0) != 0 or not m.get("partitions"):
                 return False
+            spec_fields_m, result_types_m = _spec_for(
+                int(m.get("partition_spec_id") or 0)
+            )
             summary = {
                 p["name"]: (
                     partition_value_from_dir(
-                        str(p["lower"]), result_types_now[p["name"]]
+                        str(p["lower"]), result_types_m[p["name"]]
                     ),
                     partition_value_from_dir(
-                        str(p["upper"]), result_types_now[p["name"]]
+                        str(p["upper"]), result_types_m[p["name"]]
                     ),
                 )
                 for p in m["partitions"]
                 if p.get("lower") is not None
-                and p["name"] in result_types_now
+                and p["name"] in result_types_m
             }
             if not summary:
                 return False
             return not summary_may_match(
-                list(skip_filters), summary, spec_fields_now, types_now
+                list(skip_filters), summary, spec_fields_m, types_now
             )
 
     seen: set[str] = set()
@@ -293,6 +307,7 @@ def _plan_snapshot(
             seen.add(path)
             if content == 0:
                 info = {
+                    "spec_id": int(m.get("partition_spec_id") or 0),
                     "partition": {
                         p["name"]: p["value"]
                         for p in (df_rec.get("partition") or [])
@@ -363,15 +378,28 @@ def _prune_plan(
     schema = meta.get("schema") or (meta.get("schemas") or [{}])[0]
     types_by_name = {f["name"]: f["type"] for f in schema.get("fields", [])}
     name_to_id = {f["name"]: f["id"] for f in schema.get("fields", [])}
-    spec_fields = _spec_fields_from_meta(meta)
-    result_types = {
-        f["name"]: transform_result_type(
-            f["transform"], types_by_name[f["source"]]
-        )
-        for f in spec_fields
-    }
+    # per-spec resolution: each file's partition tuple decodes with the
+    # spec its manifest was written under (spec evolution support)
+    _spec_cache: dict[int, tuple[list[dict], dict[str, str]]] = {}
+
+    def _spec_for(spec_id: int):
+        if spec_id not in _spec_cache:
+            fields = _spec_fields_for_id(meta, spec_id)
+            _spec_cache[spec_id] = (
+                fields,
+                {
+                    f["name"]: transform_result_type(
+                        f["transform"], types_by_name[f["source"]]
+                    )
+                    for f in fields
+                    if f["source"] in types_by_name
+                },
+            )
+        return _spec_cache[spec_id]
+
     kept = []
     for path, seq, info in plan["data"]:
+        spec_fields, result_types = _spec_for(int(info.get("spec_id") or 0))
         partition = None
         if info.get("partition") is not None:
             partition = {
@@ -1200,12 +1228,15 @@ def _write_parquet_files(
     return out
 
 
-def _spec_fields_from_meta(meta: dict) -> list[dict]:
-    """The default partition spec as [{name, transform, source}] with
-    source resolved to a column NAME (the spec stores source-id)."""
+def _spec_fields_for_id(meta: dict, spec_id: int) -> list[dict]:
+    """Partition spec ``spec_id`` as [{name, transform, source}] with
+    source resolved to a column NAME (the spec stores source-id).
+    Partition-spec EVOLUTION means a long-lived table holds manifests
+    written under several specs; each manifest's tuples must resolve
+    with the spec it was written under, never the current default."""
     specs = meta.get("partition-specs") or []
     spec = next(
-        (s for s in specs if s.get("spec-id") == meta.get("default-spec-id", 0)),
+        (s for s in specs if s.get("spec-id") == spec_id),
         {"fields": []},
     )
     names = _field_names_by_id(meta)
@@ -1219,6 +1250,70 @@ def _spec_fields_from_meta(meta: dict) -> list[dict]:
             }
         )
     return out
+
+
+def _spec_fields_from_meta(meta: dict) -> list[dict]:
+    """The DEFAULT partition spec (what new writes lay out under)."""
+    return _spec_fields_for_id(meta, meta.get("default-spec-id", 0))
+
+
+def iceberg_update_spec(table: str, partition_spec: list[dict]) -> int:
+    """Partition-spec EVOLUTION (``ALTER TABLE ... WRITE ORDERED BY`` /
+    ``REPLACE PARTITION FIELD`` family): register ``partition_spec``
+    ([{name, transform, source}]) as a NEW spec-id and make it the
+    table default.  Metadata-only -- no snapshot, no data rewritten;
+    existing manifests keep their original ``partition_spec_id`` and
+    are planned/pruned with the spec they were written under, new
+    writes lay out (and prune) under the new spec.  Partition field-ids
+    stay unique across specs, and a field identical to one in a prior
+    spec (same source, transform, name) keeps its id, per the spec's
+    evolution rules.  Returns the new spec-id."""
+    meta = _load_metadata(table)
+    d = _meta_dir(table)
+    version = int(_current_metadata_path(table).stem[1:].split(".")[0])
+    schema_now = _current_schema(meta)
+    name_to_id = {f["name"]: f["id"] for f in schema_now.get("fields", [])}
+    specs = list(meta.get("partition-specs") or [{"spec-id": 0, "fields": []}])
+    new_id = max(int(s.get("spec-id", 0)) for s in specs) + 1
+    used_ids = [
+        int(f.get("field-id", 999))
+        for s in specs
+        for f in s.get("fields", [])
+    ]
+    next_fid = max(used_ids, default=999) + 1
+    prior = {
+        (f["source-id"], f["transform"], f["name"]): int(f["field-id"])
+        for s in specs
+        for f in s.get("fields", [])
+    }
+    fields_json = []
+    for f in partition_spec:
+        if f["source"] not in name_to_id:
+            raise ValueError(f"unknown partition source column {f['source']!r}")
+        key = (name_to_id[f["source"]], f["transform"], f["name"])
+        fid = prior.get(key)
+        if fid is None:
+            fid, next_fid = next_fid, next_fid + 1
+        fields_json.append(
+            {
+                "name": f["name"],
+                "transform": f["transform"],
+                "source-id": name_to_id[f["source"]],
+                "field-id": fid,
+            }
+        )
+    meta["partition-specs"] = specs + [
+        {"spec-id": new_id, "fields": fields_json}
+    ]
+    meta["default-spec-id"] = new_id
+    meta["partition-spec"] = fields_json  # v1 back-compat field
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    new_version = version + 1
+    tmp = d / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(meta, indent=1))
+    os.rename(tmp, d / f"v{new_version}.metadata.json")
+    (d / "version-hint.text").write_text(str(new_version))
+    return new_id
 
 
 def iceberg_txn_version(table: str, app_id: str) -> int:
@@ -1337,7 +1432,10 @@ def iceberg_write(
         {
             "manifest_path": man_path,
             "manifest_length": os.path.getsize(man_path),
-            "partition_spec_id": 0,
+            # the spec the files were WRITTEN under -- after spec
+            # evolution older manifests keep their own id and the
+            # planner resolves each manifest's tuples per-spec
+            "partition_spec_id": int(meta.get("default-spec-id", 0)),
             "content": 0,
             "added_snapshot_id": snapshot_id,
             "sequence_number": seq,
