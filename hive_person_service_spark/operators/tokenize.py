@@ -265,3 +265,156 @@ def bpe_train(
         rnd += 1
     state.unpersist()
     return merges
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer TRAINING -- round 8
+# ---------------------------------------------------------------------------
+
+
+def viterbi_segment(
+    word: str, logp: dict[str, float], max_len: int
+) -> tuple[str, ...] | None:
+    """Best segmentation of ``word`` into vocab pieces under a unigram
+    LM: in-row DP maximizing the summed piece log-probs, ties broken by
+    FEWER pieces then lexicographically smaller piece sequence -- fully
+    deterministic, shared verbatim by the distributed E-step and the
+    pure-Python reference replay (tests pin the orchestration around
+    it, the DP itself is one definition).  None when no cover exists
+    (cannot happen while every used character stays in the vocab)."""
+    n = len(word)
+    # best[i] = (score, n_pieces, pieces) for the length-i prefix
+    best: list[tuple[float, int, tuple[str, ...]] | None] = [
+        (0.0, 0, ())
+    ] + [None] * n
+    for i in range(1, n + 1):
+        for ln in range(1, min(max_len, i) + 1):
+            piece = word[i - ln : i]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            prev = best[i - ln]
+            if prev is None:
+                continue
+            cand = (prev[0] + lp, prev[1] + 1, prev[2] + (piece,))
+            cur = best[i]
+            if (
+                cur is None
+                or cand[0] > cur[0] + 1e-12
+                or (
+                    abs(cand[0] - cur[0]) <= 1e-12
+                    and (cand[1], cand[2]) < (cur[1], cur[2])
+                )
+            ):
+                best[i] = cand
+    final = best[n]
+    return None if final is None else final[2]
+
+
+def unigram_train(
+    words,  # DataFrame(word string, cnt long)
+    n_rounds: int = 3,
+    max_len: int = 4,
+    seed_size: int = 50,
+    vocab_size: int = 40,
+) -> list[tuple[int, str, int, float]]:
+    """SentencePiece-style unigram-LM training, distributed:
+
+      * SEED: substring counts up to ``max_len`` chars over the
+        (Zipf-bounded) word-count relation -- one explode + groupBy --
+        keeping every single character plus the top ``seed_size``
+        multi-char substrings (count desc, then lexicographic);
+      * EM x ``n_rounds``: E-step Viterbi-segments every distinct word
+        (in-row DP, executor-side via one Arrow-batched mapInPandas per
+        round -- the documented Python exception: per-row independent,
+        linear in corpus bytes) against the current piece log-probs;
+        M-step re-counts piece usage weighted by word count (exact
+        integer counts, so rounds are bit-deterministic);
+      * PRUNE: keep all single characters plus the top multi-char
+        pieces by final usage (count desc, lex) down to ``vocab_size``.
+
+    Returns [(rank, piece, count, logp)] with logp = ln(count/total)
+    over the kept vocab, rounded to 6 decimals.  The driver only ever
+    sees piece-count rows (bounded by the seed size), never corpus
+    bytes -- the same sufficient-statistics bound bpe_train keeps.
+    Deterministic end to end: integer counts, lexicographic
+    tie-breaks, and the shared viterbi_segment DP."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    w = words.cache()
+    subs = w.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, length(word)), s -> "
+                f"transform(sequence(1, least({max_len}, length(word) - s + 1)), "
+                f"l -> substring(word, s, l))))"
+            )
+        ).alias("piece"),
+    )
+    counts = subs.groupBy("piece").agg(F.sum("cnt").alias("n"))
+    chars = [
+        (r["piece"], int(r["n"]))
+        for r in counts.where(F.length("piece") == 1)
+        .orderBy("piece")
+        .collect()
+    ]  # bounded: the alphabet
+    multi = [
+        (r["piece"], int(r["n"]))
+        for r in counts.where(F.length("piece") >= 2)
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(seed_size)
+        .collect()
+    ]  # bounded: seed_size rows
+    cur: dict[str, int] = dict(chars) | dict(multi)
+
+    import pandas as pd  # noqa: F811  (Arrow batch shaping)
+
+    for _ in range(n_rounds):
+        total = sum(cur.values())
+        logp = {p: math.log(c / total) for p, c in cur.items() if c > 0}
+
+        def estep(batches):
+            for pdf in batches:
+                agg: dict[str, int] = {}
+                for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                    seg = viterbi_segment(str(word), logp, max_len)
+                    if not seg:
+                        continue
+                    for p in seg:
+                        agg[p] = agg.get(p, 0) + int(cnt)
+                yield pd.DataFrame(
+                    {"piece": list(agg.keys()), "n": list(agg.values())}
+                )
+
+        used = (
+            w.mapInPandas(estep, "piece string, n long")
+            .groupBy("piece")
+            .agg(F.sum("n").alias("n"))
+        )
+        cur = {r["piece"]: int(r["n"]) for r in used.collect()}
+        # keep the full alphabet alive so every word stays coverable
+        for ch, _n in chars:
+            cur.setdefault(ch, 0)
+
+    # report only USED pieces (a character the winning segmentations
+    # never touched stays coverable during EM but carries no mass)
+    kept_chars = [
+        (p, c) for p, c in sorted(cur.items()) if len(p) == 1 and c > 0
+    ]
+    kept_multi = sorted(
+        ((p, c) for p, c in cur.items() if len(p) >= 2 and c > 0),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(0, vocab_size - len(kept_chars))]
+    final = kept_chars + kept_multi
+    total = sum(c for _p, c in final)
+    ranked = sorted(final, key=lambda pc: (-pc[1], pc[0]))
+    w.unpersist()
+    import math as _m
+
+    return [
+        (rank, p, c, round(_m.log(c / total), 6))
+        for rank, (p, c) in enumerate(ranked)
+    ]
