@@ -107,9 +107,15 @@ from . import pipeline53  # noqa: F401,E402  (ALS matrix factorization with an u
 # far -- agg_approx_distinct (r5, rows-only by design), agg_grouping_sets
 # (r7, family covered by agg_rollup), win_topk_per_group (r7, family
 # covered by win_rank), stream_sliding (r6, family covered by
-# stream_tumbling).  Every displaced query stays DECLARED, selfchecked
-# at all three SFs, and pytest-covered; displacement changes which
-# queries land in the driver's 50-query sample, nothing else.
+# stream_tumbling); round 8 rotates out join_range (family covered by
+# join_inner/broadcast/left/semi/anti/asof) for table_multi_format_join
+# (Delta x Iceberg x Hudi in one plan), win_lag_lead (family covered by
+# win_rank + win_running_sum) for ml_train_als (oracle-checked
+# alternating fit), and stream_dedup_events (dedup family covered by
+# dedup_exact/dedup_near) for stream_delta_tail (the partitioned
+# DataSourceStreamReader tail).  Every displaced query stays DECLARED,
+# selfchecked at all three SFs, and pytest-covered; displacement changes
+# which queries land in the driver's 50-query sample, nothing else.
 _CERT_PRIORITY = [
     # A: scan + project (parquet pushdown)
     "scan_project",
@@ -117,7 +123,7 @@ _CERT_PRIORITY = [
     "filter_pred", "proj_case_when", "filter_null", "distinct_rows",
     # C: joins
     "join_inner", "join_broadcast", "join_left_outer", "join_semi",
-    "join_anti", "join_range", "join_asof",
+    "join_anti", "table_multi_format_join", "join_asof",
     # A (r5): Avro landing-zone round-trip (oracle-checked source row
     # in place of rows-only agg_approx_distinct, which stays declared)
     "source_avro_roundtrip",
@@ -132,7 +138,7 @@ _CERT_PRIORITY = [
     # the oracle-checked distributed MODEL FIT -- the ranking machinery
     # stays driver-covered by win_rank, and win_topk_per_group stays
     # declared + selfchecked)
-    "win_rank", "win_lag_lead", "win_running_sum", "ml_train_ols",
+    "win_rank", "ml_train_als", "win_running_sum", "ml_train_ols",
     # F: sort / limit
     "sort_global", "sort_limit_topk",
     # G: set ops
@@ -150,7 +156,7 @@ _CERT_PRIORITY = [
     # exact under out-of-order batches; stream_session stays declared +
     # selfchecked)
     "stream_tumbling", "stream_tws_totals", "stream_tws_sessions",
-    "stream_dedup_events",
+    "stream_delta_tail",
     # J: LLM-data-pipeline surface (text_term_freq's slot now showcases
     # the r6 lake-planning tier -- text_tfidf subsumes term-freq math)
     "dedup_exact", "dedup_near", "dedup_ngram_jaccard",

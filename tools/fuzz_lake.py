@@ -1,0 +1,347 @@
+#!/usr/bin/env python
+"""Lake-reader property fuzz (round 8): random MUTATION HISTORIES
+against all three open-table clients, each diffed step-by-step against
+a driver-side SHADOW copy.
+
+Per history: pick a format (delta / iceberg / hudi-cow / hudi-mor),
+seed a small table, then apply 3-6 random actions drawn from the
+format's mutation set --
+
+  delta:    append, predicate delete (DV), predicate update (DV),
+            overwrite
+  iceberg:  append, position delete, overwrite, partition-spec
+            evolution (metadata-only), schema add-column
+  hudi:     upsert (new + existing keys), key delete, insert_overwrite,
+            compaction (MOR)
+
+After EVERY action the snapshot scan must equal the shadow exactly
+(sorted row tuples, floats bit-for-bit -- no arithmetic happens on the
+values, only storage round-trips).  At history end, every recorded
+version/snapshot/instant is TIME-TRAVEL read and must equal the shadow
+as of that point -- so the fuzz also attacks the historical read path,
+not just HEAD.
+
+Usage: python tools/fuzz_lake.py [n_histories] [seed] [--json OUT]
+Exits nonzero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, "/root/repo")
+
+SCHEMA = "id long, grp string, v double"
+
+
+def _rows(rng: random.Random, ids) -> list[tuple]:
+    return [
+        (int(i), f"g{rng.randrange(4)}", float(rng.randrange(200)) / 2.0)
+        for i in ids
+    ]
+
+
+def _fresh_ids(rng: random.Random, shadow_keys, n) -> list[int]:
+    base = (max(shadow_keys) + 1) if shadow_keys else 0
+    return [base + j for j in range(n)]
+
+
+def _scan_rows(df, cols=("id", "grp", "v")) -> list[tuple]:
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+class Mismatch(Exception):
+    pass
+
+
+def _check(tag: str, got: list[tuple], want: list[tuple]) -> None:
+    if got != want:
+        only_got = [r for r in got if r not in want][:5]
+        only_want = [r for r in want if r not in got][:5]
+        raise Mismatch(
+            f"{tag}: rows diverge (got {len(got)}, want {len(want)}; "
+            f"extra={only_got}, missing={only_want})"
+        )
+
+
+# ---------------------------------------------------------------------------
+# per-format drivers: shadow is a dict {id: (id, grp, v)} for hudi
+# (keyed upserts) and a list of tuples for delta/iceberg (multisets)
+# ---------------------------------------------------------------------------
+
+
+def run_delta_history(spark, rng: random.Random, root: str) -> int:
+    from hive_person_service_spark.sources.delta_log import (
+        delta_delete,
+        delta_scan,
+        delta_update,
+        delta_write,
+    )
+    from hive_person_service_spark.sources.delta_stream import _log_versions
+
+    t = f"{root}/delta_{uuid.uuid4().hex[:8]}"
+    shadow: list[tuple] = _rows(rng, range(rng.randrange(10, 30)))
+    delta_write(spark.createDataFrame(shadow, SCHEMA), t)
+    history = [(max(_log_versions(t)), sorted(shadow))]
+    n_checks = 1
+    _check("delta seed", _scan_rows(delta_scan(spark, t)), sorted(shadow))
+
+    for _step in range(rng.randrange(3, 7)):
+        op = rng.choice(["append", "delete", "update", "overwrite"])
+        if op == "append":
+            new = _rows(rng, _fresh_ids(rng, [r[0] for r in shadow],
+                                        rng.randrange(3, 10)))
+            delta_write(spark.createDataFrame(new, SCHEMA), t)
+            shadow = shadow + new
+        elif op == "delete":
+            k = rng.randrange(2, 5)
+            delta_delete(spark, t, f"id % {k} = 0")
+            shadow = [r for r in shadow if r[0] % k != 0]
+        elif op == "update":
+            cut = float(rng.randrange(100)) / 2.0
+            delta_update(spark, t, f"v < {cut}", {"v": "v + 1000.0"})
+            shadow = [
+                (i, g, v + 1000.0) if v < cut else (i, g, v)
+                for (i, g, v) in shadow
+            ]
+        else:
+            shadow = _rows(rng, range(rng.randrange(5, 15)))
+            delta_write(spark.createDataFrame(shadow, SCHEMA), t,
+                        mode="overwrite")
+        _check(f"delta {op}", _scan_rows(delta_scan(spark, t)),
+               sorted(shadow))
+        history.append((max(_log_versions(t)), sorted(shadow)))
+        n_checks += 1
+
+    for ver, snap in history:  # time travel over the whole history
+        _check(
+            f"delta travel v{ver}",
+            _scan_rows(delta_scan(spark, t, version_as_of=ver)),
+            snap,
+        )
+        n_checks += 1
+    shutil.rmtree(t, ignore_errors=True)
+    return n_checks
+
+
+def run_iceberg_history(spark, rng: random.Random, root: str) -> int:
+    from hive_person_service_spark.sources.iceberg import (
+        _load_metadata,
+        iceberg_alter,
+        iceberg_delete,
+        iceberg_scan,
+        iceberg_update_spec,
+        iceberg_write,
+    )
+
+    t = f"{root}/ice_{uuid.uuid4().hex[:8]}"
+    shadow: list[tuple] = _rows(rng, range(rng.randrange(10, 30)))
+    spec = rng.choice(
+        [None, [{"name": "grp_p", "transform": "identity", "source": "grp"}]]
+    )
+    iceberg_write(spark.createDataFrame(shadow, SCHEMA), t,
+                  partition_spec=spec)
+    base_cols = ("id", "grp", "v")
+    history = [(_load_metadata(t)["current-snapshot-id"], sorted(shadow))]
+    n_checks = 1
+    _check("ice seed", _scan_rows(iceberg_scan(spark, t), base_cols),
+           sorted(shadow))
+
+    for _step in range(rng.randrange(3, 7)):
+        op = rng.choice(
+            ["append", "delete", "overwrite", "spec_evolution", "add_column"]
+        )
+        if op == "append":
+            new = _rows(rng, _fresh_ids(rng, [r[0] for r in shadow],
+                                        rng.randrange(3, 10)))
+            iceberg_write(spark.createDataFrame(new, SCHEMA), t)
+            shadow = shadow + new
+        elif op == "delete":
+            k = rng.randrange(2, 5)
+            iceberg_delete(spark, t, f"id % {k} = 0")
+            shadow = [r for r in shadow if r[0] % k != 0]
+        elif op == "overwrite":
+            shadow = _rows(rng, range(rng.randrange(5, 15)))
+            iceberg_write(spark.createDataFrame(shadow, SCHEMA), t,
+                          mode="overwrite")
+        elif op == "spec_evolution":
+            iceberg_update_spec(
+                t,
+                rng.choice(
+                    [
+                        [{"name": "id_b", "transform": "bucket[4]",
+                          "source": "id"}],
+                        [{"name": "grp_p", "transform": "identity",
+                          "source": "grp"}],
+                        [{"name": "id_i", "transform": "identity",
+                          "source": "id"}],
+                    ]
+                ),
+            )  # metadata-only: shadow unchanged
+        else:
+            iceberg_alter(t, add_columns=[(f"c{uuid.uuid4().hex[:6]}",
+                                           "long")])
+            # null-backfilled column; base columns unchanged
+        if op in ("spec_evolution", "add_column"):
+            # metadata-only actions don't commit a snapshot
+            _check(f"ice {op}", _scan_rows(iceberg_scan(spark, t), base_cols),
+                   sorted(shadow))
+            n_checks += 1
+            continue
+        _check(f"ice {op}", _scan_rows(iceberg_scan(spark, t), base_cols),
+               sorted(shadow))
+        history.append((_load_metadata(t)["current-snapshot-id"],
+                        sorted(shadow)))
+        n_checks += 1
+
+    for sid, snap in history:
+        _check(
+            f"ice travel {sid}",
+            _scan_rows(iceberg_scan(spark, t, snapshot_id=sid), base_cols),
+            snap,
+        )
+        n_checks += 1
+    shutil.rmtree(t, ignore_errors=True)
+    return n_checks
+
+
+def run_hudi_history(spark, rng: random.Random, root: str,
+                     table_type: str) -> int:
+    from hive_person_service_spark.sources.hudi import (
+        hudi_compact,
+        hudi_delete,
+        hudi_scan,
+        hudi_timeline,
+        hudi_write,
+    )
+
+    t = f"{root}/hudi_{table_type}_{uuid.uuid4().hex[:8]}"
+    seed = _rows(rng, range(rng.randrange(10, 30)))
+    shadow: dict[int, tuple] = {r[0]: r for r in seed}
+    hudi_write(spark, t, spark.createDataFrame(seed, SCHEMA),
+               record_key="id", table_type=table_type, n_buckets=3)
+    history = [(hudi_timeline(t)[-1]["instant"], sorted(shadow.values()))]
+    n_checks = 1
+    _check(f"hudi-{table_type} seed", _scan_rows(hudi_scan(spark, t)),
+           sorted(shadow.values()))
+
+    for _step in range(rng.randrange(3, 7)):
+        ops = ["upsert", "delete", "insert_overwrite"]
+        if table_type == "mor":
+            ops.append("compact")
+        op = rng.choice(ops)
+        if op == "upsert":
+            old = rng.sample(sorted(shadow), k=min(len(shadow),
+                                                   rng.randrange(1, 6)))
+            new_ids = _fresh_ids(rng, shadow, rng.randrange(0, 4))
+            batch = _rows(rng, old + new_ids)
+            hudi_write(spark, t, spark.createDataFrame(batch, SCHEMA),
+                       record_key="id", table_type=table_type)
+            for r in batch:
+                shadow[r[0]] = r
+        elif op == "delete":
+            # delete at most half so the table never empties
+            victims = rng.sample(sorted(shadow),
+                                 k=rng.randrange(1, max(2, len(shadow) // 2)))
+            hudi_delete(spark, t, [str(i) for i in victims])
+            for i in victims:
+                shadow.pop(i)
+        elif op == "insert_overwrite":
+            batch = _rows(rng, range(rng.randrange(5, 15)))
+            hudi_write(spark, t, spark.createDataFrame(batch, SCHEMA),
+                       record_key="id", table_type=table_type,
+                       mode="insert_overwrite")
+            shadow = {r[0]: r for r in batch}
+        else:
+            hudi_compact(spark, t)  # state-preserving
+        _check(f"hudi-{table_type} {op}", _scan_rows(hudi_scan(spark, t)),
+               sorted(shadow.values()))
+        history.append((hudi_timeline(t)[-1]["instant"],
+                        sorted(shadow.values())))
+        n_checks += 1
+
+    for instant, snap in history:
+        _check(
+            f"hudi-{table_type} travel {instant}",
+            _scan_rows(hudi_scan(spark, t, as_of=instant)),
+            snap,
+        )
+        n_checks += 1
+    shutil.rmtree(t, ignore_errors=True)
+    return n_checks
+
+
+def main() -> int:
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    n_hist = int(argv[0]) if argv else 200
+    seed = int(argv[1]) if len(argv) > 1 else 8
+
+    from hive_person_service_spark.session import get_spark
+
+    spark = get_spark(app_name="fuzz_lake", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="fuzz_lake_")
+    rng = random.Random(seed)
+    t0 = time.time()
+    n_checks = 0
+    failures: list[dict] = []
+    per_fmt = {"delta": 0, "iceberg": 0, "hudi-cow": 0, "hudi-mor": 0}
+    for h in range(n_hist):
+        fmt = ["delta", "iceberg", "hudi-cow", "hudi-mor"][h % 4]
+        hrng = random.Random(rng.randrange(2**63))
+        try:
+            if fmt == "delta":
+                n_checks += run_delta_history(spark, hrng, root)
+            elif fmt == "iceberg":
+                n_checks += run_iceberg_history(spark, hrng, root)
+            else:
+                n_checks += run_hudi_history(spark, hrng, root,
+                                             fmt.split("-")[1])
+            per_fmt[fmt] += 1
+        except Mismatch as m:
+            failures.append({"history": h, "format": fmt, "err": str(m)})
+            print(f"FAIL history {h} [{fmt}]: {m}")
+        except Exception as e:  # client crash = failure too
+            failures.append(
+                {"history": h, "format": fmt,
+                 "err": f"{type(e).__name__}: {e}"}
+            )
+            print(f"FAIL history {h} [{fmt}]: {type(e).__name__}: {e}")
+        if (h + 1) % 20 == 0:
+            print(
+                f"  {h + 1}/{n_hist} histories, {n_checks} compares, "
+                f"{len(failures)} failures, {time.time() - t0:.0f}s",
+                flush=True,
+            )
+    shutil.rmtree(root, ignore_errors=True)
+    report = {
+        "tool": "fuzz_lake",
+        "seed": seed,
+        "n_histories": n_hist,
+        "histories_per_format": per_fmt,
+        "n_compares": n_checks,
+        "n_failures": len(failures),
+        "failures": failures,
+        "secs": round(time.time() - t0, 1),
+    }
+    print(json.dumps({k: report[k] for k in
+                      ("n_histories", "n_compares", "n_failures", "secs")}))
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=1)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
