@@ -596,7 +596,15 @@ def near_duplicates_minhash_md5(
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
-    sigs = minhash_signatures_inrow_md5(df, num_perm=num_perm, shingle_n=shingle_n)
+    # persist the signatures BEFORE banding: the band self-join has two
+    # scans of this relation, and unpersisted each side would recompute
+    # every per-shingle md5 + 32-permutation fold (the whole signature
+    # arithmetic twice -- measured ~45% of the r7 bench query)
+    sigs = _persist_bounded(
+        "minhash_md5_sigs",
+        minhash_signatures_inrow_md5(df, num_perm=num_perm,
+                                     shingle_n=shingle_n),
+    )
     cands = _persist_bounded(
         "minhash_md5_cands",
         lsh_candidate_pairs_exact_bands(sigs, num_perm=num_perm, bands=bands),
@@ -607,5 +615,10 @@ def near_duplicates_minhash_md5(
         .distinct()
     )
     cand_docs = df.join(cand_ids, "doc_id", "left_semi")
-    shingled = doc_shingles(cand_docs, n=shingle_n)
+    # persisted for the same reason as the signatures: verify_jaccard
+    # joins this relation on BOTH pair sides, and it is bounded by the
+    # candidate count, not the corpus
+    shingled = _persist_bounded(
+        "minhash_md5_shingled", doc_shingles(cand_docs, n=shingle_n)
+    )
     return verify_jaccard(cands, shingled).where(F.col("jaccard") >= threshold)
