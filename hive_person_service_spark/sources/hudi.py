@@ -540,11 +540,14 @@ def _with_meta(
     )
 
 
-def _write_base_files(df_meta: DataFrame, table: str, instant: str) -> list[dict]:
+def _write_base_files(df_meta: DataFrame, table: str, instant: str,
+                      sort_col: str | None = None) -> list[dict]:
     """Write one base parquet per touched file group (Spark does the
     data movement -- repartition by (partition, bucket), one file per
     value dir -- the driver only renames into Hudi's partition-dir +
-    ``<fileId>_<token>_<instant>`` naming) and return the write stats."""
+    ``<fileId>_<token>_<instant>`` naming) and return the write stats.
+    ``sort_col`` sorts rows WITHIN each file group (the clustering
+    action's layout optimization -- tighter row-group stats)."""
     from urllib.parse import unquote
 
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex[:8]}")
@@ -562,14 +565,20 @@ def _write_base_files(df_meta: DataFrame, table: str, instant: str) -> list[dict
     prev_tst = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:
-        (
+        staged = (
             df_meta.withColumn("_hoodie_file_name", fname)
             # _hp duplicates the partition path because partitionBy
             # REMOVES its columns from the files, and real Hudi keeps
             # _hoodie_partition_path materialized in every base file
             .withColumn("_hp", F.col("_hoodie_partition_path"))
             .repartition(F.col("_hp"), F.col("_hoodie_bucket"))
-            .write.mode("overwrite")
+        )
+        if sort_col is not None:
+            staged = staged.sortWithinPartitions(
+                "_hp", "_hoodie_bucket", sort_col
+            )
+        (
+            staged.write.mode("overwrite")
             .partitionBy("_hp", "_hoodie_bucket")
             .parquet(staging)
         )
@@ -1004,6 +1013,40 @@ def hudi_incremental(
         & (F.col("_hoodie_commit_time") <= (end or "99999999999999999"))
     )
     return df.drop(*META_COLS) if drop_meta else df
+
+
+def hudi_cluster(spark: SparkSession, table: str, sort_col: str,
+                 n_buckets: int | None = None) -> str:
+    """CLUSTERING (the public replacecommit-based layout optimization):
+    rewrite every current file slice so rows are SORTED by ``sort_col``
+    WITHIN each file group, committed as a replacecommit at a fresh
+    instant.  Snapshot content is unchanged; what changes is the
+    LAYOUT: sorted base files carry tight per-row-group min/max stats,
+    so range predicates on ``sort_col`` skip row groups the way real
+    Hudi clustering improves data skipping.  The bucket index is
+    PRESERVED (file groups keep their bucket-derived ids, so later
+    upserts still route correctly -- real Hudi's bucket-index tables
+    have the same constraint on clustering strategies).  MOR groups
+    with pending log files are merged in (real Hudi schedules a
+    compaction first; this client folds it into the same rewrite)."""
+    n_buckets = _resolve_n_buckets(table, n_buckets)
+    instant = _next_instant(table)
+    slices = _file_slices(table)
+    if not slices:
+        raise ValueError(f"hudi: no completed file slices in {table!r}")
+    if _table_type(table) == "cow":
+        merged = _read_base(
+            spark, table, [s["base"] for s in slices.values() if s["base"]]
+        )
+    else:
+        merged = _merge_slices(spark, table, slices)
+    merged = merged.withColumn(
+        "_hoodie_bucket", _bucket_of(F.col("_hoodie_record_key"), n_buckets)
+    )
+    stats = _write_base_files(merged, table, instant, sort_col=sort_col)
+    _commit(table, instant, "replacecommit", stats, "cluster",
+            replaced_file_ids=sorted(slices))
+    return instant
 
 
 # ---------------------------------------------------------------------------

@@ -504,3 +504,67 @@ def test_hudi_cdc_insert_overwrite_evictions(spark, people, tmp_path):
     assert m[("update_postimage", 1)] == (11.0, i2)
     assert m[("insert", 200)] == (2.0, i2)
     assert sum(1 for (ct, _k) in m if ct == "delete") == 9  # ids 2..10
+
+
+# ---------------------------------------------------------------------------
+# clustering (round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_sorts_within_groups_content_unchanged(spark, people, tmp_path):
+    from hive_person_service_spark.sources.hudi import hudi_cluster
+
+    t = _fresh(tmp_path, "cluster_cow")
+    hudi_write(spark, t, people, record_key="id", n_buckets=2)
+    before = sorted(map(tuple, hudi_scan(spark, t).collect()))
+    c = hudi_cluster(spark, t, sort_col="bal")
+    after = sorted(map(tuple, hudi_scan(spark, t).collect()))
+    assert after == before  # layout-only action
+    # every base file of the clustering instant is sorted by bal
+    import pyarrow.parquet as papq
+
+    files = [f for f in os.listdir(t) if f.endswith(f"_{c}.parquet")]
+    assert len(files) == 2  # bucket count preserved
+    for f in files:
+        vals = papq.read_table(os.path.join(t, f)).column("bal").to_pylist()
+        assert vals == sorted(vals)
+    # bucket routing intact: an upsert after clustering lands correctly
+    hudi_write(
+        spark,
+        t,
+        spark.createDataFrame([(5, "five", 0.5)],
+                              "id long, name string, bal double"),
+        record_key="id",
+    )
+    got = {r.id: r.bal for r in hudi_scan(spark, t).collect()}
+    assert got[5] == 0.5 and len(got) == 100
+    # time travel to before the clustering still serves the old layout
+    first = hudi_timeline(t)[0]["instant"]
+    assert sorted(
+        map(tuple, hudi_scan(spark, t, as_of=first).collect())
+    ) == before
+
+
+def test_cluster_mor_folds_pending_logs(spark, people, tmp_path):
+    """Clustering a MOR table with live log files merges them into the
+    sorted base files (compaction folded in); read-optimized catches up
+    to the snapshot."""
+    from hive_person_service_spark.sources.hudi import hudi_cluster
+
+    t = _fresh(tmp_path, "cluster_mor")
+    hudi_write(spark, t, people, record_key="id", table_type="mor",
+               n_buckets=2)
+    hudi_write(
+        spark,
+        t,
+        people.where("id % 7 = 0").withColumn("bal", -F.col("bal")),
+        record_key="id",
+        table_type="mor",
+    )
+    snap_before = sorted(map(tuple, hudi_scan(spark, t).collect()))
+    hudi_cluster(spark, t, sort_col="id")
+    assert sorted(map(tuple, hudi_scan(spark, t).collect())) == snap_before
+    ro = sorted(
+        map(tuple, hudi_scan(spark, t, mode="read_optimized").collect())
+    )
+    assert ro == snap_before  # logs folded into the clustered bases
