@@ -296,10 +296,78 @@ def _commit(
         meta["extraMetadata"] = {"schema": schema_json}
     if replaced_file_ids is not None:
         meta["partitionToReplaceFileIds"] = {"": replaced_file_ids}
+    # keep the files index transactional with the commit: add the new
+    # file names BEFORE the completed-instant rename (a file the index
+    # knows but the timeline doesn't is filtered by commit_set -- the
+    # conservative direction; the reverse order could LOSE rows)
+    _files_index_add(table, write_stats)
     tmp = os.path.join(md, f".{instant}.{action}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=2, sort_keys=True)
     os.rename(tmp, os.path.join(md, f"{instant}.{action}"))
+
+
+# ---------------------------------------------------------------------------
+# files index (the metadata table's `files` partition shape)
+# ---------------------------------------------------------------------------
+
+
+def _files_index_path(table: str) -> str:
+    return os.path.join(_meta_dir(table), "metadata", "files_index.json")
+
+
+def _load_files_index(table: str) -> dict | None:
+    p = _files_index_path(table)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def hudi_build_files_index(table: str) -> int:
+    """Build the FILES INDEX: {partition: [file names]} persisted under
+    ``.hoodie/metadata`` (the shape of real Hudi's metadata-table
+    `files` partition).  One directory walk at build time; afterwards
+    ``_file_slices`` plans from the index and every commit appends its
+    own files, so planning never LISTs the store again -- the
+    metadata-table property that matters at 100 TB, where a LIST over a
+    wide table is slower than reading the plan itself.  Returns the
+    number of indexed files."""
+    idx: dict[str, list[str]] = {"": []}
+    for name in sorted(os.listdir(table)):
+        full = os.path.join(table, name)
+        if os.path.isdir(full):
+            if name != META_DIR and not name.startswith("."):
+                idx[name] = sorted(
+                    f for f in os.listdir(full)
+                    if _BASE_RE.match(f) or _LOG_RE.match(f)
+                )
+        elif _BASE_RE.match(name) or _LOG_RE.match(name):
+            idx[""].append(name)
+    tmp = _files_index_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(idx, fh, indent=1, sort_keys=True)
+    os.rename(tmp, _files_index_path(table))
+    return sum(len(v) for v in idx.values())
+
+
+def _files_index_add(table: str, write_stats: list[dict]) -> None:
+    """Transactional upkeep: append this commit's file names (no-op for
+    tables without an index)."""
+    idx = _load_files_index(table)
+    if idx is None or not write_stats:
+        return
+    for s in write_stats:
+        part = s.get("partitionPath", "") or ""
+        name = os.path.basename(s["path"])
+        bucket = idx.setdefault(part, [])
+        if name not in bucket:
+            bucket.append(name)
+    tmp = _files_index_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(idx, fh, indent=1, sort_keys=True)
+    os.rename(tmp, _files_index_path(table))
 
 
 # ---------------------------------------------------------------------------
@@ -336,21 +404,34 @@ def _file_slices(table: str, as_of: str | None = None) -> dict[str, dict]:
                     if st.get("logFile"):
                         log_membership[os.path.basename(st["path"])] = t
 
-    # partition dirs are one level deep (non-hive-style: the dir name IS
-    # the partition value); "" = the table root itself
-    part_dirs = [("", table)]
-    for entry in sorted(os.listdir(table)):
-        full = os.path.join(table, entry)
-        if (
-            os.path.isdir(full)
-            and entry != META_DIR
-            and not entry.startswith(".")
-        ):
-            part_dirs.append((entry, full))
+    # file listings: from the FILES INDEX (the metadata table's `files`
+    # partition shape -- maintained transactionally by _commit) when the
+    # table has one, else by walking the partition dirs.  At 100 TB the
+    # index is what keeps planning off the object store's LIST calls.
+    idx = _load_files_index(table)
+    if idx is not None:
+        listing: dict[str, list[str]] = {p: sorted(ns) for p, ns in idx.items()}
+        listing.setdefault("", [])
+    else:
+        # partition dirs are one level deep (non-hive-style: the dir
+        # name IS the partition value); "" = the table root itself
+        listing = {"": os.listdir(table)}
+        for entry in sorted(os.listdir(table)):
+            full = os.path.join(table, entry)
+            if (
+                os.path.isdir(full)
+                and entry != META_DIR
+                and not entry.startswith(".")
+            ):
+                listing[entry] = os.listdir(full)
+    part_dirs = [
+        (part, os.path.join(table, part) if part else table)
+        for part in listing
+    ]
 
     groups: dict[str, dict] = {}
     for part, pdir in part_dirs:
-        for name in os.listdir(pdir):
+        for name in listing[part]:
             m = _BASE_RE.match(name)
             if not m:
                 continue
@@ -365,7 +446,7 @@ def _file_slices(table: str, as_of: str | None = None) -> dict[str, dict]:
                 g["base_instant"] = m["instant"]
 
     for part, pdir in part_dirs:
-        for name in os.listdir(pdir):
+        for name in listing[part]:
             m = _LOG_RE.match(name)
             if not m:
                 continue

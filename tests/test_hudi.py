@@ -568,3 +568,68 @@ def test_cluster_mor_folds_pending_logs(spark, people, tmp_path):
         map(tuple, hudi_scan(spark, t, mode="read_optimized").collect())
     )
     assert ro == snap_before  # logs folded into the clustered bases
+
+
+# ---------------------------------------------------------------------------
+# files index (metadata-table `files` shape, round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_files_index_equivalent_and_maintained(spark, people, tmp_path, monkeypatch):
+    """With a files index, _file_slices plans WITHOUT listing the table
+    dirs, resolves the identical slice map, stays fresh across
+    upsert/delete/compact/cluster, and every scan equals the
+    listdir-planned truth."""
+    from hive_person_service_spark.sources.hudi import (
+        _file_slices,
+        _files_index_path,
+        hudi_build_files_index,
+        hudi_cluster,
+    )
+
+    t = _fresh(tmp_path, "files_idx")
+    hudi_write(spark, t, people, record_key="id", table_type="mor",
+               n_buckets=2)
+    n = hudi_build_files_index(t)
+    assert n == 2  # two base files
+    # identical slice map with and without the index
+    with_idx = _file_slices(t)
+    os.rename(_files_index_path(t), _files_index_path(t) + ".bak")
+    without = _file_slices(t)
+    os.rename(_files_index_path(t) + ".bak", _files_index_path(t))
+    assert with_idx == without
+
+    # mutations keep the index fresh (log write, delete block, cluster)
+    hudi_write(
+        spark, t,
+        people.where("id % 5 = 0").withColumn("bal", -F.col("bal")),
+        record_key="id", table_type="mor",
+    )
+    hudi_delete(spark, t, ["3"])
+    hudi_cluster(spark, t, sort_col="id")
+    snap_idx = sorted(map(tuple, hudi_scan(spark, t).collect()))
+    os.rename(_files_index_path(t), _files_index_path(t) + ".bak")
+    snap_list = sorted(map(tuple, hudi_scan(spark, t).collect()))
+    os.rename(_files_index_path(t) + ".bak", _files_index_path(t))
+    assert snap_idx == snap_list
+    want = {
+        i: (-(i * 1.5) if i % 5 == 0 else i * 1.5)
+        for i in range(1, 101)
+        if i != 3
+    }
+    assert {r.id: r.bal for r in hudi_scan(spark, t).collect()} == want
+
+    # and planning really does avoid listdir on the data dirs
+    import hive_person_service_spark.sources.hudi as hmod
+
+    real_listdir = os.listdir
+
+    def guarded(path):
+        p = str(path)
+        if p.startswith(t) and ".hoodie" not in p:
+            raise AssertionError(f"planning listed a data dir: {p}")
+        return real_listdir(path)
+
+    monkeypatch.setattr(hmod.os, "listdir", guarded)
+    sl = _file_slices(t)  # guarded listdir raises on any data-dir LIST
+    assert sl and all(s["base"] for s in sl.values())
