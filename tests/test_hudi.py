@@ -633,3 +633,43 @@ def test_files_index_equivalent_and_maintained(spark, people, tmp_path, monkeypa
     monkeypatch.setattr(hmod.os, "listdir", guarded)
     sl = _file_slices(t)  # guarded listdir raises on any data-dir LIST
     assert sl and all(s["base"] for s in sl.values())
+
+
+def test_log_block_golden_bytes():
+    """Byte-for-byte pin of the HoodieLogFormat framing with the PUBLIC
+    0-based enum ordinals (round-8 fix): magic, big-endian sizes,
+    version=1, block type AVRO_DATA=3, header keys INSTANT_TIME=0 /
+    SCHEMA=2, length-prefixed Avro payload, footer count, total-size
+    trailer.  Any framing drift (e.g. ordinals sliding back to 1-based)
+    fails this test before it can silently corrupt interop claims."""
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "k", "type": "string"}],
+    }
+    out = io.BytesIO()
+    _write_log_block(
+        out,
+        BLOCK_AVRO_DATA,
+        {
+            HEADER_INSTANT_TIME: "20240101000000001",
+            HEADER_SCHEMA: json.dumps(schema, sort_keys=True),
+        },
+        _encode_avro_data([{"k": "a"}], schema),
+    )
+    golden = (
+        "234855444923000000000000009b00000001000000030000000200000000"
+        "000000113230323430313031303030303030303031000000020000004c7b"
+        "226669656c6473223a205b7b226e616d65223a20226b222c202274797065"
+        "223a2022737472696e67227d5d2c20226e616d65223a202272222c202274"
+        "797065223a20227265636f7264227d000000000000000e00000003000000"
+        "010000000202610000000000000000000000a9"
+    )
+    blob = out.getvalue()
+    assert blob.hex() == golden
+    # spot-pin the public ordinals inside the frame: after MAGIC(6) +
+    # size(8) comes version(4)=1 then the block type (AVRO_DATA = 3)
+    assert blob[14:18] == (1).to_bytes(4, "big")
+    assert blob[18:22] == (3).to_bytes(4, "big")
+    assert BLOCK_AVRO_DATA == 3 and BLOCK_DELETE == 1
+    assert HEADER_INSTANT_TIME == 0 and HEADER_SCHEMA == 2
