@@ -34,12 +34,19 @@ published 0.x table layout:
     the head of every base file and every log record, exactly where
     real readers expect them.
 
-Indexing is the BUCKET index (``hoodie.index.type=BUCKET``): a record's
+Indexing is the BUCKET index (``hoodie.index.type=BUCKET``,
+``hoodie.bucket.index.num.buckets`` persisted at creation): a record's
 file group is a deterministic hash of its record key, so upsert routing
 needs no global key->file lookup -- the index strategy that stays O(1)
-per record at 100 TB.  Non-partitioned tables (partition path ``""``,
-base files at the table root), matching the fixture shape; hive-style
-partition pruning is already exercised by the Delta/Iceberg clients.
+per record at 100 TB.  Partitioned tables use non-hive-style value
+dirs with per-partition file groups; KEY-ONLY deletes on them resolve
+partitions through the RECORD INDEX (``hudi_build_record_index`` -- the
+metadata table's record_index shape), and the FILES INDEX
+(``hudi_build_files_index`` -- the metadata table's `files` shape)
+keeps slice planning off directory LISTs.  ``hudi_cdc`` serves
+before/after change images per commit; ``hudi_cluster`` is the
+replacecommit layout optimization (sorted file groups, bucket routing
+preserved).
 
 Scale shape: timeline replay and file-slice resolution touch KILOBYTES
 of metadata driver-side; the data path is always one multi-file parquet
