@@ -1042,6 +1042,7 @@ def hudi_scan(
     any completed instant (pass the instant time string a writer
     returned).  The data path is one multi-file parquet scan --
     predicate pushdown and column pruning flow through untouched."""
+    _check_clean_boundary(table, as_of, "time travel to")
     slices = _file_slices(table, as_of=as_of)
     if partitions is not None:
         # PARTITION PRUNING, driver-side from the slice map: at 100 TB
@@ -1073,6 +1074,7 @@ def hudi_incremental(
     restricts the scan to the file groups those commits touched (file
     pruning from commit metadata, no full-table diff), then filters on
     the ``_hoodie_commit_time`` meta column."""
+    _check_clean_boundary(table, begin, "incremental pull from")
     done = _completed_instants(table)
     window_commits = [
         (t, a) for (t, a) in done if t > begin and (end is None or t <= end)
@@ -1362,6 +1364,159 @@ def hudi_cdc(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def _clean_boundary(table: str) -> str | None:
+    """Latest ``earliestCommitToRetain`` across completed clean actions
+    -- the instant before which time travel / incremental pulls must be
+    refused because superseded file slices may have been reclaimed."""
+    md = _meta_dir(table)
+    best: str | None = None
+    for name in os.listdir(md):
+        parts = name.split(".")
+        if len(parts) == 2 and parts[1] == "clean" and parts[0].isdigit():
+            with open(os.path.join(md, name), encoding="utf-8") as fh:
+                meta = json.load(fh)
+            e = meta.get("earliestCommitToRetain") or ""
+            if e and (best is None or e > best):
+                best = e
+    return best
+
+
+def _check_clean_boundary(table: str, instant: str | None, what: str) -> None:
+    boundary = _clean_boundary(table)
+    if instant is not None and boundary is not None and instant < boundary:
+        raise ValueError(
+            f"hudi: {what} {instant!r} predates the clean retention "
+            f"boundary {boundary!r} -- superseded file slices were "
+            f"reclaimed by a clean action (real Hudi fails these "
+            f"requests the same way)"
+        )
+
+
+def hudi_clean(spark: SparkSession, table: str, keep_versions: int = 1) -> dict:
+    """CLEAN table service (KEEP_LATEST_FILE_VERSIONS policy): reclaim,
+    per file group, every base file superseded by more than
+    ``keep_versions`` newer committed slices -- plus all file groups a
+    replacecommit hid -- together with the log files stacked on the
+    reclaimed bases.  Writes a ``<instant>.clean`` timeline action
+    (HoodieCleanMetadata shape: earliestCommitToRetain + deleted paths)
+    and prunes the files index transactionally, so snapshot planning
+    never sees a dangling name.  Time travel / incremental pulls before
+    ``earliestCommitToRetain`` raise precisely afterwards.
+
+    Scale shape: pure metadata + unlink work, O(#files); the data path
+    is untouched.  At 100 TB this is the service that bounds storage
+    under continuous upserts (every CoW upsert strands a full old copy
+    of each touched file group until cleaned)."""
+    if keep_versions < 1:
+        raise ValueError("hudi_clean: keep_versions must be >= 1")
+    done = _completed_instants(table)
+    commit_set = {t for (t, _a) in done}
+    replaced: dict[str, str] = {}
+    for t, a in done:
+        meta = _read_instant(table, t, a)
+        if a == "replacecommit":
+            for fids in meta.get("partitionToReplaceFileIds", {}).values():
+                for fid in fids:
+                    replaced[fid] = max(t, replaced.get(fid, ""))
+
+    # listing (files index if present, else a dir walk -- _file_slices'
+    # resolution order)
+    idx = _load_files_index(table)
+    if idx is not None:
+        listing: dict[str, list[str]] = {p: sorted(ns) for p, ns in idx.items()}
+        listing.setdefault("", [])
+    else:
+        listing = {"": os.listdir(table)}
+        for entry in sorted(os.listdir(table)):
+            full = os.path.join(table, entry)
+            if (
+                os.path.isdir(full)
+                and entry != META_DIR
+                and not entry.startswith(".")
+            ):
+                listing[entry] = os.listdir(full)
+
+    # committed base files per file group, oldest first
+    bases: dict[str, list[tuple[str, str, str]]] = {}  # fid -> [(instant, part, name)]
+    for part, names in listing.items():
+        for name in names:
+            m = _BASE_RE.match(name)
+            if m and m["instant"] in commit_set:
+                bases.setdefault(m["file_id"], []).append(
+                    (m["instant"], part, name)
+                )
+
+    victims: list[tuple[str, str]] = []  # (part, name)
+    victim_slices: set[tuple[str, str]] = set()  # (fid, base_instant)
+    boundary = ""
+    for fid, blist in sorted(bases.items()):
+        blist.sort()
+        drop: list[tuple[str, str, str]] = []
+        if fid in replaced:
+            # a replacecommit hides slices STRICTLY OLDER than itself --
+            # it may ADD a fresh slice under the same (bucket-index)
+            # file id, which must survive (_file_slices' rule)
+            drop = [b for b in blist if b[0] < replaced[fid]]
+            keep = [b for b in blist if b[0] >= replaced[fid]]
+            if drop:
+                boundary = max(boundary, replaced[fid])
+        else:
+            keep = blist
+        if len(keep) > keep_versions:
+            drop += keep[:-keep_versions]
+            keep = keep[-keep_versions:]
+            boundary = max(boundary, keep[0][0])
+        for instant, part, name in drop:
+            victims.append((part, name))
+            victim_slices.add((fid, instant))
+
+    # logs stacked on a reclaimed base go with it
+    for part, names in listing.items():
+        for name in names:
+            m = _LOG_RE.match(name)
+            if m and (m["file_id"], m["base"]) in victim_slices:
+                victims.append((part, name))
+
+    instant = _next_instant(table)
+    md = _meta_dir(table)
+    open(os.path.join(md, f"{instant}.clean.requested"), "w").close()
+    open(os.path.join(md, f"{instant}.clean.inflight"), "w").close()
+    deleted: list[str] = []
+    for part, name in victims:
+        full = os.path.join(table, part, name) if part else os.path.join(table, name)
+        if os.path.exists(full):
+            os.remove(full)
+        deleted.append(os.path.join(part, name) if part else name)
+    # prune the files index BEFORE completing the clean (an indexed name
+    # that is gone from disk would break planning; the reverse order --
+    # index knows less than disk -- is always safe)
+    if idx is not None:
+        gone = set(deleted)
+        pruned = {
+            p: [n for n in ns if (os.path.join(p, n) if p else n) not in gone]
+            for p, ns in idx.items()
+        }
+        tmp = _files_index_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(pruned, fh, indent=2, sort_keys=True)
+        os.rename(tmp, _files_index_path(table))
+    meta = {
+        "earliestCommitToRetain": boundary or None,
+        "filesDeleted": len(deleted),
+        "deletePathPatterns": sorted(deleted),
+        "policy": f"KEEP_LATEST_FILE_VERSIONS:{keep_versions}",
+    }
+    tmp = os.path.join(md, f".{instant}.clean.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+    os.rename(tmp, os.path.join(md, f"{instant}.clean"))
+    return {
+        "instant": instant,
+        "files_deleted": len(deleted),
+        "earliest_commit_to_retain": boundary or None,
+    }
 
 
 def hudi_timeline(table: str) -> list[dict]:
