@@ -93,6 +93,7 @@ from . import pipeline53  # noqa: F401,E402  (ALS matrix factorization with an u
 from . import pipeline54  # noqa: F401,E402  (connected components, Gaussian naive Bayes)
 from . import pipeline55  # noqa: F401,E402  (boosted stumps, rank-2 ALS, Kneser-Ney LM)
 from . import pipeline56  # noqa: F401,E402  (cross-format storage-maintenance lifecycle)
+from . import pipeline57  # noqa: F401,E402  (t-closeness, Mann-Whitney U, daily-series ACF)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
