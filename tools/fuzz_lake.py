@@ -8,11 +8,18 @@ seed a small table, then apply 3-6 random actions drawn from the
 format's mutation set --
 
   delta:    append, predicate delete (DV), predicate update (DV),
-            overwrite
+            overwrite, VACUUM (retain 0)
   iceberg:  append, position delete, overwrite, partition-spec
-            evolution (metadata-only), schema add-column
+            evolution (metadata-only), schema add-column,
+            EXPIRE_SNAPSHOTS (keep_last 1-2)
   hudi:     upsert (new + existing keys), key delete, insert_overwrite,
-            compaction (MOR)
+            compaction (MOR), CLEAN (keep_versions 1-2)
+
+Retention actions tighten the end-of-history travel check instead of
+weakening it: a snapshot whose files were reclaimed must FAIL precisely
+(hudi: the clean-boundary ValueError; iceberg: the not-in-log error;
+delta: a scan-time failure on any version referencing vacuumed files) --
+silently returning partial rows is recorded as a mismatch.
 
 After EVERY action the snapshot scan must equal the shadow exactly
 (sorted row tuples, floats bit-for-bit -- no arithmetic happens on the
@@ -92,8 +99,20 @@ def run_delta_history(spark, rng: random.Random, root: str) -> int:
     n_checks = 1
     _check("delta seed", _scan_rows(delta_scan(spark, t)), sorted(shadow))
 
+    vacuumed: set[str] = set()  # relative paths VACUUM reclaimed
     for _step in range(rng.randrange(3, 7)):
-        op = rng.choice(["append", "delete", "update", "overwrite"])
+        op = rng.choice(["append", "delete", "update", "overwrite", "vacuum"])
+        if op == "vacuum":
+            from hive_person_service_spark.sources.delta_log import (
+                delta_vacuum,
+            )
+
+            vacuumed |= set(delta_vacuum(spark, t, retain_ms=0))
+            # state-preserving for HEAD; no new version
+            _check("delta vacuum", _scan_rows(delta_scan(spark, t)),
+                   sorted(shadow))
+            n_checks += 1
+            continue
         if op == "append":
             new = _rows(rng, _fresh_ids(rng, [r[0] for r in shadow],
                                         rng.randrange(3, 10)))
@@ -119,7 +138,23 @@ def run_delta_history(spark, rng: random.Random, root: str) -> int:
         history.append((max(_log_versions(t)), sorted(shadow)))
         n_checks += 1
 
+    from hive_person_service_spark.sources.delta_log import _snapshot
+
     for ver, snap in history:  # time travel over the whole history
+        # a version whose snapshot references a vacuumed file must FAIL
+        # at scan time (never silently return a partial result); every
+        # other version must still read exactly
+        refs = set(_snapshot(t, version_as_of=ver)[0])
+        if refs & vacuumed:
+            try:
+                _scan_rows(delta_scan(spark, t, version_as_of=ver))
+            except Exception:
+                n_checks += 1
+                continue
+            raise Mismatch(
+                f"delta travel v{ver}: reads through vacuumed files "
+                f"instead of failing"
+            )
         _check(
             f"delta travel v{ver}",
             _scan_rows(delta_scan(spark, t, version_as_of=ver)),
@@ -153,10 +188,26 @@ def run_iceberg_history(spark, rng: random.Random, root: str) -> int:
     _check("ice seed", _scan_rows(iceberg_scan(spark, t), base_cols),
            sorted(shadow))
 
+    expired_ids: set[int] = set()
     for _step in range(rng.randrange(3, 7)):
         op = rng.choice(
-            ["append", "delete", "overwrite", "spec_evolution", "add_column"]
+            ["append", "delete", "overwrite", "spec_evolution", "add_column",
+             "expire"]
         )
+        if op == "expire":
+            from hive_person_service_spark.sources.iceberg import (
+                iceberg_expire_snapshots,
+            )
+
+            iceberg_expire_snapshots(spark, t, keep_last=rng.randrange(1, 3))
+            kept = {
+                s["snapshot-id"] for s in _load_metadata(t).get("snapshots", [])
+            }
+            expired_ids |= {sid for sid, _snap in history if sid not in kept}
+            _check("ice expire", _scan_rows(iceberg_scan(spark, t), base_cols),
+                   sorted(shadow))
+            n_checks += 1
+            continue
         if op == "append":
             new = _rows(rng, _fresh_ids(rng, [r[0] for r in shadow],
                                         rng.randrange(3, 10)))
@@ -201,6 +252,15 @@ def run_iceberg_history(spark, rng: random.Random, root: str) -> int:
         n_checks += 1
 
     for sid, snap in history:
+        if sid in expired_ids:  # must raise the precise not-in-log error
+            try:
+                _scan_rows(iceberg_scan(spark, t, snapshot_id=sid), base_cols)
+            except Exception:
+                n_checks += 1
+                continue
+            raise Mismatch(
+                f"ice travel {sid}: expired snapshot read back silently"
+            )
         _check(
             f"ice travel {sid}",
             _scan_rows(iceberg_scan(spark, t, snapshot_id=sid), base_cols),
@@ -231,11 +291,22 @@ def run_hudi_history(spark, rng: random.Random, root: str,
     _check(f"hudi-{table_type} seed", _scan_rows(hudi_scan(spark, t)),
            sorted(shadow.values()))
 
+    clean_floor = ""  # earliestCommitToRetain across clean actions
     for _step in range(rng.randrange(3, 7)):
-        ops = ["upsert", "delete", "insert_overwrite"]
+        ops = ["upsert", "delete", "insert_overwrite", "clean"]
         if table_type == "mor":
             ops.append("compact")
         op = rng.choice(ops)
+        if op == "clean":
+            from hive_person_service_spark.sources.hudi import hudi_clean
+
+            rcpt = hudi_clean(spark, t, keep_versions=rng.randrange(1, 3))
+            clean_floor = max(clean_floor,
+                              rcpt["earliest_commit_to_retain"] or "")
+            _check(f"hudi-{table_type} clean", _scan_rows(hudi_scan(spark, t)),
+                   sorted(shadow.values()))
+            n_checks += 1
+            continue
         if op == "upsert":
             old = rng.sample(sorted(shadow), k=min(len(shadow),
                                                    rng.randrange(1, 6)))
@@ -267,6 +338,23 @@ def run_hudi_history(spark, rng: random.Random, root: str,
         n_checks += 1
 
     for instant, snap in history:
+        if clean_floor and instant < clean_floor:
+            # before the retention boundary the guard must REFUSE --
+            # reclaimed slices make the old snapshot unreconstructable
+            try:
+                _scan_rows(hudi_scan(spark, t, as_of=instant))
+            except ValueError as exc:
+                if "clean retention boundary" not in str(exc):
+                    raise Mismatch(
+                        f"hudi-{table_type} travel {instant}: wrong error "
+                        f"{exc}"
+                    ) from exc
+                n_checks += 1
+                continue
+            raise Mismatch(
+                f"hudi-{table_type} travel {instant}: read before the clean "
+                f"boundary succeeded silently"
+            )
         _check(
             f"hudi-{table_type} travel {instant}",
             _scan_rows(hudi_scan(spark, t, as_of=instant)),
