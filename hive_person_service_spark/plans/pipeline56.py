@@ -7,9 +7,10 @@ through it cross-engine:
 
 * Delta:   write -> DELETE WHERE -> OPTIMIZE (file compaction) ->
            VACUUM (retain 0) reclaiming every unreferenced file;
-* Iceberg: write -> row-rewrite DELETE -> compact ->
-           expire_snapshots(keep_last=1) dropping old manifests +
-           orphan data files;
+* Iceberg: 2 writes -> position DELETE -> rewrite_manifests (merge
+           small manifests, per-entry sequence numbers pinned) ->
+           compact -> expire_snapshots(keep_last=1) dropping old
+           manifests + orphan data files;
 * Hudi:    2 inserts -> bucket-targeted upsert ->
            clean(KEEP_LATEST_FILE_VERSIONS=1) reclaiming the stranded
            pre-upsert base files.
@@ -73,17 +74,25 @@ def _iceberg_maint_layout(spark: SparkSession, sf_dir: str) -> str:
         iceberg_compact,
         iceberg_delete,
         iceberg_expire_snapshots,
+        iceberg_rewrite_manifests,
         iceberg_write,
     )
 
     path = os.path.join(
-        _LAYOUT_ROOT, f"part_iceberg_maint_{_digest(sf_dir, 'icemaint8')}"
+        _LAYOUT_ROOT, f"part_iceberg_maint_{_digest(sf_dir, 'icemaint8b')}"
     )
     if not os.path.isdir(os.path.join(path, "metadata")):
         with _atomic_layout(path) as tmp:
             part = load_table(spark, sf_dir, "part")
-            iceberg_write(part.where(F.col("p_partkey") % 3 == 1), tmp)
+            third = part.where(F.col("p_partkey") % 3 == 1)
+            iceberg_write(third.where(F.col("p_partkey") % 2 == 0), tmp)
+            iceberg_write(third.where(F.col("p_partkey") % 2 == 1), tmp)
             iceberg_delete(spark, tmp, "p_size >= 40")
+            rw = iceberg_rewrite_manifests(tmp)
+            if rw["manifests_after"] >= rw["manifests_before"]:
+                raise RuntimeError(
+                    "lake maintenance layout: manifest rewrite merged nothing"
+                )
             iceberg_compact(spark, tmp, target_files=1)
             res = iceberg_expire_snapshots(spark, tmp, keep_last=1)
             if not res.get("files_deleted") and not res.get("expired"):

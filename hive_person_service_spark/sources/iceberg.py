@@ -280,6 +280,8 @@ def _plan_snapshot(
         for e in entries:
             if e.get("status", 0) == 2:  # DELETED
                 continue
+            es = e.get("sequence_number")
+            ent_seq = man_seq if es is None else int(es)
             df_rec = e["data_file"]
             content = df_rec.get("content", 0) or 0
             if content not in (0, 1, 2):
@@ -291,12 +293,12 @@ def _plan_snapshot(
                 # "replaces all previous deletes" rule)
                 ref = _resolve(table, df_rec["referenced_data_file"])
                 cur = plan["dv"].get(ref)
-                if cur is None or man_seq >= cur[3]:
+                if cur is None or ent_seq >= cur[3]:
                     plan["dv"][ref] = (
                         _resolve(table, df_rec["file_path"]),
                         int(df_rec["content_offset"]),
                         int(df_rec["content_size_in_bytes"]),
-                        man_seq,
+                        ent_seq,
                     )
                 continue
             if fmt != "PARQUET":
@@ -323,7 +325,7 @@ def _plan_snapshot(
                         for b in (df_rec.get("upper_bounds") or [])
                     },
                 }
-                plan["data"].append((path, man_seq, info))
+                plan["data"].append((path, ent_seq, info))
             elif content == 1:
                 plan["pos"].append(path)
             else:
@@ -333,7 +335,7 @@ def _plan_snapshot(
                         "Iceberg equality-delete file without equality_ids: "
                         f"{path}"
                     )
-                plan["eq"].append((path, tuple(int(i) for i in ids), man_seq))
+                plan["eq"].append((path, tuple(int(i) for i in ids), ent_seq))
     plan["data"].sort()
     plan["pos"].sort()
     plan["eq"].sort()
@@ -809,6 +811,12 @@ _MANIFEST_SCHEMA = {
     "fields": [
         {"name": "status", "type": ["null", "int"]},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        # the v2 spec's per-entry data sequence number (field 3):
+        # null = INHERIT the manifest's sequence number.  Writers leave
+        # it null on fresh appends; rewrite_manifests pins each merged
+        # entry's original sequence explicitly so delete scoping
+        # survives manifest merging.
+        {"name": "sequence_number", "type": ["null", "long"]},
         {
             "name": "data_file",
             "type": [
@@ -2041,6 +2049,118 @@ def iceberg_compact(spark: SparkSession, table: str, target_files: int = 1) -> d
     return {
         "files_before": len(files) + len(delete_files),
         "files_after": target_files,
+        "snapshot_id": snapshot_id,
+    }
+
+
+def iceberg_rewrite_manifests(table: str) -> dict:
+    """``rewrite_manifests`` maintenance action: merge the CURRENT
+    snapshot's manifests into one manifest per (content,
+    partition_spec_id) group and commit a replace snapshot pointing at
+    the merged set.  METADATA-ONLY -- no data file moves; after many
+    small appends this is what keeps scan planning from opening
+    hundreds of tiny manifests.
+
+    Delete scoping survives the merge because every merged entry pins
+    its ORIGINAL data sequence number explicitly (the v2 spec's
+    per-entry field 3; fresh appends leave it null = inherit), so
+    position/equality-delete precedence is unchanged even though the
+    merged manifest has a single manifest-level sequence number."""
+    meta = _load_metadata(table)
+    cur_id = meta.get("current-snapshot-id", -1)
+    if cur_id == -1:
+        return {"manifests_before": 0, "manifests_after": 0}
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == cur_id
+    )
+    _, mlist = read_ocf(
+        Path(_resolve(table, snap["manifest-list"])).read_bytes()
+    )
+    mlist = _carry_forward(mlist)
+    if len(mlist) <= 1:
+        return {"manifests_before": len(mlist), "manifests_after": len(mlist)}
+
+    groups: dict[tuple[int, int], list[dict]] = {}
+    group_seq: dict[tuple[int, int], int] = {}
+    for m in mlist:
+        man_seq = int(m.get("sequence_number") or 0)
+        _, entries = read_ocf(
+            Path(_resolve(table, m["manifest_path"])).read_bytes()
+        )
+        key = (int(m.get("content") or 0), int(m.get("partition_spec_id") or 0))
+        for e in entries:
+            if e.get("status", 0) == 2:  # DELETED entries drop out
+                continue
+            es = e.get("sequence_number")
+            ent_seq = man_seq if es is None else int(es)
+            groups.setdefault(key, []).append(
+                {
+                    "status": 0,  # EXISTING: provenance preserved
+                    "snapshot_id": e.get("snapshot_id"),
+                    "sequence_number": ent_seq,
+                    "data_file": {
+                        **_DATA_FILE_DEFAULTS,
+                        **(e.get("data_file") or {}),
+                    },
+                }
+            )
+            group_seq[key] = max(group_seq.get(key, 0), ent_seq)
+
+    from .iceberg_transforms import transform_result_type
+
+    d = _meta_dir(table)
+    version = int(_current_metadata_path(table).stem[1:].split(".")[0])
+    snapshot_id = int(time.time() * 1000) * 1000 + version + 1
+    schema_now = _current_schema(meta)
+    types_now = {f["name"]: f["type"] for f in schema_now.get("fields", [])}
+    new_list: list[dict] = []
+    for (content, spec_id), entries in sorted(groups.items()):
+        man_path = str(d / f"manifest-{uuid.uuid4().hex[:12]}.avro")
+        Path(man_path).write_bytes(write_ocf(entries, _MANIFEST_SCHEMA))
+        spec_fields = _spec_fields_for_id(meta, spec_id)
+        result_types = {
+            f["name"]: transform_result_type(
+                f["transform"], types_now[f["source"]]
+            )
+            for f in spec_fields
+            if f["source"] in types_now
+        }
+        new_list.append(
+            {
+                "manifest_path": man_path,
+                "manifest_length": os.path.getsize(man_path),
+                "partition_spec_id": spec_id,
+                "content": content,
+                "added_snapshot_id": snapshot_id,
+                "sequence_number": group_seq[(content, spec_id)],
+                "partitions": _partition_summaries(
+                    entries, spec_fields, result_types
+                ),
+            }
+        )
+    mlist_path = str(d / f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
+    Path(mlist_path).write_bytes(write_ocf(new_list, _MANIFEST_LIST_SCHEMA))
+    meta["snapshots"] = meta.get("snapshots", []) + [
+        {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": int(time.time() * 1000),
+            "manifest-list": mlist_path,
+            "summary": {
+                "operation": "replace",
+                "rewritten-manifests": len(mlist),
+                "merged-manifests": len(new_list),
+            },
+        }
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    meta["last-updated-ms"] = int(time.time() * 1000)
+    tmp = d / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(meta, indent=1))
+    os.rename(tmp, d / f"v{version + 1}.metadata.json")
+    (d / "version-hint.text").write_text(str(version + 1))
+    return {
+        "manifests_before": len(mlist),
+        "manifests_after": len(new_list),
         "snapshot_id": snapshot_id,
     }
 
