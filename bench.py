@@ -139,6 +139,10 @@ def main() -> int:
             "q_table_hudi_mor_read": lambda: qs["table_hudi_mor_read"](
                 spark, sf_dir
             ),
+            # round-8 addition: gradient-boosted stump training (3
+            # histogram-split-search rounds over lineitem in exact
+            # integer micro-units) -- the iterative-ML cost anchor
+            "q_ml_train_gbt": lambda: qs["ml_train_gbt"](spark, sf_dir),
         }
     )
 

@@ -6,7 +6,9 @@ cleanup -- on all three open table formats, and proves data integrity
 through it cross-engine:
 
 * Delta:   write -> DELETE WHERE -> OPTIMIZE (file compaction) ->
-           VACUUM (retain 0) reclaiming every unreferenced file;
+           VACUUM (retain 0) reclaiming every unreferenced file ->
+           V2 checkpoint + LOG-RETENTION cleanup truncating the
+           checkpoint-covered commit prefix;
 * Iceberg: 2 writes -> position DELETE -> rewrite_manifests (merge
            small manifests, per-entry sequence numbers pinned) ->
            compact -> expire_snapshots(keep_last=1) dropping old
@@ -46,14 +48,16 @@ def _digest(sf_dir: str, tag: str) -> str:
 
 def _delta_maint_layout(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.delta_log import (
+        delta_cleanup_log,
         delta_delete,
         delta_optimize,
         delta_vacuum,
         delta_write,
+        write_checkpoint_v2,
     )
 
     path = os.path.join(
-        _LAYOUT_ROOT, f"part_delta_maint_{_digest(sf_dir, 'deltamaint8')}"
+        _LAYOUT_ROOT, f"part_delta_maint_{_digest(sf_dir, 'deltamaint8b')}"
     )
     if not os.path.isdir(os.path.join(path, "_delta_log")):
         with _atomic_layout(path) as tmp:
@@ -65,6 +69,11 @@ def _delta_maint_layout(spark: SparkSession, sf_dir: str) -> str:
             if not removed:
                 raise RuntimeError(
                     "lake maintenance layout: delta vacuum reclaimed nothing"
+                )
+            write_checkpoint_v2(tmp)
+            if not delta_cleanup_log(tmp):
+                raise RuntimeError(
+                    "lake maintenance layout: delta log cleanup removed nothing"
                 )
     return path
 

@@ -701,7 +701,17 @@ def delta_changes(
 
     from .delta_dv import read_dv
 
-    versions = [v for v in _list_versions(table) if v >= starting_version]
+    all_versions = _list_versions(table)
+    if all_versions and all_versions[0] > starting_version and all_versions[0] != 0:
+        # the requested range starts inside a log prefix the retention
+        # cleanup deleted; emitting only the surviving commits would be
+        # a silently PARTIAL change feed
+        raise ValueError(
+            f"log truncated: earliest commit is {all_versions[0]}, so the "
+            f"change feed from version {starting_version} is no longer "
+            "reconstructable"
+        )
+    versions = [v for v in all_versions if v >= starting_version]
     if ending_version is not None:
         versions = [v for v in versions if v <= ending_version]
     if not versions:
@@ -1683,6 +1693,33 @@ def delta_vacuum(spark: SparkSession, table: str, retain_ms: int = 0) -> list[st
                 continue
             os.remove(full)
             deleted.append(rel)
+    return deleted
+
+
+def delta_cleanup_log(table: str, keep_versions: int = 0) -> list[str]:
+    """LOG RETENTION (the ``delta.logRetentionDuration`` cleanup):
+    delete commit JSONs strictly BEFORE the newest checkpoint (minus an
+    optional ``keep_versions`` tail window) -- they are fully covered by
+    the checkpoint's state, so HEAD replay and every version at-or-after
+    the checkpoint are unaffected.  Time travel / CDF reads into the
+    truncated prefix then fail with the precise log-truncated error
+    (never a silently partial replay -- the guard _snapshot and
+    delta_changes share).  Returns the deleted file names.
+
+    At 100 TB this is what bounds metadata: a long-lived table's log
+    would otherwise grow one JSON per commit forever, and every new
+    reader would pay an ever-longer replay."""
+    ckpt_v, _files, _meta, _proto, _txns = _read_checkpoint(table)
+    if ckpt_v < 0:
+        return []  # no checkpoint: every commit is load-bearing
+    cutoff = ckpt_v - max(0, keep_versions)
+    deleted: list[str] = []
+    for v in _list_versions(table):
+        if v >= cutoff:
+            break
+        p = _version_file(table, v)
+        p.unlink()
+        deleted.append(p.name)
     return deleted
 
 
