@@ -117,9 +117,14 @@ from . import pipeline57  # noqa: F401,E402  (t-closeness, Mann-Whitney U, daily
 # win_rank + win_running_sum) for ml_train_als (oracle-checked
 # alternating fit), and stream_dedup_events (dedup family covered by
 # dedup_exact/dedup_near) for stream_delta_tail (the partitioned
-# DataSourceStreamReader tail).  Every displaced query stays DECLARED,
-# selfchecked at all three SFs, and pytest-covered; displacement changes
-# which queries land in the driver's 50-query sample, nothing else.
+# DataSourceStreamReader tail).  The round-8 continuation rotates
+# set_except (set family covered by set_union_all) for ml_train_gbt
+# (hash-checked gradient-boosted stump training) and fn_conditional
+# (CASE/WHEN covered by proj_case_when) for table_lake_maintenance
+# (the three-format OPTIMIZE+retention lifecycle with self-certifying
+# reclamation).  Every displaced query stays DECLARED, selfchecked at
+# all three SFs, and pytest-covered; displacement changes which queries
+# land in the driver's 50-query sample, nothing else.
 _CERT_PRIORITY = [
     # A: scan + project (parquet pushdown)
     "scan_project",
@@ -145,10 +150,14 @@ _CERT_PRIORITY = [
     "win_rank", "ml_train_als", "win_running_sum", "ml_train_ols",
     # F: sort / limit
     "sort_global", "sort_limit_topk",
-    # G: set ops
-    "set_union_all", "set_except",
-    # H: scalar fn families
-    "fn_string", "fn_datetime", "fn_math", "fn_conditional",
+    # G: set ops (set_except's slot showcases ml_train_gbt -- the
+    # hash-checked boosted-stump trainer; set semantics stay covered
+    # by set_union_all)
+    "set_union_all", "ml_train_gbt",
+    # H: scalar fn families (fn_conditional's slot showcases the
+    # cross-format maintenance lifecycle; CASE/WHEN stays covered by
+    # proj_case_when)
+    "fn_string", "fn_datetime", "fn_math", "table_lake_maintenance",
     "fn_array_explode", "fn_map", "fn_json_props", "fn_hash",
     # I: event-time windows + stateful dedup (batch equivalents) + the
     # r6 flagship: transformWithStateInPandas EXECUTED through the
