@@ -235,3 +235,94 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r"),
     )
     return out
+
+
+_KW_ORACLE = """
+WITH h AS MATERIALIZED (
+  SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2),
+vt AS (
+  SELECT v, CAST(SUM(n) AS BIGINT) AS nv FROM h GROUP BY v),
+c AS (
+  SELECT v, nv,
+         CAST(COALESCE(SUM(nv) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM vt),
+rj AS (
+  SELECT h.g, CAST(SUM(h.n) AS BIGINT) AS nj,
+         SUM(h.n * (c.cum_before + (c.nv + 1) / 2.0)) AS r
+  FROM h JOIN c USING (v) GROUP BY h.g),
+tot AS (
+  SELECT CAST(SUM(nj) AS BIGINT) AS n,
+         SUM(r * r / nj) AS s,
+         (SELECT CAST(SUM(nv * nv * nv - nv) AS BIGINT) FROM vt) AS ties
+  FROM rj)
+SELECT n,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rj) AS k_groups,
+       ROUND(12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1), 4) AS h,
+       ROUND((12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1))
+             / (1.0 - CAST(ties AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n * n - n)), 4) AS h_tie_corrected
+FROM tot
+"""
+
+
+@declare("stat_kruskal", oracle=_KW_ORACLE)
+def stat_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KRUSKAL-WALLIS H across the three return-flag cohorts (the k-group
+    generalization of stat_mannwhitney): per-group rank sums from the
+    SAME value-level histogram machinery -- cumulative counts give
+    average tie ranks, so k-sample rank testing costs one tiny-cell
+    groupBy + a 50-row window at any data size.  Tie-corrected H
+    alongside raw H; rank sums exact half-integers, tie term exact
+    BIGINT, so both statistics are engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy(
+        F.col("l_quantity").cast("long").alias("v"),
+        F.col("l_returnflag").alias("g"),
+    ).agg(F.count("*").alias("n"))
+    vt = h.groupBy("v").agg(F.sum("n").alias("nv"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = vt.select(
+        "v",
+        "nv",
+        F.coalesce(F.sum("nv").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    rj = (
+        h.join(c, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("n").alias("nj"),
+            F.sum(
+                F.col("n") * (F.col("cum_before") + (F.col("nv") + 1) / 2.0)
+            ).alias("r"),
+        )
+    )
+    ties = vt.agg(
+        F.sum(
+            F.col("nv") * F.col("nv") * F.col("nv") - F.col("nv")
+        ).cast("long").alias("ties")
+    )
+    tot = rj.agg(
+        F.sum("nj").alias("n"),
+        F.count("*").alias("k_groups"),
+        F.sum(F.col("r") * F.col("r") / F.col("nj")).alias("s"),
+    ).crossJoin(F.broadcast(ties))
+    nd = F.col("n")
+    h_stat = 12.0 / (nd * (nd + 1.0)) * F.col("s") - 3.0 * (nd + 1)
+    return tot.select(
+        "n",
+        "k_groups",
+        F.round(h_stat, 4).alias("h"),
+        F.round(
+            h_stat
+            / (
+                1.0
+                - F.col("ties").cast("double")
+                / (nd.cast("double") * nd * nd - nd)
+            ),
+            4,
+        ).alias("h_tie_corrected"),
+    )
