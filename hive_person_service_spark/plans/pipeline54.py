@@ -41,7 +41,9 @@ WCC_ROUNDS = 6
 _WCC_BASE = """
 e0 AS MATERIALIZED (
   SELECT c_custkey AS a, CAST(FLOOR(c_custkey / 7) AS BIGINT) AS b
-  FROM customer WHERE c_custkey >= 7),
+  FROM customer WHERE c_custkey >= 7
+    AND CAST(FLOOR(c_custkey / 7) AS BIGINT)
+        IN (SELECT c_custkey FROM customer)),
 s0 AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
 l0 AS MATERIALIZED (SELECT c_custkey AS a, c_custkey AS lbl FROM customer)
 """
@@ -78,9 +80,16 @@ def graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical rounds.  All-integer state: labels ARE node ids, so the
     propagation has no rounding surface at all."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    e0 = cust.where(F.col("c_custkey") >= 7).select(
-        F.col("c_custkey").alias("a"),
-        F.floor(F.col("c_custkey") / 7).cast("long").alias("b"),
+    # WELL-FORMED edges only: floor(key/7) may miss the customer set
+    # when keys are non-contiguous (the sf1 synthesis offsets replicas
+    # by 10M), and a phantom endpoint must not enter the label relation
+    e0 = (
+        cust.where(F.col("c_custkey") >= 7)
+        .select(
+            F.col("c_custkey").alias("a"),
+            F.floor(F.col("c_custkey") / 7).cast("long").alias("b"),
+        )
+        .join(cust.select(F.col("c_custkey").alias("b")), "b", "semi")
     )
     s0 = e0.unionByName(
         e0.select(F.col("b").alias("a"), F.col("a").alias("b"))

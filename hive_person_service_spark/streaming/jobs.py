@@ -216,9 +216,14 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(120):
+    # scale-aware drain budget: 120s covers every fixture SF on an idle
+    # box, but a 10x (sf1) stream-stream join under a loaded box can
+    # legitimately need longer -- the knob exists so big-SF verification
+    # runs distinguish "slow" from "wedged"
+    secs = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_SECS", "120"))
+    if not q.awaitTermination(secs):
         q.stop()
-        raise TimeoutError("run_to_memory_sink did not drain within 120s")
+        raise TimeoutError(f"run_to_memory_sink did not drain within {secs}s")
     return spark.table(name)
 
 
