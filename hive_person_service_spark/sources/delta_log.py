@@ -702,15 +702,27 @@ def delta_changes(
     from .delta_dv import read_dv
 
     all_versions = _list_versions(table)
-    if all_versions and all_versions[0] > starting_version and all_versions[0] != 0:
-        # the requested range starts inside a log prefix the retention
-        # cleanup deleted; emitting only the surviving commits would be
-        # a silently PARTIAL change feed
-        raise ValueError(
-            f"log truncated: earliest commit is {all_versions[0]}, so the "
-            f"change feed from version {starting_version} is no longer "
-            "reconstructable"
-        )
+    ckpt_seed: dict[str, dict] = {}
+    walk_from = -1
+    if all_versions and all_versions[0] != 0:
+        # Retention cleanup deleted a log prefix: the walk below cannot
+        # reconstruct pre-truncation file/DV state from the surviving
+        # JSON alone, so emitting anything at-or-before the checkpoint
+        # would be a silently WRONG change feed (a surviving commit that
+        # DV-flips a pre-checkpoint file would read as a brand-new file's
+        # inserts; a plain remove of one would emit nothing). Serve only
+        # ranges strictly after the checkpoint, seeding the walk state
+        # from the checkpoint snapshot.
+        ckpt_v, ckpt_files = _read_checkpoint(table)[:2]
+        if ckpt_v < 0 or starting_version <= ckpt_v:
+            raise ValueError(
+                f"log truncated: earliest commit is {all_versions[0]} and "
+                f"the checkpoint covers state through {ckpt_v}, so the "
+                f"change feed from version {starting_version} is no "
+                "longer reconstructable"
+            )
+        ckpt_seed = ckpt_files
+        walk_from = ckpt_v
     versions = [v for v in all_versions if v >= starting_version]
     if ending_version is not None:
         versions = [v for v in versions if v <= ending_version]
@@ -724,11 +736,18 @@ def delta_changes(
         return {int(p) for p in read_dv(table, desc)} if desc else set()
 
     # walk the log once, tracking each file's DV state so a grown DV
-    # diffs against the previous one
+    # diffs against the previous one; on a truncated log the state is
+    # seeded from the checkpoint snapshot (its add actions carry the DV
+    # descriptors, if any) and the walk starts strictly after it
     dv_state: dict[str, set[int]] = {}
     live_adds: dict[str, dict] = {}
+    for rel, add in ckpt_seed.items():
+        live_adds[rel] = add
+        dv_state[rel] = dv_set(add.get("deletionVector"))
     pieces = []
-    for v in _list_versions(table):
+    for v in all_versions:
+        if v <= walk_from:
+            continue
         adds: dict[str, dict] = {}
         removes: list[str] = []
         for line in _version_file(table, v).read_text().splitlines():
@@ -957,6 +976,48 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
         tmp.unlink(missing_ok=True)
 
 
+def _checkpoint_tombstones(table: str) -> dict[str, int]:
+    """Remove tombstones carried by the newest checkpoint (path ->
+    deletionTimestamp). Tombstones let ``delta_vacuum`` find files whose
+    remove actions were themselves retired by ``delta_cleanup_log`` --
+    without them, running log cleanup before vacuum would orphan every
+    data file removed pre-checkpoint, an unbounded storage leak."""
+    last = _log_dir(table) / "_last_checkpoint"
+    if not last.exists():
+        return {}
+    v = int(json.loads(last.read_text())["version"])
+    import pyarrow.parquet as pq
+
+    single = _log_dir(table) / f"{v:020d}.checkpoint.parquet"
+    parts = (
+        [single]
+        if single.exists()
+        else sorted(_log_dir(table).glob(f"{v:020d}.checkpoint.*.parquet"))
+    )
+    if not parts:
+        return {}
+    rows: list[dict] = []
+    for p in parts:
+        t = pq.read_table(str(p))
+        if "remove" in t.schema.names or "sidecar" in t.schema.names:
+            rows.extend(t.to_pylist())
+    side_dir = _log_dir(table) / "_sidecars"
+    for r in list(rows):
+        if r.get("sidecar"):
+            side = side_dir / r["sidecar"]["path"]
+            if side.exists():
+                st = pq.read_table(str(side))
+                if "remove" in st.schema.names:
+                    rows.extend(st.to_pylist())
+    out: dict[str, int] = {}
+    for r in rows:
+        rem = r.get("remove")
+        if rem and rem.get("path"):
+            ts = int(rem.get("deletionTimestamp") or 0)
+            out[rem["path"]] = max(out.get(rem["path"], 0), ts)
+    return out
+
+
 def _checkpoint_schema_and_rows(table: str, version: int):
     """Shared core of the classic and V2 checkpoint writers: the Arrow
     action schema and the snapshot's checkpoint rows (adds first, then
@@ -986,6 +1047,16 @@ def _checkpoint_schema_and_rows(table: str, version: int):
                         # dropping it would silently disable data skipping
                         # for files only reachable through the checkpoint
                         ("stats", pa.string()),
+                    ]
+                ),
+            ),
+            pa.field(
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
                     ]
                 ),
             ),
@@ -1051,20 +1122,29 @@ def _checkpoint_schema_and_rows(table: str, version: int):
             "txn": None,
         }
     ]
-    # carry the idempotent-transaction state: retention may delete the
-    # pre-checkpoint JSON commits that held the txn actions, and a
-    # checkpoint that dropped them would break streaming exactly-once
+    # carry the idempotent-transaction state AND the remove tombstones:
+    # retention may delete the pre-checkpoint JSON commits that held the
+    # txn/remove actions; a checkpoint that dropped the txns would break
+    # streaming exactly-once, and one that dropped the tombstones would
+    # permanently orphan removed-but-not-yet-vacuumed data files (vacuum
+    # discovers its candidates from remove actions)
     txns: dict[str, int] = {}
+    tomb: dict[str, int] = dict(_checkpoint_tombstones(table))
     for v in _list_versions(table):
         if v > version:
             break
         for line in _version_file(table, v).read_text().splitlines():
             if not line.strip():
                 continue
-            t = json.loads(line).get("txn")
+            action = json.loads(line)
+            t = action.get("txn")
             if t and t.get("appId") is not None:
                 txns[t["appId"]] = max(txns.get(t["appId"], -1),
                                        int(t["version"]))
+            r = action.get("remove")
+            if r and r.get("path"):
+                ts = int(r.get("deletionTimestamp") or 0)
+                tomb[r["path"]] = max(tomb.get(r["path"], 0), ts)
     ckpt_txns = _read_checkpoint(table)[4]
     for app, ver in ckpt_txns.items():
         txns[app] = max(txns.get(app, -1), ver)
@@ -1072,6 +1152,16 @@ def _checkpoint_schema_and_rows(table: str, version: int):
         rows.append(
             {"add": None, "metaData": None, "protocol": None,
              "txn": {"appId": app, "version": ver}}
+        )
+    # a tombstone earns its keep only while the dead file is still on
+    # disk (un-vacuumed); dropping satisfied ones bounds checkpoint size
+    for path, ts in sorted(tomb.items()):
+        if path in files or not os.path.exists(os.path.join(table, path)):
+            continue
+        rows.append(
+            {"add": None, "metaData": None, "protocol": None, "txn": None,
+             "remove": {"path": path, "deletionTimestamp": ts,
+                        "dataChange": True}}
         )
     return schema, add_rows, rows
 
@@ -1645,7 +1735,9 @@ def delta_vacuum(spark: SparkSession, table: str, retain_ms: int = 0) -> list[st
     files, _, _, _ = _snapshot(table)
     live = set(files)
     cutoff = int(time.time() * 1000) - retain_ms
-    candidates: dict[str, int] = {}
+    # checkpoint tombstones first: remove actions whose JSON commits the
+    # log-retention cleanup already deleted survive in the checkpoint
+    candidates: dict[str, int] = dict(_checkpoint_tombstones(table))
     for v in _list_versions(table):
         for line in _version_file(table, v).read_text().splitlines():
             if not line.strip():

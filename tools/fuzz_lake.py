@@ -35,6 +35,7 @@ Exits nonzero on any mismatch.
 from __future__ import annotations
 
 import json
+import os
 import random
 import shutil
 import sys
@@ -138,13 +139,26 @@ def run_delta_history(spark, rng: random.Random, root: str) -> int:
         history.append((max(_log_versions(t)), sorted(shadow)))
         n_checks += 1
 
+    from hive_person_service_spark.sources.delta_dv import z85_decode
     from hive_person_service_spark.sources.delta_log import _snapshot
 
     for ver, snap in history:  # time travel over the whole history
         # a version whose snapshot references a vacuumed file must FAIL
         # at scan time (never silently return a partial result); every
-        # other version must still read exactly
-        refs = set(_snapshot(t, version_as_of=ver)[0])
+        # other version must still read exactly. refs include each add's
+        # DV bin path (derived like delta_vacuum derives them) so a
+        # version whose parquet survived but whose old DV bin was
+        # reclaimed also takes the expected-failure branch
+        adds = _snapshot(t, version_as_of=ver)[0]
+        refs = set(adds)
+        for a in adds.values():
+            desc = a.get("deletionVector")
+            if desc and desc.get("storageType") == "u":
+                raw = desc["pathOrInlineDv"]
+                dv_uid = uuid.UUID(bytes=z85_decode(raw[-20:]))
+                refs.add(
+                    os.path.join(raw[:-20], f"deletion_vector_{dv_uid}.bin")
+                )
         if refs & vacuumed:
             try:
                 _scan_rows(delta_scan(spark, t, version_as_of=ver))
