@@ -65,6 +65,7 @@ def main() -> int:
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    load_at_start = round(os.getloadavg()[0], 2)
 
     # Warm the JVM + page cache (BASELINE.md methodology), and the Python
     # worker pool (first pandas-UDF call otherwise pays ~5s of fork+Arrow
@@ -95,12 +96,14 @@ def main() -> int:
         }
 
     def run(queries: dict) -> dict[str, float]:
-        # Best of 2: single-shot numbers on a shared box swing 2-3x with
-        # ambient load; min-of-2 reports the machine, not the neighbors.
+        # Best of 3: single-shot numbers on a shared box swing 2-3x with
+        # ambient load; min-of-3 reports the machine, not the neighbors.
+        # (The artifact also records the box's 1-min load average at
+        # start and end so a load-confounded capture self-documents.)
         timings: dict[str, float] = {}
         for name, build in queries.items():
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 build().collect()
                 best = min(best, time.time() - t0)
@@ -172,6 +175,12 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
         "layout": "single-file",
+        # box contention self-documentation: 1-min load average at
+        # session start and at report time (32 cores; >> ~8 at start
+        # means the capture ran against noisy neighbors)
+        "load_avg_1m": {"start": load_at_start,
+                        "end": round(os.getloadavg()[0], 2)},
+        "reps": 3,
         # not in `value`: no BASELINE counterpart (layout demo, not a query)
         "extras": extras,
     }
