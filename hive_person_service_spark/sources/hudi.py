@@ -308,6 +308,7 @@ def _commit(
     # knows but the timeline doesn't is filtered by commit_set -- the
     # conservative direction; the reverse order could LOSE rows)
     _files_index_add(table, write_stats)
+    _column_stats_add(table, write_stats)
     tmp = os.path.join(md, f".{instant}.{action}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=2, sort_keys=True)
@@ -375,6 +376,265 @@ def _files_index_add(table: str, write_stats: list[dict]) -> None:
     with open(tmp, "w") as fh:
         json.dump(idx, fh, indent=1, sort_keys=True)
     os.rename(tmp, _files_index_path(table))
+
+
+# ---------------------------------------------------------------------------
+# column-stats index (the metadata table's `column_stats` partition shape)
+# ---------------------------------------------------------------------------
+
+
+def _column_stats_path(table: str) -> str:
+    return os.path.join(_meta_dir(table), "metadata", "column_stats.json")
+
+
+def _load_column_stats(table: str) -> dict | None:
+    p = _column_stats_path(table)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _json_stat(v):
+    """One min/max value as a JSON-safe scalar: ints/floats/bools pass
+    through, date/datetime serialize ISO (fixed-width, so lexicographic
+    compare = chronological), bytes are unindexable (None)."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep="T", timespec="microseconds")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return None
+
+
+def _base_file_column_stats(full: str) -> dict:
+    """Per-column {min, max, nulls, n} for one base parquet, aggregated
+    from the FOOTER's row-group statistics (no data read) -- the same
+    payload real Hudi's metadata-table ``column_stats`` partition holds
+    per (file, column). Meta columns are skipped; a column whose footer
+    carries no stats is simply absent (absent = unknown = never prune)."""
+    import pyarrow.parquet as papq
+
+    pf = papq.ParquetFile(full)
+    agg: dict[str, dict] = {}
+    n_rows = pf.metadata.num_rows
+    for rg in range(pf.metadata.num_row_groups):
+        for ci in range(pf.metadata.num_columns):
+            col = pf.metadata.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name or name.startswith("_hoodie_"):
+                continue  # nested leaf or meta column: not indexed
+            st = col.statistics
+            if st is None:
+                continue
+            cur = agg.setdefault(
+                name, {"min": None, "max": None, "nulls": 0, "n": n_rows}
+            )
+            if st.null_count is not None:
+                cur["nulls"] += st.null_count
+            if not st.has_min_max:
+                # one stats-less row group poisons the whole file's
+                # range: record unknown (None) permanently
+                cur["min"] = cur["max"] = None
+                cur["n"] = -1  # sentinel: range unusable
+                continue
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if cur.get("n") == -1 or lo is None or hi is None:
+                cur["min"] = cur["max"] = None
+                cur["n"] = -1
+                continue
+            cur["min"] = lo if cur["min"] is None else min(cur["min"], lo)
+            cur["max"] = hi if cur["max"] is None else max(cur["max"], hi)
+    # drop the bookkeeping sentinel: a poisoned range is already
+    # (min=None, max=None) = unknown, which pruning never acts on
+    return {
+        c: {"min": st["min"], "max": st["max"], "nulls": st["nulls"]}
+        for c, st in agg.items()
+    }
+
+
+def _log_file_column_stats(full: str) -> dict:
+    """Column stats for one MOR log file, computed from its decoded
+    block payloads: AVRO_DATA blocks contribute per-column min/max over
+    their records; a log holding ONLY delete blocks carries no values at
+    all and records the explicit ``__no_data__`` marker so pruning can
+    treat it as unable to match any predicate."""
+    with open(full, "rb") as fh:
+        blob = fh.read()
+    agg: dict[str, dict] = {}
+    saw_data = False
+    for btype, header, content in _read_log_blocks(blob):
+        if btype != BLOCK_AVRO_DATA:
+            continue
+        schema = json.loads(header[HEADER_SCHEMA])
+        if schema.get("name") == "HoodieDeleteRecord":
+            continue  # delete payloads carry keys, not values
+        saw_data = True
+        for rec in _decode_avro_data(content, schema):
+            for name, v in rec.items():
+                if name.startswith("_hoodie_"):
+                    continue
+                cur = agg.setdefault(
+                    name, {"min": None, "max": None, "nulls": 0}
+                )
+                jv = _json_stat(v)
+                if v is None:
+                    cur["nulls"] += 1
+                elif jv is None:
+                    cur["min"] = cur["max"] = None  # unindexable type
+                else:
+                    cur["min"] = jv if cur["min"] is None else min(cur["min"], jv)
+                    cur["max"] = jv if cur["max"] is None else max(cur["max"], jv)
+    if not saw_data:
+        return {"__no_data__": True}
+    return agg
+
+
+def hudi_build_column_stats(table: str) -> int:
+    """Build the COLUMN-STATS INDEX: {relative file path: {column:
+    {min, max, nulls}}} persisted under ``.hoodie/metadata`` (the shape
+    of real Hudi's metadata-table ``column_stats`` partition). One pass
+    over the current file listing at build time (parquet FOOTERS only
+    for base files; block decode for the KB-scale logs); afterwards
+    every commit appends its own files' stats transactionally
+    (``_column_stats_add``, same discipline as the files index) and
+    ``hudi_scan(skip_filters=...)`` prunes file slices from the index
+    BEFORE Spark lists them -- Delta/Iceberg ``skip_filters`` parity.
+    Returns the number of indexed files."""
+    listing: dict[str, list[str]] = {"": []}
+    idx = _load_files_index(table)
+    if idx is not None:
+        listing = {p: list(ns) for p, ns in idx.items()}
+    else:
+        for name in sorted(os.listdir(table)):
+            full = os.path.join(table, name)
+            if os.path.isdir(full):
+                if name != META_DIR and not name.startswith("."):
+                    listing[name] = sorted(
+                        f for f in os.listdir(full)
+                        if _BASE_RE.match(f) or _LOG_RE.match(f)
+                    )
+            elif _BASE_RE.match(name) or _LOG_RE.match(name):
+                listing[""].append(name)
+    stats: dict[str, dict] = {}
+    for part, names in listing.items():
+        for name in names:
+            rel = os.path.join(part, name) if part else name
+            full = os.path.join(table, rel)
+            if not os.path.exists(full):
+                continue
+            if _BASE_RE.match(name):
+                stats[rel] = _base_file_column_stats(full)
+            elif _LOG_RE.match(name):
+                stats[rel] = _log_file_column_stats(full)
+    tmp = _column_stats_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(stats, fh, indent=1, sort_keys=True)
+    os.rename(tmp, _column_stats_path(table))
+    return len(stats)
+
+
+def _column_stats_add(table: str, write_stats: list[dict]) -> None:
+    """Transactional upkeep: append this commit's files' column stats
+    (no-op for tables without the index) -- called by ``_commit`` BEFORE
+    the completed-instant rename, like the files index, so planning
+    never sees an indexed-but-statless committed file."""
+    stats = _load_column_stats(table)
+    if stats is None or not write_stats:
+        return
+    for s in write_stats:
+        rel = s["path"]
+        full = os.path.join(table, rel)
+        if not os.path.exists(full):
+            continue
+        if s.get("logFile"):
+            stats[rel] = _log_file_column_stats(full)
+        else:
+            stats[rel] = _base_file_column_stats(full)
+    tmp = _column_stats_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(stats, fh, indent=1, sort_keys=True)
+    os.rename(tmp, _column_stats_path(table))
+
+
+def _stats_may_match(entry: dict | None, skip_filters: list[tuple]) -> bool:
+    """Can a file with this column-stats entry hold a row matching every
+    (col, op, value) filter? Conservative on every unknown: no entry,
+    column absent, unindexable/all-null range. Delete-only log files
+    (``__no_data__``) carry no values and can never match."""
+    if entry is None:
+        return True
+    if entry.get("__no_data__"):
+        return False
+
+    def possible(op, lo, hi, val) -> bool:
+        if op == "=":
+            return (lo is None or not val < lo) and (hi is None or not hi < val)
+        if op == ">=":
+            return hi is None or not hi < val
+        if op == ">":
+            return hi is None or val < hi
+        if op == "<=":
+            return lo is None or not val < lo
+        if op == "<":
+            return lo is None or lo < val
+        raise ValueError(f"unsupported pruning op {op!r}")
+
+    for col, op, val in skip_filters:
+        st = entry.get(col)
+        if st is None:
+            continue
+        lo, hi = st.get("min"), st.get("max")
+        if lo is None and hi is None:
+            continue
+        if isinstance(lo if lo is not None else hi, bool):
+            v = bool(val)
+        elif isinstance(lo if lo is not None else hi, (int, float)):
+            v = float(val)
+            lo = None if lo is None else float(lo)
+            hi = None if hi is None else float(hi)
+        else:
+            v = str(val).replace(" ", "T") if ":" in str(val) else str(val)
+        if not possible(op, lo, hi, v):
+            return False
+    return True
+
+
+def _prune_slices_by_stats(
+    table: str, slices: dict[str, dict], skip_filters: list[tuple] | None
+) -> dict[str, dict]:
+    """Drop file slices the column-stats index PROVES can't contribute a
+    matching row: the base file can't match AND every stacked log file
+    can't either (a log can rewrite a record's values, so a slice with a
+    possibly-matching log survives even when its base can't match).
+    Tables without the index keep every slice -- the hint is lossless by
+    construction."""
+    if not skip_filters:
+        return slices
+    stats = _load_column_stats(table)
+    if stats is None:
+        return slices
+    kept: dict[str, dict] = {}
+    for fid, g in slices.items():
+        faces = []
+        if g.get("base"):
+            faces.append(os.path.relpath(g["base"], table))
+        faces.extend(os.path.relpath(p, table) for p in g.get("logs", []))
+        if not faces or any(
+            _stats_may_match(stats.get(rel), skip_filters) for rel in faces
+        ):
+            kept[fid] = g
+    if not kept and slices:
+        # every slice pruned: keep one so the scan still yields a typed
+        # (empty, after the caller's real predicate) frame instead of
+        # the no-slices error -- the hint stays lossless
+        fid = sorted(slices)[0]
+        kept[fid] = slices[fid]
+    return kept
 
 
 # ---------------------------------------------------------------------------
@@ -1033,6 +1293,7 @@ def hudi_scan(
     as_of: str | None = None,
     drop_meta: bool = True,
     partitions: list[str] | None = None,
+    skip_filters: list[tuple] | None = None,
 ) -> DataFrame:
     """Read a Hudi table.
 
@@ -1041,7 +1302,15 @@ def hudi_scan(
     files only (MOR's cheap-but-stale tier).  ``as_of``: time travel to
     any completed instant (pass the instant time string a writer
     returned).  The data path is one multi-file parquet scan --
-    predicate pushdown and column pruning flow through untouched."""
+    predicate pushdown and column pruning flow through untouched.
+
+    ``skip_filters`` = [(column, op, value), ...] with op in
+    {=, <, <=, >, >=} prunes FILE SLICES from the column-stats index
+    (``hudi_build_column_stats`` -- the metadata table's
+    ``column_stats`` partition shape) before Spark lists them --
+    Delta/Iceberg ``skip_filters`` parity. An optimization hint, not a
+    row filter: callers still apply their real predicate to the
+    returned frame; tables without the index keep every slice."""
     _check_clean_boundary(table, as_of, "time travel to")
     slices = _file_slices(table, as_of=as_of)
     if partitions is not None:
@@ -1050,6 +1319,7 @@ def hudi_scan(
         slices = {
             fid: g for fid, g in slices.items() if g["partition"] in partitions
         }
+    slices = _prune_slices_by_stats(table, slices, skip_filters)
     if not slices:
         raise ValueError(f"hudi: no completed file slices in {table!r}")
     if mode == "read_optimized" or _table_type(table) == "cow":
@@ -1366,10 +1636,23 @@ def hudi_cdc(
     return out
 
 
+def _clean_boundary_marker(table: str) -> str:
+    return os.path.join(_meta_dir(table), ".clean_boundary")
+
+
 def _clean_boundary(table: str) -> str | None:
     """Latest ``earliestCommitToRetain`` across completed clean actions
     -- the instant before which time travel / incremental pulls must be
-    refused because superseded file slices may have been reclaimed."""
+    refused because superseded file slices may have been reclaimed.
+
+    Served from the single ``.clean_boundary`` marker ``hudi_clean``
+    maintains (O(1)); tables cleaned before the marker existed fall back
+    to listing + parsing every ``*.clean`` metadata file once per call."""
+    marker = _clean_boundary_marker(table)
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as fh:
+            v = fh.read().strip()
+        return v or None
     md = _meta_dir(table)
     best: str | None = None
     for name in os.listdir(md):
@@ -1384,6 +1667,8 @@ def _clean_boundary(table: str) -> str | None:
 
 
 def _check_clean_boundary(table: str, instant: str | None, what: str) -> None:
+    if instant is None:
+        return  # snapshot read: no boundary to check, skip the listing
     boundary = _clean_boundary(table)
     if instant is not None and boundary is not None and instant < boundary:
         raise ValueError(
@@ -1502,6 +1787,14 @@ def hudi_clean(spark: SparkSession, table: str, keep_versions: int = 1) -> dict:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(pruned, fh, indent=2, sort_keys=True)
         os.rename(tmp, _files_index_path(table))
+    cstats = _load_column_stats(table)
+    if cstats is not None and deleted:
+        for rel in deleted:
+            cstats.pop(rel, None)
+        tmp = _column_stats_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(cstats, fh, indent=1, sort_keys=True)
+        os.rename(tmp, _column_stats_path(table))
     meta = {
         "earliestCommitToRetain": boundary or None,
         "filesDeleted": len(deleted),
@@ -1512,6 +1805,14 @@ def hudi_clean(spark: SparkSession, table: str, keep_versions: int = 1) -> dict:
     with open(tmp, "w", encoding="utf-8") as fh:
         json.dump(meta, fh, indent=2, sort_keys=True)
     os.rename(tmp, os.path.join(md, f"{instant}.clean"))
+    # refresh the O(1) boundary marker (max across all cleans so far:
+    # seed from the pre-marker fallback listing when absent)
+    new_boundary = max(boundary or "", _clean_boundary(table) or "")
+    if new_boundary:
+        tmp = _clean_boundary_marker(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(new_boundary)
+        os.rename(tmp, _clean_boundary_marker(table))
     return {
         "instant": instant,
         "files_deleted": len(deleted),
