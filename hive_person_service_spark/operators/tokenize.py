@@ -135,18 +135,18 @@ def _q(s: str) -> str:
     return s.replace("'", "\\'")
 
 
-def _merge_fold_expr(pairs: list[tuple[str, str]]) -> str:
-    """SQL aggregate() fold applying ALL of ``pairs`` (mutually
-    non-interacting) left-to-right non-overlapping in one pass: the fold
-    carries one pending symbol; when (carry, x) matches any pair, the
-    merged symbol is emitted and the carry cleared."""
+def _fold_expr(pairs: list[tuple[str, str, str]]) -> str:
+    """SQL aggregate() fold applying ALL of the (a, b, merged) triples
+    (mutually non-interacting) left-to-right non-overlapping in one
+    pass: the fold carries one pending symbol; when (carry, x) matches
+    any pair, its merged symbol is emitted and the carry cleared."""
     inner = (
         "named_struct('arr', array_append(acc.arr, acc.carry), 'carry', x)"
     )
-    for a, b in reversed(pairs):
+    for a, b, m in reversed(pairs):
         inner = (
             f"if(acc.carry = '{_q(a)}' and x = '{_q(b)}',"
-            f" named_struct('arr', array_append(acc.arr, '{_q(a)}{_q(b)}'),"
+            f" named_struct('arr', array_append(acc.arr, '{_q(m)}'),"
             "               'carry', cast(null as string)),"
             f" {inner})"
         )
@@ -160,6 +160,11 @@ def _merge_fold_expr(pairs: list[tuple[str, str]]) -> str:
         " acc -> if(acc.carry is null, acc.arr,"
         "           array_append(acc.arr, acc.carry)))"
     )
+
+
+def _merge_fold_expr(pairs: list[tuple[str, str]]) -> str:
+    """BPE face of ``_fold_expr``: merged symbol = plain concatenation."""
+    return _fold_expr([(a, b, a + b) for a, b in pairs])
 
 
 def select_batch_merges(
@@ -418,3 +423,160 @@ def unigram_train(
         (rank, p, c, round(_m.log(c / total), 6))
         for rank, (p, c) in enumerate(ranked)
     ]
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer TRAINING + greedy longest-match scoring -- round 9
+# ---------------------------------------------------------------------------
+
+
+def wp_merged(a: str, b: str) -> str:
+    """The WordPiece merge of two symbols: the continuation marker of
+    the right symbol folds away ('a'+'##b' -> 'ab', '##a'+'##b' ->
+    '##ab')."""
+    return a + (b[2:] if b.startswith("##") else b)
+
+
+def wp_select_best(ranked: list[tuple[str, str, int, int, int]]):
+    """Exact argmax over the ranked candidate window by the WordPiece
+    likelihood score pair_n / (n_a * n_b), compared as INTEGER
+    cross-products (no float ties), lexicographic (a, b) on equality --
+    shared verbatim by the distributed trainer and the pure-Python
+    replay."""
+    best = None
+    for a, b, np_, na, nb in ranked:
+        if best is None:
+            best = (a, b, np_, na, nb)
+            continue
+        ba, bb, bp, bna, bnb = best
+        lhs = np_ * bna * bnb
+        rhs = bp * na * nb
+        if lhs > rhs or (lhs == rhs and (a, b) < (ba, bb)):
+            best = (a, b, np_, na, nb)
+    return best
+
+
+def wordpiece_train(
+    words,  # DataFrame(word string, cnt long)
+    n_merges: int = 10,
+) -> list[tuple[int, str, str, str, int, int, int]]:
+    """Learn a WordPiece vocabulary FROM data, distributed: words start
+    as character symbols with the ``##`` continuation prefix on every
+    non-initial character; per ROUND, count adjacent symbol pairs AND
+    symbol occurrences across the (Zipf-bounded) word-count relation
+    (one groupBy each), rank candidates by the LIKELIHOOD score
+    pair_count / (count(a) * count(b)) -- the statistic that
+    distinguishes WordPiece from raw-count BPE -- and apply the winner
+    via one JVM aggregate() fold (no Python in the data path).
+
+    Ranking happens Spark-side on the double score with the top-8
+    window collected per round (the window is PART of the algorithm
+    definition, exactly like bpe_train's), then the exact winner inside
+    the window is re-ranked with integer cross-products
+    (``wp_select_best``), so the learned table is bit-deterministic.
+    Returns [(step, sym_a, sym_b, merged, pair_n, n_a, n_b)] with counts
+    as of the pair's selection round.  The driver sees at most 8 rows
+    per round; corpus bytes never leave the executors."""
+    from pyspark.sql import functions as F
+
+    state = words.select(
+        "word",
+        "cnt",
+        F.expr(
+            "transform(filter(split(word, ''), x -> x <> ''),"
+            " (x, i) -> if(i = 0, x, concat('##', x)))"
+        ).alias("syms"),
+    ).cache()
+    merges: list[tuple[int, str, str, str, int, int, int]] = []
+    rnd = 0
+    while len(merges) < n_merges:
+        pairs = (
+            state.where(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(syms, 1, size(syms) - 1),"
+                        " slice(syms, 2, size(syms) - 1),"
+                        " (a, b) -> named_struct('a', a, 'b', b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("np"))
+        )
+        sym_counts = (
+            state.select("cnt", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("cnt").alias("ns"))
+        )
+        ca = sym_counts.select(
+            F.col("s").alias("a"), F.col("ns").alias("na")
+        )
+        cb = sym_counts.select(
+            F.col("s").alias("b"), F.col("ns").alias("nb")
+        )
+        ranked = (
+            pairs.join(ca, "a")
+            .join(cb, "b")
+            .select(
+                "a", "b", "np", "na", "nb",
+                (
+                    F.col("np").cast("double")
+                    / (F.col("na") * F.col("nb")).cast("double")
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), "a", "b")
+            .limit(8)
+            .collect()
+        )
+        cands = [
+            (r["a"], r["b"], int(r["np"]), int(r["na"]), int(r["nb"]))
+            for r in ranked
+        ]
+        if not cands:
+            break
+        a, b, np_, na, nb = wp_select_best(cands)
+        merged = wp_merged(a, b)
+        merges.append((len(merges), a, b, merged, np_, na, nb))
+        nxt = state.select(
+            "word", "cnt", F.expr(_fold_expr([(a, b, merged)])).alias("syms")
+        )
+        if rnd % 4 == 3:
+            nxt = nxt.localCheckpoint(eager=True)
+        else:
+            nxt = nxt.cache()
+        state.unpersist()
+        state = nxt
+        rnd += 1
+    state.unpersist()
+    return merges
+
+
+def wordpiece_encode_word(
+    word: str, vocab: set[str]
+) -> tuple[str, ...] | None:
+    """Greedy LONGEST-MATCH-FIRST WordPiece scoring (the standard
+    inference rule): take the longest vocab piece covering the current
+    position (non-initial positions try the ``##`` form), or None
+    ([UNK]) when no piece covers it -- shared by the distributed encode
+    stage and the pure-Python replay."""
+    pieces: list[str] = []
+    i = 0
+    n = len(word)
+    while i < n:
+        ln = n - i
+        hit = None
+        while ln >= 1:
+            cand = word[i : i + ln]
+            if i > 0:
+                cand = "##" + cand
+            if cand in vocab:
+                hit = cand
+                break
+            ln -= 1
+        if hit is None:
+            return None
+        pieces.append(hit)
+        i += ln
+    return tuple(pieces)

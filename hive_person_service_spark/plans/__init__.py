@@ -95,7 +95,8 @@ from . import pipeline55  # noqa: F401,E402  (boosted stumps, rank-2 ALS, Kneser
 from . import pipeline56  # noqa: F401,E402  (cross-format storage-maintenance lifecycle)
 from . import pipeline57  # noqa: F401,E402  (t-closeness, Mann-Whitney U, daily-series ACF)
 from . import pipeline58  # noqa: F401,E402  (lake metadata/history as queryable relations)
-from . import pipeline59  # noqa: F401,E402  (Hudi column-stats data skipping)
+from . import pipeline59  # noqa: F401,E402  (Hudi column-stats data skipping; Hive ACID tables)
+from . import pipeline60  # noqa: F401,E402  (WordPiece training, decontamination report, depth-2 GBT)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.
