@@ -270,6 +270,7 @@ def stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger(availableNow) into a memory sink; pytest pins the drained
     pairs equal to the identical batch join (tests/test_streaming_live_join.py)."""
     from ..streaming.jobs import (
+        drain_budget_secs,
         read_events_stream,
         run_to_memory_sink,
         stream_stream_join,
@@ -279,7 +280,10 @@ def stream_live_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = events.where(F.col("event_type") == "view")
     purchases = events.where(F.col("event_type") == "purchase")
     joined = stream_stream_join(views, purchases, window_minutes=240)
-    out = run_to_memory_sink(joined, spark, output_mode="append")
+    out = run_to_memory_sink(
+        joined, spark, output_mode="append",
+        drain_secs=drain_budget_secs(sf_dir),
+    )
     return out.orderBy("a_id", "b_id")
 
 

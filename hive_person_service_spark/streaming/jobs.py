@@ -196,8 +196,27 @@ def stream_scd2_profiles(
         raise TimeoutError("stream_scd2_profiles did not drain within 180s")
 
 
+def drain_budget_secs(sf_dir: str, floor_secs: int = 120) -> int:
+    """Scale-derived drain budget for availableNow verification runs:
+    grows with the events fixture's byte size (~1 extra second per
+    100 KB -- calibrated so sf0.1 stays at the floor and sf1's
+    stream-stream join gets the minutes it legitimately needs on a
+    loaded box), capped at 900 s so a wedged stream still fails fast.
+    The SPARK_GRAFT_STREAM_DRAIN_SECS env override (run_to_memory_sink)
+    still wins when set -- the ops escape hatch, no longer the only
+    source of a big-SF budget."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
+    except OSError:
+        return floor_secs
+    return max(floor_secs, min(900, 60 + size // 100_000))
+
+
 def run_to_memory_sink(
-    df: DataFrame, spark: SparkSession, output_mode: str = "append"
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+    drain_secs: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion with
     trigger(availableNow=True) into a memory sink; return the result as a
@@ -216,11 +235,11 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    # scale-aware drain budget: 120s covers every fixture SF on an idle
-    # box, but a 10x (sf1) stream-stream join under a loaded box can
-    # legitimately need longer -- the knob exists so big-SF verification
-    # runs distinguish "slow" from "wedged"
-    secs = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_SECS", "120"))
+    # scale-aware drain budget: callers pass a scale-derived budget
+    # (drain_budget_secs); the env knob remains the explicit override so
+    # big-SF verification runs can distinguish "slow" from "wedged"
+    env = os.environ.get("SPARK_GRAFT_STREAM_DRAIN_SECS")
+    secs = int(env) if env else (drain_secs if drain_secs else 120)
     if not q.awaitTermination(secs):
         q.stop()
         raise TimeoutError(f"run_to_memory_sink did not drain within {secs}s")
