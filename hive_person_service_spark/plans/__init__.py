@@ -125,9 +125,16 @@ from . import pipeline60  # noqa: F401,E402  (WordPiece training, decontaminatio
 # (hash-checked gradient-boosted stump training) and fn_conditional
 # (CASE/WHEN covered by proj_case_when) for table_lake_maintenance
 # (the three-format OPTIMIZE+retention lifecycle with self-certifying
-# reclamation).  Every displaced query stays DECLARED, selfchecked at
-# all three SFs, and pytest-covered; displacement changes which queries
-# land in the driver's 50-query sample, nothing else.
+# reclamation).  Round 9 rotates dedup_ngram_jaccard (dedup family
+# covered by dedup_exact + dedup_near) for dedup_decontaminate (the
+# train-vs-holdout 13-gram contamination report with in-query
+# injection) and ml_train_ols (closed-form fit; the ML-training family
+# stays covered by ml_train_als + ml_train_gbt) for table_hive_acid_scan
+# (the reference's OWN transactional format: base/delta/delete_delta
+# ROW__ID merge through executor-side ORC decode).  Every displaced
+# query stays DECLARED, selfchecked at all three SFs, and
+# pytest-covered; displacement changes which queries land in the
+# driver's 50-query sample, nothing else.
 _CERT_PRIORITY = [
     # A: scan + project (parquet pushdown)
     "scan_project",
@@ -150,7 +157,7 @@ _CERT_PRIORITY = [
     # the oracle-checked distributed MODEL FIT -- the ranking machinery
     # stays driver-covered by win_rank, and win_topk_per_group stays
     # declared + selfchecked)
-    "win_rank", "ml_train_als", "win_running_sum", "ml_train_ols",
+    "win_rank", "ml_train_als", "win_running_sum", "table_hive_acid_scan",
     # F: sort / limit
     "sort_global", "sort_limit_topk",
     # G: set ops (set_except's slot showcases ml_train_gbt -- the
@@ -175,7 +182,7 @@ _CERT_PRIORITY = [
     "stream_delta_tail",
     # J: LLM-data-pipeline surface (text_term_freq's slot now showcases
     # the r6 lake-planning tier -- text_tfidf subsumes term-freq math)
-    "dedup_exact", "dedup_near", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_near", "dedup_decontaminate",
     "sim_topk", "sim_knn_join", "table_iceberg_partitioned_scan",
     "text_tfidf", "multimodal_blob",
     # K: Python extension points
