@@ -309,6 +309,7 @@ def _commit(
     # conservative direction; the reverse order could LOSE rows)
     _files_index_add(table, write_stats)
     _column_stats_add(table, write_stats)
+    _bloom_index_add(table, write_stats)
     tmp = os.path.join(md, f".{instant}.{action}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=2, sort_keys=True)
@@ -616,7 +617,13 @@ def _prune_slices_by_stats(
     if not skip_filters:
         return slices
     stats = _load_column_stats(table)
-    if stats is None:
+    blooms = _load_bloom_index(table)
+    key_field = _table_prop(table, "hoodie.table.recordkey.fields")
+    key_lookups = [
+        str(v) for col, op, v in skip_filters
+        if op == "=" and key_field is not None and col == key_field
+    ] if blooms is not None else []
+    if stats is None and not key_lookups:
         return slices
     kept: dict[str, dict] = {}
     for fid, g in slices.items():
@@ -624,9 +631,21 @@ def _prune_slices_by_stats(
         if g.get("base"):
             faces.append(os.path.relpath(g["base"], table))
         faces.extend(os.path.relpath(p, table) for p in g.get("logs", []))
-        if not faces or any(
+        stats_ok = stats is None or not faces or any(
             _stats_may_match(stats.get(rel), skip_filters) for rel in faces
-        ):
+        )
+        # bloom tier: an equality lookup on the RECORD KEY survives only
+        # if some face's bloom may contain the key (missing entry =
+        # unknown = may contain); every requested key must be coverable
+        bloom_ok = all(
+            any(
+                blooms.get(rel) is None
+                or _bloom_may_contain(blooms[rel], key)
+                for rel in faces
+            )
+            for key in key_lookups
+        ) if faces else True
+        if stats_ok and bloom_ok:
             kept[fid] = g
     if not kept and slices:
         # every slice pruned: keep one so the scan still yields a typed
@@ -635,6 +654,151 @@ def _prune_slices_by_stats(
         fid = sorted(slices)[0]
         kept[fid] = slices[fid]
     return kept
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter index (the metadata table's `bloom_filter` partition shape)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_index_path(table: str) -> str:
+    return os.path.join(_meta_dir(table), "metadata", "bloom_filter.json")
+
+
+def _load_bloom_index(table: str) -> dict | None:
+    p = _bloom_index_path(table)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def _bloom_hashes(key: str, m: int, k: int) -> list[int]:
+    """k bit positions for ``key`` via double hashing over one sha1
+    (h_i = h1 + i*h2 mod m) -- deterministic across runs, partitionings
+    and Python versions."""
+    import hashlib as _hl
+
+    d = _hl.sha1(key.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:16], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+_BLOOM_K = 7
+
+
+def _bloom_build(keys: list[str]) -> dict:
+    """One file's bloom entry: ~10 bits/key (<=1% false positives at
+    k=7), hex-encoded."""
+    m = max(64, 10 * len(keys))
+    m += (-m) % 8
+    bits = bytearray(m // 8)
+    for key in keys:
+        for pos in _bloom_hashes(key, m, _BLOOM_K):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return {"m": m, "k": _BLOOM_K, "n": len(keys), "bits": bytes(bits).hex()}
+
+
+def _bloom_may_contain(entry: dict, key: str) -> bool:
+    bits = bytes.fromhex(entry["bits"])
+    for pos in _bloom_hashes(key, int(entry["m"]), int(entry["k"])):
+        if not bits[pos // 8] & (1 << (pos % 8)):
+            return False
+    return True
+
+
+def _file_record_keys(table: str, rel: str) -> list[str] | None:
+    """The record keys one file contributes rows for: the
+    ``_hoodie_record_key`` column of a base parquet (one-column read),
+    or the keys of a log's AVRO_DATA records. DELETE-only logs return
+    [] -- a delete can never ADD a row for a key, so it has no bloom
+    footprint; the base that holds the row covers the lookup."""
+    full = os.path.join(table, rel)
+    name = os.path.basename(rel)
+    if _BASE_RE.match(name):
+        import pyarrow.parquet as papq
+
+        t = papq.read_table(full, columns=["_hoodie_record_key"])
+        return [str(v) for v in t.column(0).to_pylist()]
+    if _LOG_RE.match(name):
+        with open(full, "rb") as fh:
+            blob = fh.read()
+        keys: list[str] = []
+        for btype, header, content in _read_log_blocks(blob):
+            if btype != BLOCK_AVRO_DATA:
+                continue
+            schema = json.loads(header[HEADER_SCHEMA])
+            for rec in _decode_avro_data(content, schema):
+                v = rec.get("_hoodie_record_key")
+                if v is not None:
+                    keys.append(str(v))
+        return keys
+    return None
+
+
+def hudi_build_bloom_index(table: str) -> int:
+    """Build the BLOOM-FILTER INDEX: {relative file path: {m, k, n,
+    bits}} persisted under ``.hoodie/metadata`` (the shape of real
+    Hudi's metadata-table ``bloom_filter`` partition: one record-key
+    bloom per file, ~10 bits/key). One single-column read per base file
+    at build time; afterwards every commit appends its own files'
+    blooms transactionally (the files/column-stats discipline), and
+    ``hudi_scan(skip_filters=[(record_key_field, '=', v)])`` prunes
+    file slices the bloom PROVES can't hold the key -- the point-lookup
+    pruning tier real Hudi serves from this index, complementing the
+    column-stats RANGE tier (record keys are hash-scattered across
+    buckets, so min/max never prunes them). Returns the number of
+    indexed files."""
+    idx = _load_files_index(table)
+    listing: dict[str, list[str]] = {"": []}
+    if idx is not None:
+        listing = {p: list(ns) for p, ns in idx.items()}
+    else:
+        for name in sorted(os.listdir(table)):
+            full = os.path.join(table, name)
+            if os.path.isdir(full):
+                if name != META_DIR and not name.startswith("."):
+                    listing[name] = sorted(
+                        f for f in os.listdir(full)
+                        if _BASE_RE.match(f) or _LOG_RE.match(f)
+                    )
+            elif _BASE_RE.match(name) or _LOG_RE.match(name):
+                listing[""].append(name)
+    blooms: dict[str, dict] = {}
+    for part, names in listing.items():
+        for name in names:
+            rel = os.path.join(part, name) if part else name
+            if not os.path.exists(os.path.join(table, rel)):
+                continue
+            keys = _file_record_keys(table, rel)
+            if keys is not None:
+                blooms[rel] = _bloom_build(keys)
+    tmp = _bloom_index_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+    os.makedirs(os.path.dirname(tmp), exist_ok=True)
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(blooms, fh, indent=1, sort_keys=True)
+    os.rename(tmp, _bloom_index_path(table))
+    return len(blooms)
+
+
+def _bloom_index_add(table: str, write_stats: list[dict]) -> None:
+    """Transactional upkeep: append this commit's files' blooms (no-op
+    for tables without the index)."""
+    blooms = _load_bloom_index(table)
+    if blooms is None or not write_stats:
+        return
+    for s in write_stats:
+        rel = s["path"]
+        if not os.path.exists(os.path.join(table, rel)):
+            continue
+        keys = _file_record_keys(table, rel)
+        if keys is not None:
+            blooms[rel] = _bloom_build(keys)
+    tmp = _bloom_index_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(blooms, fh, indent=1, sort_keys=True)
+    os.rename(tmp, _bloom_index_path(table))
 
 
 # ---------------------------------------------------------------------------
@@ -1795,6 +1959,14 @@ def hudi_clean(spark: SparkSession, table: str, keep_versions: int = 1) -> dict:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(cstats, fh, indent=1, sort_keys=True)
         os.rename(tmp, _column_stats_path(table))
+    blooms = _load_bloom_index(table)
+    if blooms is not None and deleted:
+        for rel in deleted:
+            blooms.pop(rel, None)
+        tmp = _bloom_index_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(blooms, fh, indent=1, sort_keys=True)
+        os.rename(tmp, _bloom_index_path(table))
     meta = {
         "earliestCommitToRetain": boundary or None,
         "filesDeleted": len(deleted),

@@ -135,3 +135,100 @@ def test_clean_prunes_stats_index(spark, tmp_path):
     assert len(stats) == n_before - res["files_deleted"]
     for rel in stats:
         assert os.path.exists(os.path.join(t, rel))
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter index (point-lookup pruning tier)
+# ---------------------------------------------------------------------------
+
+from hive_person_service_spark.sources.hudi import (  # noqa: E402
+    _load_bloom_index,
+    hudi_build_bloom_index,
+)
+
+
+def test_bloom_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    t = _fresh(tmp_path, "hblm")
+    _mk_cow(spark, t)  # 3 bands x 2 buckets, ids 0-29/100-129/200-229
+    n = hudi_build_bloom_index(t)
+    assert n == 6
+    full = hudi_scan(spark, t)
+    hit = hudi_scan(spark, t, skip_filters=[("id", "=", 115)])
+    # the key lives in exactly one file; bloom may keep a false-positive
+    # file or two, never all six
+    assert len(hit.inputFiles()) < len(full.inputFiles())
+    got = hit.where(F.col("id") == 115).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(115, 115.0)]
+
+
+def test_bloom_no_false_negatives(spark, tmp_path):
+    """EVERY key present in the table must survive its own point-lookup
+    pruning -- blooms can over-keep, never drop."""
+    t = _fresh(tmp_path, "hblm2")
+    df = _mk_cow(spark, t)
+    hudi_build_bloom_index(t)
+    for rid in (0, 17, 101, 215, 229):
+        got = (
+            hudi_scan(spark, t, skip_filters=[("id", "=", rid)])
+            .where(F.col("id") == rid)
+            .count()
+        )
+        assert got == 1, f"key {rid} lost by bloom pruning"
+    assert df.count() == 90
+
+
+def test_bloom_absent_key_prunes_everything(spark, tmp_path):
+    t = _fresh(tmp_path, "hblm3")
+    _mk_cow(spark, t)
+    hudi_build_bloom_index(t)
+    df = hudi_scan(spark, t, skip_filters=[("id", "=", 999999)])
+    # lossless: empty result after the real predicate, not an error
+    assert df.where(F.col("id") == 999999).count() == 0
+
+
+def test_bloom_mor_log_added_key_survives(spark, tmp_path):
+    """A key whose row lives only in a LOG block (MOR upsert into an
+    existing group) must keep its slice: log blooms index AVRO_DATA
+    record keys."""
+    t = _fresh(tmp_path, "hblm4")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "id long, v double"
+    )
+    hudi_write(spark, t, base, record_key="id", table_type="mor",
+               n_buckets=2)
+    hudi_build_bloom_index(t)
+    upd = spark.createDataFrame([(555, 5.5)], "id long, v double")
+    hudi_write(spark, t, upd, record_key="id", table_type="mor",
+               n_buckets=2)
+    got = (
+        hudi_scan(spark, t, skip_filters=[("id", "=", 555)])
+        .where(F.col("id") == 555)
+        .collect()
+    )
+    assert [(r["id"], r["v"]) for r in got] == [(555, 5.5)]
+
+
+def test_bloom_maintained_transactionally_and_cleaned(spark, tmp_path):
+    t = _fresh(tmp_path, "hblm5")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    hudi_write(spark, t, df, record_key="id", n_buckets=2)
+    hudi_build_bloom_index(t)
+    n0 = len(_load_bloom_index(t))
+    upd = spark.createDataFrame([(7, 700.0)], "id long, v double")
+    hudi_write(spark, t, upd, record_key="id", n_buckets=2)
+    blooms = _load_bloom_index(t)
+    assert len(blooms) == n0 + 1  # the rewritten bucket's new base
+    from hive_person_service_spark.sources.hudi import hudi_clean
+
+    res = hudi_clean(spark, t, keep_versions=1)
+    assert res["files_deleted"] > 0
+    blooms = _load_bloom_index(t)
+    assert len(blooms) == n0 + 1 - res["files_deleted"]
+    got = (
+        hudi_scan(spark, t, skip_filters=[("id", "=", 7)])
+        .where(F.col("id") == 7)
+        .collect()
+    )
+    assert [(r["id"], r["v"]) for r in got] == [(7, 700.0)]
