@@ -723,6 +723,25 @@ def delta_changes(
             )
         ckpt_seed = ckpt_files
         walk_from = ckpt_v
+    # the walk below replays commits in order and silently skips any
+    # version that isn't on disk -- a gap (manual deletion, partial
+    # copy) would therefore produce a WRONG feed, not an error. Require
+    # the commits the walk depends on to be contiguous: strictly after
+    # the checkpoint they must start at ckpt_v+1 and run gap-free.
+    post = [v for v in all_versions if v > walk_from]
+    if post:
+        if walk_from >= 0 and post[0] != walk_from + 1:
+            raise ValueError(
+                f"log truncated: earliest surviving commit after the "
+                f"checkpoint is {post[0]}, expected {walk_from + 1}; the "
+                "change feed is not reconstructable"
+            )
+        gaps = sorted(set(range(post[0], post[-1] + 1)) - set(post))
+        if gaps:
+            raise ValueError(
+                f"log has gaps: missing commit versions {gaps}; the "
+                "change feed is not reconstructable"
+            )
     versions = [v for v in all_versions if v >= starting_version]
     if ending_version is not None:
         versions = [v for v in versions if v <= ending_version]

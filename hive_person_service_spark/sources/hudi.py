@@ -562,11 +562,41 @@ def _column_stats_add(table: str, write_stats: list[dict]) -> None:
     os.rename(tmp, _column_stats_path(table))
 
 
+def _parse_iso_dt(s):
+    """Parse an ISO date/datetime string (``_json_stat``'s output shape,
+    space- or T-separated) to a datetime, promoting plain dates to
+    midnight so mixed-timespec bounds stay mutually comparable. Returns
+    None when the string isn't ISO temporal."""
+    import datetime as _dt
+
+    if isinstance(s, _dt.datetime):
+        return s
+    if isinstance(s, _dt.date):
+        return _dt.datetime(s.year, s.month, s.day)
+    if not isinstance(s, str):
+        return None
+    t = s.replace(" ", "T", 1)
+    try:
+        if "T" in t:
+            return _dt.datetime.fromisoformat(t)
+        d = _dt.date.fromisoformat(t)
+        return _dt.datetime(d.year, d.month, d.day)
+    except ValueError:
+        return None
+
+
 def _stats_may_match(entry: dict | None, skip_filters: list[tuple]) -> bool:
     """Can a file with this column-stats entry hold a row matching every
     (col, op, value) filter? Conservative on every unknown: no entry,
-    column absent, unindexable/all-null range. Delete-only log files
-    (``__no_data__``) carry no values and can never match."""
+    column absent, unindexable/all-null range, or a filter value whose
+    representation vs the stored stats can't be established (string
+    bounds that parse as ISO temporals compare as PARSED datetimes, so a
+    second-precision query value is never a strict lexicographic prefix
+    of a microsecond-stamped bound; plain strings compare verbatim --
+    no space->T mangling). Delete-only log files (``__no_data__``)
+    carry no values and can never match."""
+    import datetime as _dt
+
     if entry is None:
         return True
     if entry.get("__no_data__"):
@@ -599,7 +629,20 @@ def _stats_may_match(entry: dict | None, skip_filters: list[tuple]) -> bool:
             lo = None if lo is None else float(lo)
             hi = None if hi is None else float(hi)
         else:
-            v = str(val).replace(" ", "T") if ":" in str(val) else str(val)
+            lo_dt = None if lo is None else _parse_iso_dt(lo)
+            hi_dt = None if hi is None else _parse_iso_dt(hi)
+            if (lo is None or lo_dt is not None) and (
+                hi is None or hi_dt is not None
+            ):
+                # stored bounds are ISO temporals: compare parsed
+                v = _parse_iso_dt(val)
+                if v is None:
+                    continue  # ambiguous representation: keep the file
+                lo, hi = lo_dt, hi_dt
+            elif isinstance(val, (_dt.date, _dt.datetime)):
+                continue  # temporal value vs non-temporal stats: keep
+            else:
+                v = str(val)
         if not possible(op, lo, hi, v):
             return False
     return True
@@ -620,7 +663,7 @@ def _prune_slices_by_stats(
     blooms = _load_bloom_index(table)
     key_field = _table_prop(table, "hoodie.table.recordkey.fields")
     key_lookups = [
-        str(v) for col, op, v in skip_filters
+        v for col, op, v in skip_filters
         if op == "=" and key_field is not None and col == key_field
     ] if blooms is not None else []
     if stats is None and not key_lookups:
@@ -640,7 +683,10 @@ def _prune_slices_by_stats(
         bloom_ok = all(
             any(
                 blooms.get(rel) is None
-                or _bloom_may_contain(blooms[rel], key)
+                or any(
+                    _bloom_may_contain(blooms[rel], rep)
+                    for rep in _key_reprs(key)
+                )
                 for rel in faces
             )
             for key in key_lookups
@@ -698,6 +744,25 @@ def _bloom_build(keys: list[str]) -> dict:
         for pos in _bloom_hashes(key, m, _BLOOM_K):
             bits[pos // 8] |= 1 << (pos % 8)
     return {"m": m, "k": _BLOOM_K, "n": len(keys), "bits": bytes(bits).hex()}
+
+
+def _key_reprs(v) -> list[str]:
+    """Every plausible Spark ``cast(key AS string)`` representation of a
+    point-lookup value -- the record key was stringified at write time
+    (``_with_meta``), so an int lookup against a double-typed key column
+    must also try '115.0', and a whole float lookup must also try '115'.
+    Hashing every plausible form keeps the bloom tier LOSSLESS: a slice
+    is pruned only when no representation may be present; when the
+    representation can't be established the extra forms only widen the
+    keep-set, never the prune-set."""
+    if isinstance(v, bool):
+        return ["true" if v else "false"]
+    reprs = {str(v)}
+    if isinstance(v, int):
+        reprs.add(f"{float(v):.1f}")
+    elif isinstance(v, float) and v.is_integer():
+        reprs.add(str(int(v)))
+    return sorted(reprs)
 
 
 def _bloom_may_contain(entry: dict, key: str) -> bool:
