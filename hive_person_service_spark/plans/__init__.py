@@ -97,7 +97,8 @@ from . import pipeline57  # noqa: F401,E402  (t-closeness, Mann-Whitney U, daily
 from . import pipeline58  # noqa: F401,E402  (lake metadata/history as queryable relations)
 from . import pipeline59  # noqa: F401,E402  (Hudi column-stats data skipping; Hive ACID tables)
 from . import pipeline60  # noqa: F401,E402  (WordPiece training, decontamination report, depth-2 GBT)
-from . import pipeline61  # noqa: F401,E402  (Hive ACID: partitioned, original files, insert-only MM)
+from . import pipeline61  # noqa: F401,E402  (Hive ACID: partitioned, original files, insert-only MM; Delta CDF files)
+from . import pipeline62  # noqa: F401,E402  (Iceberg files/partitions metadata tables)
 
 # The driver certifies a bounded prefix of this registry (round 1: exactly
 # the first 50 entries), so insertion order is evidence policy, not style.

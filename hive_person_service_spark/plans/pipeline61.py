@@ -168,6 +168,94 @@ def table_hive_acid_original_files(
     )
 
 
+def _delta_cdf_files_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Delta table created WITH delta.enableChangeDataFeed=true, then
+    DV-deleted (%10 keys) and updated (%7 keys re-balanced) -- both DML
+    commits materialize protocol change-data files (``cdc`` actions +
+    ``_change_data/`` parquet) that the feed reader must prefer over
+    log reconstruction.  The layout asserts the cdc actions exist."""
+    import json as _json
+
+    from ..sources.delta_log import (
+        _version_file,
+        delta_delete,
+        delta_update,
+        delta_write,
+    )
+
+    path = os.path.join(
+        _LAYOUT_ROOT,
+        f"supplier_cdffiles_{_digest(sf_dir, 'supplier', 'deltacdf10')}",
+    )
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            delta_write(
+                sup, tmp,
+                configuration={"delta.enableChangeDataFeed": "true"},
+            )
+            delta_delete(spark, tmp, "s_suppkey % 10 = 0")
+            delta_update(
+                spark, tmp, "s_suppkey % 7 = 0",
+                {"s_acctbal": "CAST(s_suppkey AS DOUBLE)"},
+            )
+            for v in (1, 2):
+                acts = [
+                    _json.loads(x)
+                    for x in _version_file(tmp, v).read_text().splitlines()
+                    if x.strip()
+                ]
+                if not any("cdc" in a for a in acts):
+                    raise RuntimeError(
+                        f"CDF layout: commit {v} carries no cdc actions"
+                    )
+    return path
+
+
+@declare(
+    "table_delta_cdf_files",
+    oracle="""
+    SELECT 'delete' AS change_type,
+           CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey % 10 = 0)
+                + (SELECT COUNT(*) FROM supplier
+                   WHERE s_suppkey % 7 = 0 AND s_suppkey % 10 <> 0)
+                AS BIGINT) AS n,
+           ROUND((SELECT SUM(s_acctbal) FROM supplier
+                  WHERE s_suppkey % 10 = 0)
+                 + (SELECT SUM(s_acctbal) FROM supplier
+                    WHERE s_suppkey % 7 = 0 AND s_suppkey % 10 <> 0),
+                 2) AS bal
+    UNION ALL
+    SELECT 'insert',
+           CAST((SELECT COUNT(*) FROM supplier)
+                + (SELECT COUNT(*) FROM supplier
+                   WHERE s_suppkey % 7 = 0 AND s_suppkey % 10 <> 0)
+                AS BIGINT),
+           ROUND((SELECT SUM(s_acctbal) FROM supplier)
+                 + (SELECT SUM(CAST(s_suppkey AS DOUBLE)) FROM supplier
+                    WHERE s_suppkey % 7 = 0 AND s_suppkey % 10 <> 0),
+                 2)
+    """,
+)
+def table_delta_cdf_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed served from PROTOCOL FILES: the table was
+    created with delta.enableChangeDataFeed=true, so its DELETE/UPDATE
+    commits wrote ``cdc`` actions + ``_change_data/`` parquet, and
+    ``delta_changes`` reads those files VERBATIM for such commits
+    (reconstruction only covers the plain-append commits) -- real-table
+    interop with delta-spark CDF writers.  The oracle replays the DML
+    arithmetic over raw supplier; tests/test_delta_cdf_files.py pins
+    cdc-read ≡ reconstruction on the same history."""
+    from ..sources.delta_log import delta_changes
+
+    path = _delta_cdf_files_layout(spark, sf_dir)
+    ch = delta_changes(spark, path)
+    return ch.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+
+
 def _acid_mm_layout(spark: SparkSession, sf_dir: str) -> str:
     """Insert-only (MM) table: orders landed in three raw delta
     directories (no ACID columns on disk), then a MINOR compaction

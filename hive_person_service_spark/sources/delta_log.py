@@ -53,6 +53,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import time
 import uuid
 from pathlib import Path
@@ -769,6 +770,7 @@ def delta_changes(
             continue
         adds: dict[str, dict] = {}
         removes: list[str] = []
+        cdc_paths: list[str] = []
         for line in _version_file(table, v).read_text().splitlines():
             if not line.strip():
                 continue
@@ -777,7 +779,17 @@ def delta_changes(
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 removes.append(action["remove"]["path"])
+            elif "cdc" in action:
+                cdc_paths.append(action["cdc"]["path"])
         emit = v in set(versions)
+        if emit and cdc_paths:
+            # the commit materialized its own change-data files (CDF
+            # writer with delta.enableChangeDataFeed=true): serve the
+            # feed from them verbatim -- the protocol's rule that cdc
+            # actions supersede add/remove reconstruction for a commit.
+            # Walk state still updates from the add/remove flips below.
+            pieces.append(("cdc", v, tuple(cdc_paths), None, None))
+            emit = False
         for rel, add in adds.items():
             new_dv = dv_set(add.get("deletionVector"))
             old_dv = dv_state.get(rel)
@@ -810,6 +822,24 @@ def delta_changes(
     ]
     out_frames = []
     for kind, v, rel, dv, positions in pieces:
+        if kind == "cdc":
+            fulls = [
+                os.path.join(table, r)
+                for r in rel
+                if os.path.exists(os.path.join(table, r))
+            ]
+            if not fulls:
+                continue  # vacuumed change data
+            cdf = spark.read.parquet(*fulls)
+            present = [c for c in schema_cols if c in cdf.columns]
+            out_frames.append(
+                cdf.select(
+                    *present,
+                    F.col("_change_type"),
+                    F.lit(int(v)).alias("_commit_version"),
+                )
+            )
+            continue
         full_path = os.path.join(table, rel)
         if not os.path.exists(full_path):
             continue  # vacuumed: change rows for this file are gone
@@ -905,7 +935,12 @@ def _file_stats_json(full: str) -> str | None:
                 nulls[name] = nulls.get(name, 0) + int(st.null_count)
             if not st.has_min_max:
                 continue
-            mn, mx = _js(st.min), _js(st.max)
+            try:
+                mn, mx = _js(st.min), _js(st.max)
+            except Exception:
+                # pyarrow can't decode stats for every physical type
+                # (e.g. decimal128): absent = unknown = never prune
+                continue
             if mn is None or mx is None:
                 continue
             if name not in mins or mn < mins[name]:
@@ -1324,6 +1359,7 @@ def delta_write(
     checkpoint_interval: int = 10,
     txn: tuple[str, int] | None = None,
     generated: dict[str, str] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> int:
     """Commit df to a Delta table (``append`` or ``overwrite``); creates
     the table (protocol + metaData actions) on first commit. Returns the
@@ -1392,8 +1428,22 @@ def delta_write(
             {"txn": {"appId": txn[0], "version": int(txn[1]),
                      "lastUpdated": int(time.time() * 1000)}}
         )
+    if exists and configuration:
+        raise ValueError("configuration may only be set at table creation")
     if not exists:
-        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        cdf_on = (configuration or {}).get(
+            "delta.enableChangeDataFeed"
+        ) == "true"
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    # the spec gates CDF (cdc actions + _change_data
+                    # files) behind writer version 4
+                    "minWriterVersion": 4 if cdf_on else 2,
+                }
+            }
+        )
         actions.append(
             {
                 "metaData": {
@@ -1401,7 +1451,7 @@ def delta_write(
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
                     "partitionColumns": partition_by,
-                    "configuration": {},
+                    "configuration": dict(configuration or {}),
                     "createdTime": int(time.time() * 1000),
                 }
             }
@@ -1452,6 +1502,7 @@ def delta_delete(spark: SparkSession, table: str, predicate: str) -> int:
     return _commit_dv_deletes(
         table, files, proto, version, pairs,
         op="DELETE", params={"predicate": predicate},
+        spark=spark, tagged=tagged, meta=meta,
     )
 
 
@@ -1543,11 +1594,19 @@ def _commit_dv_deletes(
     pairs: list[tuple[str, int]],
     op: str,
     params: dict,
+    spark: SparkSession | None = None,
+    tagged: DataFrame | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Shared DV-delete commit tail (delta_delete / delta_merge): merge
     the (relative path, row index) pairs into each file's complete
     deletion bitmap, write one DV file, and commit remove+add flips.
-    Returns rows newly deleted."""
+    When the table has ``delta.enableChangeDataFeed=true`` (and the
+    caller passes its raw tagged scan), the commit ALSO materializes
+    the protocol's change-data files: the newly-deleted pre-image rows
+    written under ``_change_data/`` with ``_change_type`` and named by
+    ``cdc`` actions -- readers then serve the feed from these files
+    instead of log reconstruction.  Returns rows newly deleted."""
     from .delta_dv import read_dv, serialize_bitmap, write_dv_file
 
     new_by_file: dict[str, set[int]] = {}
@@ -1557,6 +1616,7 @@ def _commit_dv_deletes(
     affected: list[str] = []
     bitmaps: list[bytes] = []
     cards: list[int] = []
+    newly_by_file: dict[str, set[int]] = {}
     n_new = 0
     for rel in sorted(new_by_file):
         old = set()
@@ -1570,6 +1630,7 @@ def _commit_dv_deletes(
         affected.append(rel)
         bitmaps.append(serialize_bitmap(sorted(merged)))
         cards.append(len(merged))
+        newly_by_file[rel] = new_by_file[rel] - old
     if not affected:
         return 0
     _, descs = write_dv_file(table, bitmaps)
@@ -1603,6 +1664,58 @@ def _commit_dv_deletes(
         new_add["deletionVector"] = {**desc, "cardinality": card}
         new_add["dataChange"] = True
         actions.append({"add": new_add})
+    cdf_on = ((meta or {}).get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+    if cdf_on and spark is not None and tagged is not None:
+        from pyspark.sql import functions as F
+
+        # the newly-deleted PRE-IMAGE rows, selected distributed via a
+        # broadcast semi-join of the (file, row-index) victims against
+        # the caller's raw tagged scan -- row data never funnels
+        # through the driver, only the KB-scale position list does
+        # (the same footprint as the DV bitmaps themselves)
+        abs_pairs = [
+            (os.path.abspath(os.path.join(table, rel)), int(i))
+            for rel, s in newly_by_file.items()
+            for i in sorted(s)
+        ]
+        pdf = spark.createDataFrame(abs_pairs, "_cp string, _ci long")
+        cdc_rows = tagged.join(
+            F.broadcast(pdf),
+            (tagged["_dv_p"] == pdf["_cp"])
+            & (tagged["_dv_i"] == pdf["_ci"]),
+            "left_semi",
+        )
+        staging = os.path.join(table, f".cdc-staging-{uuid.uuid4().hex[:8]}")
+        (
+            cdc_rows.drop("_dv_p", "_dv_i")
+            .withColumn("_change_type", F.lit("delete"))
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        cdc_dir = os.path.join(table, "_change_data")
+        os.makedirs(cdc_dir, exist_ok=True)
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            rel_cdc = os.path.join(
+                "_change_data", f"cdc-{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(os.path.join(staging, f), os.path.join(table, rel_cdc))
+            actions.append(
+                {
+                    "cdc": {
+                        "path": rel_cdc,
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(table, rel_cdc)
+                        ),
+                        "dataChange": False,
+                    }
+                }
+            )
+        shutil.rmtree(staging, ignore_errors=True)
     _commit(table, version + 1, actions)
     return n_new
 
@@ -1647,6 +1760,7 @@ def delta_merge(
         n_matched = _commit_dv_deletes(
             table, files, proto, version, pairs,
             op="MERGE", params={"matchedPredicate": f"keys={keys}"},
+            spark=spark, tagged=tagged, meta=meta,
         )
     delta_write(src, table, mode="append")
     return {"updated": n_matched, "inserted": n_src - n_matched}

@@ -736,6 +736,106 @@ def iceberg_snapshots(table: str) -> list[dict]:
     ]
 
 
+def iceberg_files(table: str, snapshot_id: int | None = None) -> list[dict]:
+    """The ``files`` metadata table (``SELECT * FROM t.files``): one
+    record per live manifest entry of the snapshot -- data files
+    (content 0) AND delete files (1 position / 2 equality) -- with the
+    spec's identifying columns: content, file_path (table-relative),
+    file_format, spec_id, partition ({field: raw value} as the manifest
+    recorded it), record_count, file_size_in_bytes, sequence_number.
+    Pure manifest metadata: no data file is opened.  At 100 TB this is
+    the same driver-side cost as planning a scan of the snapshot."""
+    meta = _load_metadata(table)
+    snaps = meta.get("snapshots", [])
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not in table log")
+    _, mlist = read_ocf(
+        Path(_resolve(table, snap["manifest-list"])).read_bytes()
+    )
+    out: list[dict] = []
+    seen: set[str] = set()
+    for m in mlist:
+        man_seq = int(m.get("sequence_number") or 0)
+        _, entries = read_ocf(
+            Path(_resolve(table, m["manifest_path"])).read_bytes()
+        )
+        for e in entries:
+            if e.get("status", 0) == 2:  # DELETED entry
+                continue
+            df_rec = e["data_file"]
+            path = _resolve(table, df_rec["file_path"])
+            if path in seen:
+                continue
+            seen.add(path)
+            es = e.get("sequence_number")
+            rc = df_rec.get("record_count")
+            sz = df_rec.get("file_size_in_bytes")
+            out.append(
+                {
+                    "content": int(df_rec.get("content", 0) or 0),
+                    "file_path": os.path.relpath(path, table),
+                    "file_format": (
+                        df_rec.get("file_format") or "PARQUET"
+                    ).upper(),
+                    "spec_id": int(m.get("partition_spec_id") or 0),
+                    "partition": {
+                        p["name"]: p["value"]
+                        for p in (df_rec.get("partition") or [])
+                    },
+                    "record_count": None if rc is None else int(rc),
+                    "file_size_in_bytes": None if sz is None else int(sz),
+                    "sequence_number": man_seq if es is None else int(es),
+                }
+            )
+    return out
+
+
+def iceberg_partitions(
+    table: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """The ``partitions`` metadata table: one record per (spec_id,
+    partition tuple) with the spec's aggregate columns -- data
+    record_count / file_count / total_data_file_size_in_bytes plus
+    position- and equality-delete record and file counts.  Derived
+    entirely from ``iceberg_files`` manifest metadata."""
+    rows: dict[tuple, dict] = {}
+    for f in iceberg_files(table, snapshot_id):
+        key = (f["spec_id"], tuple(sorted(f["partition"].items())))
+        r = rows.setdefault(
+            key,
+            {
+                "spec_id": f["spec_id"],
+                "partition": dict(f["partition"]),
+                "record_count": 0,
+                "file_count": 0,
+                "total_data_file_size_in_bytes": 0,
+                "position_delete_record_count": 0,
+                "position_delete_file_count": 0,
+                "equality_delete_record_count": 0,
+                "equality_delete_file_count": 0,
+            },
+        )
+        rc = f["record_count"] or 0
+        if f["content"] == 0:
+            r["record_count"] += rc
+            r["file_count"] += 1
+            r["total_data_file_size_in_bytes"] += (
+                f["file_size_in_bytes"] or 0
+            )
+        elif f["content"] == 1:
+            r["position_delete_record_count"] += rc
+            r["position_delete_file_count"] += 1
+        elif f["content"] == 2:
+            r["equality_delete_record_count"] += rc
+            r["equality_delete_file_count"] += 1
+    return [rows[k] for k in sorted(rows)]
+
+
 # ---------------------------------------------------------------------------
 # schema mapping (Iceberg JSON <-> Spark)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,120 @@
+"""Delta Change Data Feed PROTOCOL FILES (round 10): tables created
+with delta.enableChangeDataFeed=true materialize cdc actions +
+_change_data/ parquet on DV deletes/merges, and the reader serves the
+feed from them -- byte-equal to log reconstruction."""
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from hive_person_service_spark.sources.delta_log import (
+    delta_changes,
+    delta_delete,
+    delta_merge,
+    delta_update,
+    delta_write,
+    _version_file,
+)
+
+
+def _fresh(tmp_path, name):
+    p = str(tmp_path / name)
+    shutil.rmtree(p, ignore_errors=True)
+    return p
+
+
+def _feed(spark, t, lo=0):
+    return sorted(
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in delta_changes(spark, t, starting_version=lo).collect()
+    )
+
+
+def _mk(spark, t, cdf):
+    cfg = {"delta.enableChangeDataFeed": "true"} if cdf else None
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20)], "id long, v double"
+        ),
+        t,
+        configuration=cfg,
+    )
+    delta_delete(spark, t, "id % 5 = 0")           # v1: DV delete
+    delta_update(spark, t, "id = 7",
+                 {"v": "CAST(77.0 AS DOUBLE)"})  # v2 delete + v3 append
+    delta_merge(
+        spark, t,
+        spark.createDataFrame([(3, 33.0), (99, 99.0)], "id long, v double"),
+        keys=["id"],
+    )  # v4 DV delete of id=3 + v5 append
+
+
+def test_cdc_files_written_and_read(spark, tmp_path):
+    t = _fresh(tmp_path, "cdf1")
+    _mk(spark, t, cdf=True)
+    # the DV-delete commits carry cdc actions naming _change_data files
+    cdc_dir = os.path.join(t, "_change_data")
+    assert os.path.isdir(cdc_dir) and len(os.listdir(cdc_dir)) >= 3
+    v1_actions = [
+        json.loads(x)
+        for x in _version_file(t, 1).read_text().splitlines()
+        if x.strip()
+    ]
+    cdcs = [a["cdc"] for a in v1_actions if "cdc" in a]
+    assert cdcs, "DV delete on a CDF table must commit cdc actions"
+    for c in cdcs:
+        assert c["path"].startswith("_change_data/")
+        assert os.path.getsize(os.path.join(t, c["path"])) == c["size"]
+        assert c["dataChange"] is False
+    # the cdc file holds exactly the deleted pre-images
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT id, _change_type FROM '{os.path.join(t, cdcs[0]['path'])}'"
+        " ORDER BY id"
+    ).fetchall()
+    assert all(ct == "delete" for _i, ct in rows)
+    # protocol gates CDF behind writer version 4
+    v0 = [
+        json.loads(x)
+        for x in _version_file(t, 0).read_text().splitlines()
+        if x.strip()
+    ]
+    proto = next(a["protocol"] for a in v0 if "protocol" in a)
+    assert proto["minWriterVersion"] == 4
+
+
+def test_cdc_read_equals_reconstruction(spark, tmp_path):
+    """The same DML history with CDF on and off yields the SAME feed:
+    cdc-file reads are interchangeable with log reconstruction."""
+    a = _fresh(tmp_path, "cdf_on")
+    b = _fresh(tmp_path, "cdf_off")
+    _mk(spark, a, cdf=True)
+    _mk(spark, b, cdf=False)
+    assert _feed(spark, a) == _feed(spark, b)
+    # ranged reads agree too (cdc commits inside the range)
+    assert _feed(spark, a, lo=1) == _feed(spark, b, lo=1)
+    # and the snapshot itself is unaffected by cdc bookkeeping
+    from hive_person_service_spark.sources.delta_log import delta_scan
+
+    sa = sorted(r["id"] for r in delta_scan(spark, a).collect())
+    sb = sorted(r["id"] for r in delta_scan(spark, b).collect())
+    assert sa == sb
+
+
+def test_cdc_rows_are_preimages(spark, tmp_path):
+    t = _fresh(tmp_path, "cdf2")
+    delta_write(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"),
+        t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_update(spark, t, "id = 2", {"v": "CAST(99.0 AS DOUBLE)"})
+    rows = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in delta_changes(spark, t, starting_version=1).collect()
+    )
+    # delete pre-image carries the OLD value; insert carries the new one
+    assert rows == [(2, 20.0, "delete"), (2, 99.0, "insert")]
