@@ -936,6 +936,12 @@ def _compact_one(
         )
         if hi < 0:
             raise ValueError(f"hive_acid: nothing to compact in {pdir!r}")
+        if not deltas and not deletes and not originals:
+            # nothing beyond the base itself: re-folding would rewrite
+            # base_N onto its own name and then delete it -- explicit
+            # no-op instead (Hive's compactor also declines)
+            return {"mode": mode, "write_id": None, "folded": 0,
+                    "noop": True}
         pf = (
             [(_part_kv(pname)[0], "=", _part_kv(pname)[1])]
             if pname else None

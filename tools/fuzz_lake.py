@@ -379,6 +379,112 @@ def run_hudi_history(spark, rng: random.Random, root: str,
     return n_checks
 
 
+def run_hive_acid_history(spark, rng: random.Random, root: str,
+                          variant: str) -> int:
+    """Random Hive ACID history in one of four layout variants --
+    ``flat`` (full-ACID, unpartitioned), ``part`` (full-ACID,
+    partitioned by grp), ``orig`` (pre-ACID original files converted in
+    place, then ACID DML on top), ``mm`` (insert-only transactional).
+    Every action's snapshot scan is compared against a driver-side
+    shadow replay; partitioned variants also compare a randomly chosen
+    PRUNED scan against the filtered shadow after every action."""
+    from hive_person_service_spark.sources.hive_acid import (
+        _list_dirs,
+        _partitions,
+        hive_acid_compact,
+        hive_acid_convert,
+        hive_acid_delete,
+        hive_acid_insert,
+        hive_acid_insert_only,
+        hive_acid_scan,
+        hive_acid_seed_originals,
+        hive_acid_update,
+    )
+
+    t = f"{root}/acid_{variant}_{uuid.uuid4().hex[:8]}"
+    part_col = "grp" if variant == "part" else None
+    shadow: list[tuple] = _rows(rng, range(rng.randrange(10, 30)))
+    seed_df = spark.createDataFrame(shadow, SCHEMA)
+    if variant == "orig":
+        hive_acid_seed_originals(spark, t, seed_df, key_col="id",
+                                 n_buckets=rng.randrange(1, 4))
+        hive_acid_convert(t)
+    elif variant == "mm":
+        hive_acid_insert_only(spark, t, seed_df, key_col="id",
+                              n_buckets=rng.randrange(1, 4))
+    else:
+        hive_acid_insert(spark, t, seed_df, key_col="id",
+                         n_buckets=rng.randrange(1, 4),
+                         partition_col=part_col)
+    n_checks = 0
+
+    def check(tag: str) -> None:
+        nonlocal n_checks
+        _check(f"acid-{variant} {tag}",
+               _scan_rows(hive_acid_scan(spark, t)), sorted(shadow))
+        n_checks += 1
+        if variant == "part":
+            g = f"g{rng.randrange(4)}"
+            pruned = hive_acid_scan(
+                spark, t, partition_filters=[("grp", "=", g)]
+            )
+            want = sorted(r for r in shadow if r[1] == g)
+            # the lossless-hint contract: pruning never drops a
+            # qualifying row (the caller's predicate still applies)
+            got = sorted(
+                tuple(r[c] for c in ("id", "grp", "v"))
+                for r in pruned.where(f"grp = '{g}'").collect()
+            )
+            _check(f"acid-part pruned {tag}", got, want)
+            n_checks += 1
+
+    check("seed")
+    for _step in range(rng.randrange(3, 7)):
+        if variant == "mm":
+            ops = ["insert", "compact_minor", "compact_major"]
+        else:
+            ops = ["insert", "delete", "update",
+                   "compact_minor", "compact_major"]
+        op = rng.choice(ops)
+        if op == "insert":
+            new = _rows(rng, _fresh_ids(rng, [r[0] for r in shadow],
+                                        rng.randrange(3, 10)))
+            df = spark.createDataFrame(new, SCHEMA)
+            if variant == "mm":
+                hive_acid_insert_only(spark, t, df, key_col="id")
+            else:
+                hive_acid_insert(spark, t, df, key_col="id",
+                                 partition_col=part_col)
+            shadow = shadow + new
+        elif op == "delete":
+            k = rng.randrange(2, 5)
+            hive_acid_delete(spark, t, f"row.id % {k} = 0")
+            shadow = [r for r in shadow if r[0] % k != 0]
+        elif op == "update":
+            cut = float(rng.randrange(100)) / 2.0
+            hive_acid_update(spark, t, f"row.v < {cut}",
+                             {"v": "v + 1000.0"}, key_col="id")
+            shadow = [
+                (i, g, v + 1000.0) if v < cut else (i, g, v)
+                for (i, g, v) in shadow
+            ]
+        elif op == "compact_minor":
+            # only meaningful when some directory has >=1 delta; a
+            # tier with <2 dirs is an explicit no-op result
+            has_deltas = any(
+                _list_dirs(p)[2] or _list_dirs(p)[3]
+                for p in _partitions(t).values()
+            )
+            if not has_deltas:
+                continue
+            hive_acid_compact(spark, t, mode="minor")
+        else:
+            hive_acid_compact(spark, t, mode="major")
+        check(op)
+    shutil.rmtree(t, ignore_errors=True)
+    return n_checks
+
+
 def main() -> int:
     argv = list(sys.argv[1:])
     json_out = None
@@ -398,18 +504,25 @@ def main() -> int:
     t0 = time.time()
     n_checks = 0
     failures: list[dict] = []
-    per_fmt = {"delta": 0, "iceberg": 0, "hudi-cow": 0, "hudi-mor": 0}
+    fmts = [
+        "delta", "iceberg", "hudi-cow", "hudi-mor",
+        "acid-flat", "acid-part", "acid-orig", "acid-mm",
+    ]
+    per_fmt = {f: 0 for f in fmts}
     for h in range(n_hist):
-        fmt = ["delta", "iceberg", "hudi-cow", "hudi-mor"][h % 4]
+        fmt = fmts[h % len(fmts)]
         hrng = random.Random(rng.randrange(2**63))
         try:
             if fmt == "delta":
                 n_checks += run_delta_history(spark, hrng, root)
             elif fmt == "iceberg":
                 n_checks += run_iceberg_history(spark, hrng, root)
-            else:
+            elif fmt.startswith("hudi"):
                 n_checks += run_hudi_history(spark, hrng, root,
                                              fmt.split("-")[1])
+            else:
+                n_checks += run_hive_acid_history(spark, hrng, root,
+                                                  fmt.split("-")[1])
             per_fmt[fmt] += 1
         except Mismatch as m:
             failures.append({"history": h, "format": fmt, "err": str(m)})
