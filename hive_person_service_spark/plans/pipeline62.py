@@ -73,6 +73,125 @@ def _digest(sf_dir: str, table: str, tag: str) -> str:
     ).hexdigest()[:12]
 
 
+def _iceberg_rollback_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Iceberg history with a ROLLBACK: append evens (s1), append odds
+    (s2, tagged ``v1`` at s1), position-delete the %10 keys (s3), then
+    rollback_to_snapshot(s2) -- main's head moves back, s3 stays in the
+    table but is no longer a current ancestor."""
+    from ..sources.iceberg import (
+        iceberg_delete,
+        iceberg_rollback,
+        iceberg_set_ref,
+        iceberg_snapshots,
+        iceberg_write,
+    )
+
+    path = os.path.join(
+        _LAYOUT_ROOT,
+        f"supplier_icerb_{_digest(sf_dir, 'supplier', 'icerollback10')}",
+    )
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            s1 = iceberg_write(sup.where(F.col("s_suppkey") % 2 == 0), tmp)
+            s2 = iceberg_write(sup.where(F.col("s_suppkey") % 2 == 1), tmp)
+            iceberg_set_ref(tmp, "v1", ref_type="tag", snapshot_id=s1)
+            iceberg_delete(spark, tmp, "s_suppkey % 10 = 0")
+            iceberg_rollback(tmp, s2)
+            assert [s["snapshot_id"] for s in iceberg_snapshots(tmp)][1] == s2
+    return path
+
+
+@declare(
+    "table_iceberg_history",
+    oracle="""
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS ord, CAST(1 AS BIGINT) AS is_ancestor,
+             CAST(0 AS BIGINT) AS has_parent,
+             (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 2 = 0)
+                 AS n_rows
+      UNION ALL
+      SELECT 1, 1, 1, (SELECT COUNT(*) FROM supplier)
+      UNION ALL
+      SELECT 2, 0, 1,
+             (SELECT COUNT(*) FROM supplier WHERE s_suppkey % 10 <> 0)
+      UNION ALL
+      SELECT 3, 1, 1, (SELECT COUNT(*) FROM supplier)
+    ) ORDER BY ord
+    """,
+)
+def table_iceberg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``history`` metadata table over a ROLLED-BACK history: one
+    record per head move (snapshot-log), each joined with a time-travel
+    count at that snapshot.  The delete snapshot (ord 2) must read
+    is_current_ancestor=FALSE after the rollback while staying exactly
+    readable by id; the rollback itself appears as a second head move
+    to the append snapshot (ord 3).  Parent ids pin the lineage chain
+    (only the first snapshot has none)."""
+    from functools import reduce
+
+    from ..sources.iceberg import iceberg_history, iceberg_scan
+
+    path = _iceberg_rollback_layout(spark, sf_dir)
+    frames = []
+    for i, h in enumerate(iceberg_history(path)):
+        cnt = iceberg_scan(
+            spark, path, snapshot_id=h["snapshot_id"]
+        ).agg(F.count("*").alias("n_rows"))
+        frames.append(
+            cnt.select(
+                F.lit(i).cast("long").alias("ord"),
+                F.lit(1 if h["is_current_ancestor"] else 0)
+                .cast("long").alias("is_ancestor"),
+                F.lit(1 if h["parent_id"] is not None else 0)
+                .cast("long").alias("has_parent"),
+                F.col("n_rows").cast("long"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames).orderBy("ord")
+
+
+@declare(
+    "table_iceberg_refs_relation",
+    oracle="""
+    SELECT 'main' AS name, 'branch' AS rtype,
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'v1', 'tag',
+           CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey % 2 = 0)
+                AS BIGINT)
+    """,
+)
+def table_iceberg_refs_relation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ``refs`` metadata table AS A RELATION (pipeline47's
+    table_iceberg_refs reads THROUGH refs; this one lists them): every
+    named ref plus the implicit main branch, each joined with a count
+    at its snapshot.  After the rollback main reads the full two-append
+    state (the delete snapshot is off the main line) while the ``v1``
+    tag still pins the first append -- refs survive head moves
+    untouched."""
+    from functools import reduce
+
+    from ..sources.iceberg import iceberg_refs, iceberg_scan
+
+    path = _iceberg_rollback_layout(spark, sf_dir)
+    frames = []
+    for r in iceberg_refs(path):
+        cnt = iceberg_scan(
+            spark, path, snapshot_id=r["snapshot_id"]
+        ).agg(F.count("*").alias("n_rows"))
+        frames.append(
+            cnt.select(
+                F.lit(r["name"]).alias("name"),
+                F.lit(r["type"]).alias("rtype"),
+                F.col("n_rows").cast("long"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
 @declare(
     "table_iceberg_partitions",
     oracle="""

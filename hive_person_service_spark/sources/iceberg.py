@@ -736,6 +736,87 @@ def iceberg_snapshots(table: str) -> list[dict]:
     ]
 
 
+def iceberg_history(table: str) -> list[dict]:
+    """The ``history`` metadata table: one record per time the main
+    head MOVED (the metadata's ``snapshot-log``), with the snapshot's
+    parent and whether it is an ancestor of the current snapshot (a
+    rollback leaves old entries with is_current_ancestor=false).
+    Tables written before snapshot-log maintenance fall back to the
+    snapshots list, which equals the log for main-line-only tables."""
+    meta = _load_metadata(table)
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    ancestors: set[int] = set()
+    cur = meta.get("current-snapshot-id")
+    while cur in by_id:
+        ancestors.add(cur)
+        cur = by_id[cur].get("parent-snapshot-id")
+    log = meta.get("snapshot-log") or [
+        {"timestamp-ms": s.get("timestamp-ms"), "snapshot-id": s["snapshot-id"]}
+        for s in meta.get("snapshots", [])
+    ]
+    return [
+        {
+            "made_current_at": e["timestamp-ms"],
+            "snapshot_id": e["snapshot-id"],
+            "parent_id": by_id.get(e["snapshot-id"], {}).get(
+                "parent-snapshot-id"
+            ),
+            "is_current_ancestor": e["snapshot-id"] in ancestors,
+        }
+        for e in log
+    ]
+
+
+def iceberg_rollback(table: str, snapshot_id: int) -> int:
+    """``rollback_to_snapshot``: move main's head back to an existing
+    snapshot.  No new snapshot is created -- the procedure just moves
+    the current pointer and records the move in ``snapshot-log``;
+    later snapshots stay in the table (readable by id, expirable) but
+    are no longer current ancestors, which is exactly what the
+    ``history`` relation's is_current_ancestor column reports."""
+    meta = _load_metadata(table)
+    if not any(
+        s["snapshot-id"] == snapshot_id
+        for s in meta.get("snapshots", [])
+    ):
+        raise ValueError(f"snapshot {snapshot_id} not in table log")
+    now_ms = int(time.time() * 1000)
+    meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
+    meta["last-updated-ms"] = now_ms
+    d = _meta_dir(table)
+    version = int(_current_metadata_path(table).stem[1:].split(".")[0])
+    tmp = d / f".tmp-{uuid.uuid4().hex}.json"
+    tmp.write_text(json.dumps(meta, indent=1))
+    os.rename(tmp, d / f"v{version + 1}.metadata.json")
+    (d / "version-hint.text").write_text(str(version + 1))
+    return snapshot_id
+
+
+def iceberg_refs(table: str) -> list[dict]:
+    """The ``refs`` metadata table: every named ref (branch/tag) plus
+    the implicit ``main`` branch at the current snapshot."""
+    meta = _load_metadata(table)
+    out = [
+        {
+            "name": "main",
+            "type": "branch",
+            "snapshot_id": meta.get("current-snapshot-id"),
+        }
+    ]
+    for name, r in sorted((meta.get("refs") or {}).items()):
+        out.append(
+            {
+                "name": name,
+                "type": r.get("type"),
+                "snapshot_id": r.get("snapshot-id"),
+            }
+        )
+    return out
+
+
 def iceberg_files(table: str, snapshot_id: int | None = None) -> list[dict]:
     """The ``files`` metadata table (``SELECT * FROM t.files``): one
     record per live manifest entry of the snapshot -- data files
@@ -1580,12 +1661,17 @@ def iceberg_write(
         prev = int(props.get(f"ingest.{app_id}", -1))
         props[f"ingest.{app_id}"] = str(max(prev, int(batch_version)))
         meta["properties"] = props
+    now_ms = int(time.time() * 1000)
     meta["snapshots"] = meta.get("snapshots", []) + [
         {
             "snapshot-id": snapshot_id,
-            "timestamp-ms": int(time.time() * 1000),
+            "timestamp-ms": now_ms,
             "manifest-list": mlist_path,
             "summary": summary,
+            **(
+                {"parent-snapshot-id": parent_id}
+                if parent_id != -1 else {}
+            ),
         }
     ]
     if branch is not None:
@@ -1595,6 +1681,9 @@ def iceberg_write(
         meta["refs"] = refs
     else:
         meta["current-snapshot-id"] = snapshot_id
+        meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+            {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+        ]
     meta["last-updated-ms"] = int(time.time() * 1000)
     new_version = version + 1
     tmp = d / f".tmp-{uuid.uuid4().hex}.json"
@@ -1810,15 +1899,24 @@ def _commit_delete_snapshot(
     # --- new metadata: row-level deletes are a v2 feature, DVs v3 ---
     meta["format-version"] = max(int(meta.get("format-version", 1)), fv)
     meta["last-sequence-number"] = seq
+    now_ms = int(time.time() * 1000)
+    parent_id = meta.get("current-snapshot-id", -1)
     meta["snapshots"] = meta.get("snapshots", []) + [
         {
             "snapshot-id": snapshot_id,
-            "timestamp-ms": int(time.time() * 1000),
+            "timestamp-ms": now_ms,
             "manifest-list": mlist_path,
             "summary": {"operation": "delete"},
+            **(
+                {"parent-snapshot-id": parent_id}
+                if parent_id != -1 else {}
+            ),
         }
     ]
     meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
     meta["last-updated-ms"] = int(time.time() * 1000)
     new_version = version + 1
     tmp = d / f".tmp-{uuid.uuid4().hex}.json"
@@ -2240,19 +2338,28 @@ def iceberg_rewrite_manifests(table: str) -> dict:
         )
     mlist_path = str(d / f"snap-{snapshot_id}-{uuid.uuid4().hex[:8]}.avro")
     Path(mlist_path).write_bytes(write_ocf(new_list, _MANIFEST_LIST_SCHEMA))
+    now_ms = int(time.time() * 1000)
+    parent_id = meta.get("current-snapshot-id", -1)
     meta["snapshots"] = meta.get("snapshots", []) + [
         {
             "snapshot-id": snapshot_id,
-            "timestamp-ms": int(time.time() * 1000),
+            "timestamp-ms": now_ms,
             "manifest-list": mlist_path,
             "summary": {
                 "operation": "replace",
                 "rewritten-manifests": len(mlist),
                 "merged-manifests": len(new_list),
             },
+            **(
+                {"parent-snapshot-id": parent_id}
+                if parent_id != -1 else {}
+            ),
         }
     ]
     meta["current-snapshot-id"] = snapshot_id
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"timestamp-ms": now_ms, "snapshot-id": snapshot_id}
+    ]
     meta["last-updated-ms"] = int(time.time() * 1000)
     tmp = d / f".tmp-{uuid.uuid4().hex}.json"
     tmp.write_text(json.dumps(meta, indent=1))
@@ -2337,6 +2444,13 @@ def iceberg_expire_snapshots(
             os.remove(mlist)
 
     meta["snapshots"] = keep
+    kept_ids = {s["snapshot-id"] for s in keep}
+    if meta.get("snapshot-log"):
+        # the spec prunes snapshot-log entries of expired snapshots
+        meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"]
+            if e["snapshot-id"] in kept_ids
+        ]
     version = int(_current_metadata_path(table).stem[1:].split(".")[0])
     d = _meta_dir(table)
     tmp = d / f".tmp-{uuid.uuid4().hex}.json"

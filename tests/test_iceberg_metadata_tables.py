@@ -92,3 +92,40 @@ def test_partitions_aggregates(spark, tmp_path):
     assert sum(p["position_delete_record_count"] for p in glob) == 3
     assert sum(p["position_delete_file_count"] for p in glob) >= 1
     assert sum(p["equality_delete_record_count"] for p in parts) == 0
+
+
+def test_history_rollback_and_refs(spark, tmp_path):
+    """snapshot-log maintenance + rollback_to_snapshot: the history
+    relation marks off-line snapshots as non-ancestors, parent ids
+    chain the lineage, and refs survive head moves."""
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_history,
+        iceberg_refs,
+        iceberg_rollback,
+        iceberg_scan,
+        iceberg_set_ref,
+    )
+
+    t = _fresh(tmp_path, "icehist")
+    s1 = iceberg_write(
+        spark.createDataFrame([(1, 1.0, "a")], "id long, v double, ds string"),
+        t,
+    )
+    s2 = iceberg_write(
+        spark.createDataFrame([(2, 2.0, "b")], "id long, v double, ds string"),
+        t,
+    )
+    iceberg_set_ref(t, "rel", ref_type="tag", snapshot_id=s1)
+    iceberg_delete(spark, t, "id = 1")
+    h = iceberg_history(t)
+    assert [e["is_current_ancestor"] for e in h] == [True, True, True]
+    assert h[0]["parent_id"] is None and h[1]["parent_id"] == s1
+    iceberg_rollback(t, s2)
+    h = iceberg_history(t)
+    assert len(h) == 4 and h[3]["snapshot_id"] == s2
+    assert [e["is_current_ancestor"] for e in h] == [True, True, False, True]
+    # head is back at s2: both rows live again
+    assert sorted(r["id"] for r in iceberg_scan(spark, t).collect()) == [1, 2]
+    refs = {r["name"]: r for r in iceberg_refs(t)}
+    assert refs["main"]["snapshot_id"] == s2
+    assert refs["rel"]["type"] == "tag" and refs["rel"]["snapshot_id"] == s1
