@@ -133,9 +133,16 @@ from . import pipeline62  # noqa: F401,E402  (Iceberg files/partitions metadata 
 # injection) and ml_train_ols (closed-form fit; the ML-training family
 # stays covered by ml_train_als + ml_train_gbt) for table_hive_acid_scan
 # (the reference's OWN transactional format: base/delta/delete_delta
-# ROW__ID merge through executor-side ORC decode).  Every displaced
-# query stays DECLARED, selfchecked at all three SFs, and
-# pytest-covered; displacement changes which queries land in the
+# ROW__ID merge through executor-side ORC decode).  Round 10 rotates
+# fn_map (map functions stay driver-covered by fn_array_explode +
+# fn_json_props, both complex-type fn entries) for
+# table_hive_acid_partition_pruned (partitioned ACID directories with
+# driver-side pruning + cross-partition delete-delta merge) and
+# agg_stats (moment aggregates stay covered by agg_percentile +
+# agg_groupby) for table_delta_cdf_files (the CDF protocol's cdc
+# actions + _change_data files preferred over log reconstruction).
+# Every displaced query stays DECLARED, selfchecked at all three SFs,
+# and pytest-covered; displacement changes which queries land in the
 # driver's 50-query sample, nothing else.
 _CERT_PRIORITY = [
     # A: scan + project (parquet pushdown)
@@ -154,7 +161,8 @@ _CERT_PRIORITY = [
     # path; multi-grain aggregation stays driver-covered by agg_rollup,
     # and agg_grouping_sets stays declared + selfchecked)
     "agg_groupby", "agg_count_distinct",
-    "agg_rollup", "table_hudi_mor_read", "agg_percentile", "agg_stats",
+    "agg_rollup", "table_hudi_mor_read", "agg_percentile",
+    "table_delta_cdf_files",
     # E: windows (r7: win_topk_per_group's slot showcases ml_train_ols,
     # the oracle-checked distributed MODEL FIT -- the ranking machinery
     # stays driver-covered by win_rank, and win_topk_per_group stays
@@ -170,7 +178,8 @@ _CERT_PRIORITY = [
     # cross-format maintenance lifecycle; CASE/WHEN stays covered by
     # proj_case_when)
     "fn_string", "fn_datetime", "fn_math", "table_lake_maintenance",
-    "fn_array_explode", "fn_map", "fn_json_props", "fn_hash",
+    "fn_array_explode", "table_hive_acid_partition_pruned",
+    "fn_json_props", "fn_hash",
     # I: event-time windows + stateful dedup (batch equivalents) + the
     # r6 flagship: transformWithStateInPandas EXECUTED through the
     # vendored protobuf wire shim (stream_sliding's slot; the window
