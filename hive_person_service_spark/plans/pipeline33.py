@@ -155,7 +155,8 @@ def sketch_theta_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'large' END AS tier,
            CAST(b.b AS INT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice * 0.9), 2) AS discounted_total
+           CAST(SUM(CAST(ROUND(o_totalprice * 0.9 * 100) AS BIGINT))
+                AS DOUBLE) / 100.0 AS discounted_total
     FROM orders o JOIN buckets b
       ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
     GROUP BY 1, 2
@@ -200,7 +201,9 @@ def sql_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT price_tier(o_totalprice) AS tier,
                b.b AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
-               ROUND(SUM(apply_discount(o_totalprice)), 2) AS discounted_total
+               CAST(SUM(CAST(ROUND(apply_discount(o_totalprice) * 100)
+                             AS BIGINT)) AS DOUBLE) / 100.0
+                   AS discounted_total
         FROM _fn_orders o JOIN price_buckets(100000.0, 6) b
           ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
         GROUP BY 1, 2
