@@ -1943,6 +1943,18 @@ def delta_cleanup_log(table: str, keep_versions: int = 0) -> list[str]:
         if v >= cutoff:
             break
         p = _version_file(table, v)
+        # a truncated commit's change-data files become unreachable (the
+        # cdc actions naming them die with the JSON): reclaim them too,
+        # else every CDF table leaks its _change_data history forever
+        for line in p.read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            if "cdc" in action:
+                cdc_full = os.path.join(table, action["cdc"]["path"])
+                if os.path.exists(cdc_full):
+                    os.remove(cdc_full)
+                    deleted.append(action["cdc"]["path"])
         p.unlink()
         deleted.append(p.name)
     return deleted

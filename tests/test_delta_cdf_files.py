@@ -118,3 +118,39 @@ def test_cdc_rows_are_preimages(spark, tmp_path):
     )
     # delete pre-image carries the OLD value; insert carries the new one
     assert rows == [(2, 20.0, "delete"), (2, 99.0, "insert")]
+
+
+def test_cleanup_reclaims_truncated_cdc_files(spark, tmp_path):
+    """Log-retention cleanup deletes the change-data files its
+    truncated commits reference -- a CDF table must not leak
+    _change_data history forever."""
+    from hive_person_service_spark.sources.delta_log import (
+        delta_cleanup_log,
+        write_checkpoint_v2,
+    )
+
+    t = _fresh(tmp_path, "cdf_clean")
+    delta_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(10)], "id long, v double"
+        ),
+        t,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete(spark, t, "id % 2 = 0")   # v1: cdc files written
+    n_before = len(os.listdir(os.path.join(t, "_change_data")))
+    assert n_before >= 1
+    # overwrite retires the DV'd files so the snapshot is
+    # checkpointable (the minimal checkpoint refuses live DVs)
+    delta_write(
+        spark.createDataFrame([(100, 1.0)], "id long, v double"),
+        t, mode="overwrite",
+    )
+    write_checkpoint_v2(t)                 # checkpoint at v2
+    deleted = delta_cleanup_log(t)
+    # v0 (no cdc) and v1 (cdc) truncated; v1's cdc files reclaimed
+    assert any(d.startswith("_change_data/") for d in deleted)
+    assert len(os.listdir(os.path.join(t, "_change_data"))) < n_before
+    from hive_person_service_spark.sources.delta_log import delta_scan
+
+    assert sorted(r["id"] for r in delta_scan(spark, t).collect()) == [100]

@@ -86,6 +86,7 @@ def _check(tag: str, got: list[tuple], want: list[tuple]) -> None:
 
 def run_delta_history(spark, rng: random.Random, root: str) -> int:
     from hive_person_service_spark.sources.delta_log import (
+        delta_changes,
         delta_delete,
         delta_scan,
         delta_update,
@@ -95,8 +96,19 @@ def run_delta_history(spark, rng: random.Random, root: str) -> int:
 
     t = f"{root}/delta_{uuid.uuid4().hex[:8]}"
     shadow: list[tuple] = _rows(rng, range(rng.randrange(10, 30)))
-    delta_write(spark.createDataFrame(shadow, SCHEMA), t)
+    # half the histories enable Change Data Feed: their DELETE/UPDATE
+    # commits write cdc actions + _change_data files and the feed reads
+    # THOSE; the other half exercises log reconstruction. Both are
+    # diffed at history end against a shadow EVENT log.
+    cdf = rng.random() < 0.5
+    delta_write(
+        spark.createDataFrame(shadow, SCHEMA), t,
+        configuration=(
+            {"delta.enableChangeDataFeed": "true"} if cdf else None
+        ),
+    )
     history = [(max(_log_versions(t)), sorted(shadow))]
+    events: list[tuple] = [(0, "insert", r) for r in shadow]
     n_checks = 1
     _check("delta seed", _scan_rows(delta_scan(spark, t)), sorted(shadow))
 
@@ -119,24 +131,62 @@ def run_delta_history(spark, rng: random.Random, root: str) -> int:
                                         rng.randrange(3, 10)))
             delta_write(spark.createDataFrame(new, SCHEMA), t)
             shadow = shadow + new
+            v = max(_log_versions(t))
+            events += [(v, "insert", r) for r in new]
         elif op == "delete":
             k = rng.randrange(2, 5)
+            removed = [r for r in shadow if r[0] % k == 0]
             delta_delete(spark, t, f"id % {k} = 0")
             shadow = [r for r in shadow if r[0] % k != 0]
+            if removed:
+                v = max(_log_versions(t))
+                events += [(v, "delete", r) for r in removed]
         elif op == "update":
             cut = float(rng.randrange(100)) / 2.0
+            matched = [r for r in shadow if r[2] < cut]
             delta_update(spark, t, f"v < {cut}", {"v": "v + 1000.0"})
             shadow = [
                 (i, g, v + 1000.0) if v < cut else (i, g, v)
                 for (i, g, v) in shadow
             ]
+            if matched:
+                # this client executes UPDATE as a DV-delete commit +
+                # an append commit (pre-images delete at v-1, post-
+                # images insert at v) -- the feed reflects that shape
+                v = max(_log_versions(t))
+                events += [(v - 1, "delete", r) for r in matched]
+                events += [
+                    (v, "insert", (i, g, vv + 1000.0))
+                    for (i, g, vv) in matched
+                ]
         else:
+            old = list(shadow)
             shadow = _rows(rng, range(rng.randrange(5, 15)))
             delta_write(spark.createDataFrame(shadow, SCHEMA), t,
                         mode="overwrite")
+            v = max(_log_versions(t))
+            events += [(v, "delete", r) for r in old]
+            events += [(v, "insert", r) for r in shadow]
         _check(f"delta {op}", _scan_rows(delta_scan(spark, t)),
                sorted(shadow))
         history.append((max(_log_versions(t)), sorted(shadow)))
+        n_checks += 1
+
+    if not vacuumed:
+        # change-feed differential: the full feed (cdc files when CDF
+        # is on, reconstruction otherwise) must equal the shadow event
+        # log exactly. Vacuumed histories are skipped: reclaimed files
+        # legitimately drop their change rows from reconstruction.
+        got = sorted(
+            (r["_commit_version"], r["_change_type"],
+             (r["id"], r["grp"], r["v"]))
+            for r in delta_changes(spark, t, starting_version=0).collect()
+        )
+        _check(
+            f"delta feed ({'cdc' if cdf else 'reconstruction'})",
+            got,
+            sorted(events),
+        )
         n_checks += 1
 
     from hive_person_service_spark.sources.delta_dv import z85_decode
