@@ -228,3 +228,69 @@ def table_iceberg_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
           agg["eq_delete_records"])],
         "data_records long, pos_delete_records long, eq_delete_records long",
     )
+
+
+@declare(
+    "stream_delta_cdf_tail",
+    oracle="""
+    SELECT 'delete' AS change_type,
+           CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey % 10 = 0)
+                + (SELECT COUNT(*) FROM supplier
+                   WHERE s_suppkey % 7 = 0 AND s_suppkey % 10 <> 0)
+                AS BIGINT) AS n,
+           ROUND((SELECT SUM(s_acctbal) FROM supplier
+                  WHERE s_suppkey % 10 = 0)
+                 + (SELECT SUM(s_acctbal) FROM supplier
+                    WHERE s_suppkey % 7 = 0 AND s_suppkey % 10 <> 0),
+                 2) AS bal
+    UNION ALL
+    SELECT 'insert',
+           CAST((SELECT COUNT(*) FROM supplier)
+                + (SELECT COUNT(*) FROM supplier
+                   WHERE s_suppkey % 7 = 0 AND s_suppkey % 10 <> 0)
+                AS BIGINT),
+           ROUND((SELECT SUM(s_acctbal) FROM supplier)
+                 + (SELECT SUM(CAST(s_suppkey AS DOUBLE)) FROM supplier
+                    WHERE s_suppkey % 7 = 0 AND s_suppkey % 10 <> 0),
+                 2)
+    """,
+)
+def stream_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM the Change Data Feed (delta-spark's readChangeFeed
+    streaming face): the delta_cdf_tail Python DataSource tails the
+    CDF-enabled supplier table -- offsets are log versions, each
+    micro-batch serves _cdf_pieces' plan for the pending range (cdc
+    files verbatim for the DML commits, reconstruction for appends),
+    one executor task per piece, real availableNow drain into a scratch
+    sink.  The drained rows aggregate to the same DML replay the batch
+    feed answers, so agreement proves the STREAMING face loses and
+    duplicates nothing across the cdc and reconstruction paths."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.delta_stream import register_delta_cdf_tail
+    from .pipeline61 import _delta_cdf_files_layout
+
+    table = _delta_cdf_files_layout(spark, sf_dir)
+    register_delta_cdf_tail(spark)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"cdf_tail_drain_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        spark.readStream.format("delta_cdf_tail")
+        .option("table", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("delta_cdf_tail drain did not finish in 120s")
+    t = spark.read.parquet(os.path.join(scratch, "out"))
+    return t.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )

@@ -674,32 +674,29 @@ def delta_restore(table: str, version: int) -> dict:
     return {"version": head + 1, "added": added, "removed": removed}
 
 
-def delta_changes(
-    spark: SparkSession,
+def _cdf_pieces(
     table: str,
     starting_version: int = 0,
     ending_version: int | None = None,
-) -> DataFrame:
-    """Change Data Feed RECONSTRUCTED from the log (the
-    ``table_changes`` / readChangeFeed surface): one row per changed row
-    per commit in [starting_version, ending_version], with the spec's
-    ``_change_type`` ('insert' | 'delete' | 'update_preimage' /
-    'update_postimage' collapse to delete+insert here, faithful to what
-    log reconstruction can know without cdc files) and
-    ``_commit_version`` columns.
+) -> tuple[list[dict], dict]:
+    """Driver-side half of the Change Data Feed: walk the log
+    (checkpoint-seeded after retention cleanup, gap-checked) and plan
+    each emitted commit into picklable PIECES -- metadata only, no data
+    file is opened.  Shared by the batch reader (``delta_changes``,
+    which turns pieces into broadcast position joins) and the streaming
+    source (``delta_cdf_tail``, which decodes one piece per executor
+    task).  Returns (pieces, metaData).
 
-    Per version: dataChange add actions yield inserts of the NEW live
-    rows of that file (old DV positions excluded); a remove+add pair on
-    the same path with a grown deletion vector yields deletes of exactly
-    the NEWLY deleted positions (DV set difference, decoded driver-side
-    like the log replay); a remove without re-add yields deletes of the
-    file's remaining live rows. Distributed: positions become broadcast
-    (path, pos) semi/anti-joins against the raw file scan -- row data
-    never funnels through the driver."""
-    from functools import reduce
+    Piece shapes::
 
-    from pyspark.sql import functions as F
-
+        {"kind": "cdc",    "v": V, "paths": [cdc parquet rel paths]}
+        {"kind": "insert", "v": V, "rel": file, "excl": [dv positions],
+         "part_raw": {col: raw}}
+        {"kind": "delete", "v": V, "rel": file, "incl": [new positions],
+         "part_raw": ...}                    # DV grew: exactly these rows
+        {"kind": "delete_file", "v": V, "rel": file, "excl": [...],
+         "part_raw": ...}                    # retired file: remaining live
+    """
     from .delta_dv import read_dv
 
     all_versions = _list_versions(table)
@@ -764,7 +761,8 @@ def delta_changes(
     for rel, add in ckpt_seed.items():
         live_adds[rel] = add
         dv_state[rel] = dv_set(add.get("deletionVector"))
-    pieces = []
+    pieces: list[dict] = []
+    emit_set = set(versions)
     for v in all_versions:
         if v <= walk_from:
             continue
@@ -781,14 +779,14 @@ def delta_changes(
                 removes.append(action["remove"]["path"])
             elif "cdc" in action:
                 cdc_paths.append(action["cdc"]["path"])
-        emit = v in set(versions)
+        emit = v in emit_set
         if emit and cdc_paths:
             # the commit materialized its own change-data files (CDF
             # writer with delta.enableChangeDataFeed=true): serve the
             # feed from them verbatim -- the protocol's rule that cdc
             # actions supersede add/remove reconstruction for a commit.
             # Walk state still updates from the add/remove flips below.
-            pieces.append(("cdc", v, tuple(cdc_paths), None, None))
+            pieces.append({"kind": "cdc", "v": v, "paths": list(cdc_paths)})
             emit = False
         for rel, add in adds.items():
             new_dv = dv_set(add.get("deletionVector"))
@@ -796,12 +794,20 @@ def delta_changes(
             if old_dv is None and rel not in live_adds:
                 # brand-new file: its live rows are inserts
                 if emit and add.get("dataChange", True):
-                    pieces.append(("insert", v, rel, new_dv, None))
+                    pieces.append(
+                        {"kind": "insert", "v": v, "rel": rel,
+                         "excl": sorted(new_dv),
+                         "part_raw": add.get("partitionValues") or {}}
+                    )
             else:
                 prev = old_dv if old_dv is not None else set()
                 newly = new_dv - prev
                 if emit and newly:
-                    pieces.append(("delete", v, rel, None, newly))
+                    pieces.append(
+                        {"kind": "delete", "v": v, "rel": rel,
+                         "incl": sorted(newly),
+                         "part_raw": add.get("partitionValues") or {}}
+                    )
             dv_state[rel] = new_dv
             live_adds[rel] = add
         for rel in removes:
@@ -812,20 +818,61 @@ def delta_changes(
                     # file retired without replacement: remaining live
                     # rows are deletes (OVERWRITE shape)
                     pieces.append(
-                        ("delete_file", v, rel, dv_state.get(rel, set()), None)
+                        {"kind": "delete_file", "v": v, "rel": rel,
+                         "excl": sorted(dv_state.get(rel, set())),
+                         "part_raw": live_adds[rel].get("partitionValues")
+                         or {}}
                     )
                 live_adds.pop(rel, None)
                 dv_state.pop(rel, None)
+    return pieces, meta
 
-    schema_cols = [
-        f["name"] for f in json.loads(meta["schemaString"])["fields"]
-    ]
+
+def delta_changes(
+    spark: SparkSession,
+    table: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change Data Feed (the ``table_changes`` / readChangeFeed
+    surface): one row per changed row per commit in [starting_version,
+    ending_version], with the spec's ``_change_type`` ('insert' |
+    'delete'; update_preimage/update_postimage collapse to
+    delete+insert here, faithful to what log reconstruction can know)
+    and ``_commit_version`` columns.  Commits that carry ``cdc``
+    actions (CDF-enabled writers) are served from their
+    ``_change_data/`` files VERBATIM; everything else reconstructs:
+    dataChange adds yield inserts of the file's new live rows, a grown
+    deletion vector yields exactly the newly-deleted positions (DV set
+    difference), a remove without re-add yields the file's remaining
+    live rows as deletes.  Distributed: positions become broadcast
+    (path, pos) semi/anti-joins against the raw file scan -- row data
+    never funnels through the driver.  Hive partition columns (absent
+    from the data files) re-attach from the add's partitionValues."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    pieces, meta = _cdf_pieces(table, starting_version, ending_version)
+    schema_fields = json.loads(meta["schemaString"])["fields"]
+    schema_cols = [f["name"] for f in schema_fields]
+    type_of = {
+        f["name"]: f["type"] if isinstance(f["type"], str) else None
+        for f in schema_fields
+    }
+
+    def posdf(positions):
+        return spark.createDataFrame(
+            [(int(i),) for i in positions], "__di long"
+        )
+
     out_frames = []
-    for kind, v, rel, dv, positions in pieces:
-        if kind == "cdc":
+    for piece in pieces:
+        v = piece["v"]
+        if piece["kind"] == "cdc":
             fulls = [
                 os.path.join(table, r)
-                for r in rel
+                for r in piece["paths"]
                 if os.path.exists(os.path.join(table, r))
             ]
             if not fulls:
@@ -840,41 +887,43 @@ def delta_changes(
                 )
             )
             continue
-        full_path = os.path.join(table, rel)
+        full_path = os.path.join(table, piece["rel"])
         if not os.path.exists(full_path):
             continue  # vacuumed: change rows for this file are gone
         df = spark.read.option("recursiveFileLookup", "true").parquet(full_path)
         df = df.withColumn("__i", F.col("_metadata.row_index"))
-        if kind == "insert":
-            if dv:
-                dvdf = spark.createDataFrame(
-                    [(int(i),) for i in sorted(dv)], "__di long"
-                )
+        if piece["kind"] == "insert":
+            if piece["excl"]:
                 df = df.join(
-                    F.broadcast(dvdf), df["__i"] == dvdf["__di"], "left_anti"
+                    F.broadcast(posdf(piece["excl"])),
+                    df["__i"] == F.col("__di"), "left_anti"
                 )
             ct = "insert"
-        elif kind == "delete":
-            posdf = spark.createDataFrame(
-                [(int(i),) for i in sorted(positions)], "__di long"
-            )
+        elif piece["kind"] == "delete":
             df = df.join(
-                F.broadcast(posdf), df["__i"] == posdf["__di"], "left_semi"
+                F.broadcast(posdf(piece["incl"])),
+                df["__i"] == F.col("__di"), "left_semi"
             )
             ct = "delete"
         else:  # delete_file: everything not already DV-deleted
-            if dv:
-                dvdf = spark.createDataFrame(
-                    [(int(i),) for i in sorted(dv)], "__di long"
-                )
+            if piece["excl"]:
                 df = df.join(
-                    F.broadcast(dvdf), df["__i"] == dvdf["__di"], "left_anti"
+                    F.broadcast(posdf(piece["excl"])),
+                    df["__i"] == F.col("__di"), "left_anti"
                 )
             ct = "delete"
-        present = [c for c in schema_cols if c in df.columns]
+        cols = []
+        for c in schema_cols:
+            if c in df.columns:
+                cols.append(F.col(c))
+            elif c in piece["part_raw"] and type_of.get(c):
+                # hive partition column: re-attach from the add action
+                cols.append(
+                    F.lit(piece["part_raw"][c]).cast(type_of[c]).alias(c)
+                )
         out_frames.append(
             df.select(
-                *present,
+                *cols,
                 F.lit(ct).alias("_change_type"),
                 F.lit(int(v)).alias("_commit_version"),
             )

@@ -546,3 +546,192 @@ class IcebergTailDataSource(DataSource):
 def register_iceberg_tail(spark) -> None:
     """Idempotent registration of the iceberg_tail source."""
     spark.dataSource.register(IcebergTailDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed as a STREAM: spark.readStream.format("delta_cdf_tail")
+# .option("table", path) tails the CHANGE FEED itself (delta-spark's
+# readChangeFeed streaming face). Offsets are log versions; each
+# micro-batch serves the pieces _cdf_pieces plans for the pending
+# version range -- cdc files verbatim for CDF-writer commits, DV-diff /
+# retired-file reconstruction otherwise. Planning is driver-side
+# metadata only (JSON log + KB-scale DV bitmaps); every piece decodes
+# as ONE executor task with pyarrow, so change rows never funnel
+# through the driver. Unlike delta_tail, change-commits are the POINT:
+# deletes/updates stream through as 'delete' rows instead of gating.
+# ---------------------------------------------------------------------------
+
+
+def _cdf_schema_fields(table: str) -> list[dict]:
+    fields = list(_table_schema_fields(table))
+    fields.append({"name": "_change_type", "type": "string",
+                   "nullable": False, "metadata": {}})
+    fields.append({"name": "_commit_version", "type": "long",
+                   "nullable": False, "metadata": {}})
+    return fields
+
+
+def _cdf_piece_payloads(table: str, lo: int, hi: int,
+                        fields: list[dict]) -> list[dict]:
+    """Driver half: plan versions (lo, hi] into per-piece payloads."""
+    from .delta_log import _cdf_pieces
+
+    if hi <= lo:
+        return []
+    pieces, _meta = _cdf_pieces(table, lo + 1, hi)
+    names = [f["name"] for f in fields][:-2]  # user cols only
+    type_of = {
+        f["name"]: f["type"] if isinstance(f["type"], str) else "complex"
+        for f in fields
+    }
+    payloads = []
+    for piece in pieces:
+        if piece["kind"] == "cdc":
+            for rel in piece["paths"]:
+                payloads.append({
+                    "kind": "cdc", "v": piece["v"],
+                    "file": os.path.join(table, rel),
+                    "names": names, "type_of": type_of, "part_raw": {},
+                })
+        else:
+            payloads.append({
+                "kind": piece["kind"], "v": piece["v"],
+                "file": os.path.join(table, piece["rel"]),
+                "excl": piece.get("excl") or [],
+                "incl": piece.get("incl") or [],
+                "names": names, "type_of": type_of,
+                "part_raw": piece.get("part_raw") or {},
+            })
+    return payloads
+
+
+def _cdf_payload_rows(p: dict):
+    """Executor half: decode ONE piece to (user cols..., _change_type,
+    _commit_version) tuples.  Row indexes are in-file ordinals (parquet
+    read order), the same identity the deletion vectors use."""
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(p["file"])
+    names = p["names"]
+    file_cols = set(tbl.column_names)
+    cols = {
+        n: tbl.column(n).to_pylist() if n in file_cols else None
+        for n in names
+    }
+    part_vals = {
+        n: _typed_partition(p["part_raw"].get(n), p["type_of"][n])
+        for n in names
+        if n not in file_cols
+    }
+    v = p["v"]
+    if p["kind"] == "cdc":
+        cts = tbl.column("_change_type").to_pylist()
+        for i in range(tbl.num_rows):
+            yield tuple(
+                cols[n][i] if cols[n] is not None else part_vals[n]
+                for n in names
+            ) + (cts[i], v)
+        return
+    if p["kind"] == "insert":
+        idx = (i for i in range(tbl.num_rows) if i not in set(p["excl"]))
+        ct = "insert"
+    elif p["kind"] == "delete":
+        idx = (i for i in sorted(p["incl"]) if i < tbl.num_rows)
+        ct = "delete"
+    else:  # delete_file
+        idx = (i for i in range(tbl.num_rows) if i not in set(p["excl"]))
+        ct = "delete"
+    for i in idx:
+        yield tuple(
+            cols[n][i] if cols[n] is not None else part_vals[n]
+            for n in names
+        ) + (ct, v)
+
+
+class DeltaCdfTailStreamReader(DataSourceStreamReader):
+    """Partitioned CDF stream reader: latestOffset()/partitions() walk
+    the JSON log + DV bitmaps on the DRIVER; each piece (cdc file /
+    DV-diff / retired file) decodes as one executor task."""
+
+    def __init__(self, options):
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError(
+                "delta_cdf_tail requires .option('table', <path>)"
+            )
+        self.starting = int(options.get("startingVersion", "0"))
+        self.max_versions = int(options.get("maxVersionsPerBatch",
+                                            "1000000"))
+        self.fields = _cdf_schema_fields(self.table)
+        self._committed = self.starting - 1
+
+    def initialOffset(self):
+        return {"version": self.starting - 1}
+
+    def latestOffset(self):
+        pending = [
+            v for v in _log_versions(self.table) if v > self._committed
+        ][: self.max_versions]
+        return {"version": pending[-1] if pending else self._committed}
+
+    def partitions(self, start, end):
+        payloads = _cdf_piece_payloads(
+            self.table, start["version"], end["version"], self.fields
+        )
+        return [InputPartition(p) for p in payloads] or [
+            InputPartition(None)
+        ]
+
+    def read(self, partition):
+        if partition.value is None:
+            return iter(())
+        return _cdf_payload_rows(partition.value)
+
+    def commit(self, end):
+        self._committed = max(self._committed, end["version"])
+
+
+class DeltaCdfTailBatchReader(DataSourceReader):
+    """Batch face: the whole feed, one piece per InputPartition."""
+
+    def __init__(self, options):
+        self.table = options.get("table")
+        self.starting = int(options.get("startingVersion", "0"))
+        self.fields = _cdf_schema_fields(self.table)
+
+    def partitions(self):
+        head = max(_log_versions(self.table), default=-1)
+        payloads = _cdf_piece_payloads(
+            self.table, self.starting - 1, head, self.fields
+        )
+        return [InputPartition(p) for p in payloads] or [
+            InputPartition(None)
+        ]
+
+    def read(self, partition):
+        if partition.value is None:
+            return iter(())
+        return _cdf_payload_rows(partition.value)
+
+
+class DeltaCdfTailDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta_cdf_tail"
+
+    def schema(self):
+        return StructType.fromJson(
+            {"type": "struct",
+             "fields": _cdf_schema_fields(self.options["table"])}
+        )
+
+    def reader(self, schema):
+        return DeltaCdfTailBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return DeltaCdfTailStreamReader(self.options)
+
+
+def register_delta_cdf_tail(spark) -> None:
+    """Idempotent registration of the delta_cdf_tail source."""
+    spark.dataSource.register(DeltaCdfTailDataSource)

@@ -910,6 +910,16 @@ def hive_acid_compact(
         for pname in names:
             if pname not in parts:
                 raise ValueError(f"hive_acid: no partition {pname!r}")
+            if partition is None and mode == "minor":
+                # table-wide minor compaction: partitions compact
+                # INDEPENDENTLY (Hive's unit), so one with nothing to
+                # merge is a per-partition no-op, not an error
+                _n, _b, deltas, deletes, _o = _list_dirs(parts[pname])
+                if not deltas and not deletes:
+                    results[pname] = {"mode": mode, "write_id": None,
+                                      "folded": 0, "merged": {},
+                                      "noop": True}
+                    continue
             results[pname] = _compact_one(
                 spark, table, parts[pname], pname, mode
             )
