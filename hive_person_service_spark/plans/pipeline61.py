@@ -308,3 +308,139 @@ def table_hive_acid_insert_only(
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def _acid_stream_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Insert-only (MM) Hive ACID table fed by a REAL Structured
+    Streaming run: orders split into a 3-file landing zone, drained
+    micro-batch by micro-batch through the exactly-once ingest sink
+    (streaming/jobs.py::stream_into_hive_acid -- ingest markers atomic
+    with each delta's publish rename).  The ingest is run TWICE from a
+    fresh checkpoint on purpose: the second run replays every batch and
+    the markers must no-op them, so the layout re-proves idempotence
+    each time it is built."""
+    from ..streaming.jobs import stream_into_hive_acid
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:acidstream10".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(_LAYOUT_ROOT, f"orders_acidstream_{digest}")
+    table = os.path.join(root, "table")
+    if not os.path.isdir(table):
+        landing = os.path.join(root, "landing")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        for i in range(3):
+            orders.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(landing, f"part{i}.parquet"))
+
+        def stream():
+            return (
+                spark.readStream.schema(
+                    "o_orderkey long, o_custkey long, o_orderstatus string,"
+                    " o_totalprice double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{landing}/part*.parquet")
+            )
+
+        stream_into_hive_acid(stream(), table, os.path.join(root, "ckpt"),
+                              app_id="orders-ingest", key_col="o_orderkey")
+        n_deltas = sum(
+            1 for d in os.listdir(table) if d.startswith("delta_")
+        )
+        # replay from a LOST checkpoint: markers must no-op every batch
+        stream_into_hive_acid(stream(), table, os.path.join(root, "ckpt2"),
+                              app_id="orders-ingest", key_col="o_orderkey")
+        got = sum(1 for d in os.listdir(table) if d.startswith("delta_"))
+        if got != n_deltas:
+            raise RuntimeError(
+                "acid ingest idempotence failed: replay re-committed"
+            )
+    return table
+
+
+_ACID_STREAM_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """
+
+
+@declare("stream_hive_acid_ingest", oracle=_ACID_STREAM_ORACLE)
+def stream_hive_acid_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest into a Hive ACID insert-only (MM)
+    table: each micro-batch lands as one raw delta whose ingest marker
+    publishes in the SAME atomic rename as the data, so replayed /
+    redelivered batches are skipped table-side (the role Hive's
+    metastore txn registry plays for its streaming ingest).  The layout
+    replays the whole stream from a fresh checkpoint and asserts zero
+    re-commits; the oracle aggregates the ORIGINAL orders, so agreement
+    proves the in-stream rows landed exactly once."""
+    from ..sources.hive_acid import hive_acid_scan
+
+    table = _acid_stream_layout(spark, sf_dir)
+    t = hive_acid_scan(spark, table)
+    return t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+@declare("stream_hive_acid_tail", oracle=_ACID_STREAM_ORACLE)
+def stream_hive_acid_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM Hive ACID -- the fourth format's full lakehouse
+    circle (Delta/Iceberg/Hudi already stream both ways): orders
+    streamed INTO the MM table exactly-once are streamed back OUT
+    through the hive_acid_tail Python DataSource (offsets = write ids,
+    one InputPartition per bucket file, executor-side pyarrow ORC
+    decode, real availableNow drain), then aggregated against the
+    original orders oracle -- no dup/loss across the in-and-out round
+    trip."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.hive_acid_stream import register_hive_acid_tail
+
+    table = _acid_stream_layout(spark, sf_dir)
+    register_hive_acid_tail(spark)
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"acid_tail_drain_{_uuid.uuid4().hex[:8]}"
+    )
+    q = (
+        spark.readStream.format("hive_acid_tail")
+        .option("table", table)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError("hive_acid_tail drain did not finish in 120s")
+    t = spark.read.parquet(os.path.join(scratch, "out"))
+    return t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -500,11 +500,20 @@ def hive_acid_scan(
 # ---------------------------------------------------------------------------
 
 
-def _rename_staged(staging: str, dest: str, fname) -> set[int]:
-    """Move staged ``__b=<b>`` outputs into ``dest`` as per-bucket data
-    files named by ``fname(b)``."""
-    os.makedirs(dest, exist_ok=True)
-    wrote: set[int] = set()
+def _rename_staged(
+    staging: str, dest: str, fname, markers: list[str] | None = None
+) -> set[int]:
+    """Assemble staged ``__b=<b>`` outputs into ``dest`` as per-bucket
+    data files named by ``fname(b)``.  When ``dest`` does not exist yet
+    (delta / delete_delta / base directories) the files AND any marker
+    files are assembled in a temp directory and published with ONE
+    atomic rename -- a crashed writer never leaves a partially-visible
+    directory, and ingest markers are atomic with the data they cover.
+    An existing ``dest`` (original files at a table/partition root)
+    receives files one by one (pre-ACID layouts have no directory to
+    swap)."""
+    dest = os.path.normpath(dest)
+    entries: list[tuple[int, str]] = []
     for entry in sorted(os.listdir(staging)):
         if not entry.startswith("__b="):
             continue
@@ -518,11 +527,23 @@ def _rename_staged(staging: str, dest: str, fname) -> set[int]:
             raise RuntimeError(
                 f"hive_acid: expected 1 file for bucket {b}, got {parts}"
             )
-        os.rename(
-            os.path.join(staging, entry, parts[0]),
-            os.path.join(dest, fname(b)),
-        )
+        entries.append((b, os.path.join(staging, entry, parts[0])))
+    wrote: set[int] = set()
+    if os.path.isdir(dest):
+        for b, src in entries:
+            os.rename(src, os.path.join(dest, fname(b)))
+            wrote.add(b)
+        for m in markers or []:
+            open(os.path.join(dest, m), "w").close()
+        return wrote
+    assemble = dest + f".assemble-{uuid.uuid4().hex[:8]}"
+    os.makedirs(assemble)
+    for b, src in entries:
+        os.rename(src, os.path.join(assemble, fname(b)))
         wrote.add(b)
+    for m in markers or []:
+        open(os.path.join(assemble, m), "w").close()
+    os.rename(assemble, dest)
     return wrote
 
 
@@ -531,7 +552,8 @@ def _bucket_fname(b: int) -> str:
 
 
 def _write_bucketed(
-    df: DataFrame, dest: str, fname=_bucket_fname, keep_bucket: bool = True
+    df: DataFrame, dest: str, fname=_bucket_fname, keep_bucket: bool = True,
+    markers: list[str] | None = None,
 ) -> None:
     """Write one data file per bucket value under ``dest`` (staging +
     rename; Spark does the data movement, the driver only renames).
@@ -548,7 +570,7 @@ def _write_bucketed(
         .partitionBy("__b")
         .orc(staging)
     )
-    wrote = _rename_staged(staging, dest, fname)
+    wrote = _rename_staged(staging, dest, fname, markers)
     shutil.rmtree(staging, ignore_errors=True)
     if not wrote:  # empty frame still needs a valid directory
         empty = spark.createDataFrame(
@@ -561,12 +583,14 @@ def _write_bucketed(
                 os.rename(os.path.join(staging, f),
                           os.path.join(dest, fname(0)))
                 break
+        for m in markers or []:
+            open(os.path.join(dest, m), "w").close()
         shutil.rmtree(staging, ignore_errors=True)
 
 
 def _write_bucketed_tree(
     df: DataFrame, table: str, dirname: str, fname=_bucket_fname,
-    keep_bucket: bool = True,
+    keep_bucket: bool = True, markers: list[str] | None = None,
 ) -> None:
     """Partitioned variant: ``df`` carries ``__part`` (the partition
     dir name); write ``<table>/<part>/<dirname>/<bucket file>`` for
@@ -593,7 +617,7 @@ def _write_bucketed_tree(
             continue
         pname = unquote(entry.split("=", 1)[1])
         dest = os.path.join(table, pname, dirname)
-        _rename_staged(os.path.join(staging, entry), dest, fname)
+        _rename_staged(os.path.join(staging, entry), dest, fname, markers)
     shutil.rmtree(staging, ignore_errors=True)
 
 
@@ -683,6 +707,7 @@ def hive_acid_insert_only(
     key_col: str | None = None,
     n_buckets: int = 2,
     partition_col: str | None = None,
+    ingest: tuple[str, int] | None = None,
 ) -> int:
     """Insert-only (MM) transactional table INSERT: ``delta_N_N``
     directories whose bucket files carry the PLAIN user rows -- no ACID
@@ -698,10 +723,13 @@ def hive_acid_insert_only(
                     F.lit(n_buckets)).cast("int")
     out = df.withColumn("bucket", bucket)
     dirname = f"delta_{wid}_{wid}"
+    markers = (
+        [f"_ingest_{ingest[0]}_{int(ingest[1])}"] if ingest else None
+    )
     if partition_col is None:
         _write_bucketed(out.select("bucket", *data_cols),
                         os.path.join(table, dirname),
-                        keep_bucket=False)
+                        keep_bucket=False, markers=markers)
     else:
         out = out.withColumn(
             "__part",
@@ -710,7 +738,7 @@ def hive_acid_insert_only(
         )
         _write_bucketed_tree(
             out.select("bucket", "__part", *data_cols), table, dirname,
-            keep_bucket=False,
+            keep_bucket=False, markers=markers,
         )
     return wid
 
@@ -765,6 +793,87 @@ def hive_acid_convert(table: str, insert_only: bool = False) -> None:
     metadata half of ALTER TABLE .. SET ('transactional'='true')) --
     the files stay byte-identical; readers synthesize their ROW__IDs."""
     _mark_table(table, insert_only=insert_only)
+
+
+def hive_acid_txn_version(table: str, app_id: str) -> int:
+    """Max streaming-ingest batch id committed for ``app_id``, or -1.
+    Ingest markers (``_ingest_<app>_<batch>``) are published INSIDE the
+    delta directory by the same atomic rename as the data, so marker
+    presence <=> data presence -- the table-side dedup that turns
+    at-least-once redelivery into exactly-once (the role Hive's
+    metastore txn registry plays for its streaming ingest). Compaction
+    carries the per-app maximum forward into the merged directory."""
+    best = -1
+    for pdir in _partitions(table).values():
+        for name in os.listdir(pdir):
+            full = os.path.join(pdir, name)
+            if not os.path.isdir(full):
+                continue
+            if not (_DELTA_RE.match(name) or _BASE_RE.match(name)):
+                continue
+            for f in os.listdir(full):
+                if f.startswith("_ingest_"):
+                    app, _, bid = f[len("_ingest_"):].rpartition("_")
+                    if app == app_id:
+                        try:
+                            best = max(best, int(bid))
+                        except ValueError:
+                            continue
+    return best
+
+
+def _carry_ingest_markers(src_dirs: list[str], dest: str) -> None:
+    """Compaction folds delta directories away; their ingest markers
+    must survive into the merged directory (per-app maximum), else a
+    replayed stream after compaction would re-ingest old batches."""
+    best: dict[str, int] = {}
+    for d in src_dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if f.startswith("_ingest_"):
+                app, _, bid = f[len("_ingest_"):].rpartition("_")
+                try:
+                    best[app] = max(best.get(app, -1), int(bid))
+                except ValueError:
+                    continue
+    for app, bid in best.items():
+        open(os.path.join(dest, f"_ingest_{app}_{bid}"), "w").close()
+
+
+def hive_acid_insert_overwrite(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    key_col: str | None = None,
+    n_buckets: int = 2,
+) -> int:
+    """INSERT OVERWRITE on a transactional table: Hive writes a new
+    ``base_N`` directly (the overwrite IS a full snapshot through the
+    new write id), obsoleting every delta and original file beneath it
+    -- readers flip atomically when the base directory appears.  The
+    obsoleted directories are left for the cleaner (readers resolve the
+    newest base first, so they are already invisible). Flat tables only
+    (Hive's IOW on partitioned tables overwrites per partition spec --
+    out of scope here). Returns the write id."""
+    _mark_table(table)
+    if "" not in _partitions(table):
+        raise ValueError(
+            "hive_acid: INSERT OVERWRITE on partitioned tables "
+            "unsupported by this minimal client"
+        )
+    key_col = key_col or df.columns[0]
+    wid = _next_write_id(table)
+    if _is_insert_only(table):
+        bucket = F.pmod(F.xxhash64(F.col(key_col).cast("string")),
+                        F.lit(n_buckets)).cast("int")
+        out = df.withColumn("bucket", bucket)
+        _write_bucketed(out, os.path.join(table, f"base_{wid}"),
+                        keep_bucket=False)
+    else:
+        acid = _with_acid_cols(df, wid, n_buckets, key_col)
+        _write_bucketed(acid, os.path.join(table, f"base_{wid}"))
+    return wid
 
 
 # ---------------------------------------------------------------------------
@@ -978,6 +1087,9 @@ def _compact_one(
             ]
             _write_bucketed(live.drop(*drop, *extra), dest)
         folded = [d for _l, _h, d in base_dirs + deltas + deletes]
+        _carry_ingest_markers(
+            [d for _l, _h, d in base_dirs + deltas], dest
+        )
         for f in originals:
             os.remove(f)
         for d in folded:
@@ -1014,6 +1126,8 @@ def _compact_one(
             dest = os.path.join(pdir, f"{rx_name}_{lo}_{t_hi}")
             _write_bucketed(merged, dest,
                             keep_bucket=not insert_only)
+            if rx_name == "delta":
+                _carry_ingest_markers([d for _l, _h, d in tier], dest)
             folded.extend(d for _l, _h, d in tier)
             merged_ranges[rx_name] = (lo, t_hi)
         if not merged_ranges:  # every tier had <2 dirs: explicit no-op

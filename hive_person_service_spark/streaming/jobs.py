@@ -623,3 +623,63 @@ def stream_into_iceberg(
     except Exception as e:
         if "injected crash" not in str(e):
             raise
+
+
+def stream_into_hive_acid(
+    stream: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    app_id: str = "acid-ingest",
+    key_col: str | None = None,
+    n_buckets: int = 2,
+    timeout_s: int = 120,
+    crash_after_batch: int | None = None,
+) -> None:
+    """EXACTLY-ONCE streaming ingest into an insert-only (MM) Hive ACID
+    table: each micro-batch lands as one raw ``delta_N_N`` whose ingest
+    marker (``_ingest_<app>_<batch>``) is published by the SAME atomic
+    directory rename as the data, so on redelivery (crash between sink
+    and Spark's checkpoint commit, or a rebuilt checkpoint replaying
+    from batch 0) the sink consults hive_acid_txn_version and SKIPS
+    batches already on disk -- the role Hive's metastore transaction
+    registry plays for its streaming ingest, modeled table-side.
+
+    ``crash_after_batch`` injects a failure AFTER the delta publish but
+    BEFORE Spark records the batch -- the worst-case redelivery window."""
+    from ..sources.hive_acid import (
+        hive_acid_insert_only,
+        hive_acid_txn_version,
+    )
+
+    class _Injected(RuntimeError):
+        pass
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            committed = hive_acid_txn_version(table, app_id)
+        except (ValueError, FileNotFoundError):
+            committed = -1  # table not created yet
+        if batch_id > committed:
+            hive_acid_insert_only(
+                batch_df.sparkSession, table, batch_df,
+                key_col=key_col, n_buckets=n_buckets,
+                ingest=(app_id, batch_id),
+            )
+        if crash_after_batch is not None and batch_id == crash_after_batch:
+            raise _Injected(f"injected crash after batch {batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"stream_into_hive_acid: no drain in {timeout_s}s"
+            )
+    except Exception as e:
+        if "injected crash" not in str(e):
+            raise
