@@ -294,3 +294,76 @@ def stream_delta_cdf_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
     )
+
+
+@declare(
+    "table_iceberg_manifests",
+    oracle="""
+    SELECT CAST(0 AS BIGINT) AS content, CAST(2 AS BIGINT) AS n_manifests,
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT) AS live_records
+    UNION ALL
+    SELECT 1, 1,
+           CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey % 10 = 0)
+                AS BIGINT)
+    """,
+)
+def table_iceberg_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``manifests`` metadata table over the three-snapshot supplier
+    history: two data manifests (one per append, carried forward by the
+    delete snapshot's manifest list) and one delete manifest, with live
+    record tallies read from manifest metadata alone.  Counts pin that
+    appends CARRY earlier manifests forward instead of rewriting them
+    and that the delete manifest accounts for exactly the %10 keys."""
+    from ..sources.iceberg import iceberg_manifests
+    from .pipeline58 import _iceberg_hist_layout
+
+    path = _iceberg_hist_layout(spark, sf_dir)
+    rows = [
+        (m["content"], m["n_live_entries"], m["live_record_count"],
+         m["length"])
+        for m in iceberg_manifests(path)
+    ]
+    df = spark.createDataFrame(
+        rows, "content long, n_entries long, records long, length long"
+    )
+    return df.groupBy("content").agg(
+        F.count("*").alias("n_manifests"),
+        F.sum("records").alias("live_records"),
+    )
+
+
+@declare(
+    "table_hudi_fsview",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_groups, CAST(4 AS BIGINT) AS n_base,
+           CAST((SELECT COUNT(*) FROM supplier WHERE s_suppkey % 13 <> 0)
+                AS BIGINT) AS n_rows,
+           ROUND((SELECT SUM(CASE WHEN s_suppkey % 7 = 0
+                                  THEN -s_acctbal ELSE s_acctbal END)
+                  FROM supplier WHERE s_suppkey % 13 <> 0), 2) AS bal
+    """,
+)
+def table_hudi_fsview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hudi file-system view as a relation (the ``show_fsview``
+    face) joined with the MOR snapshot it describes: the un-compacted
+    MERGE_ON_READ layout resolves to exactly four file groups (the
+    writer's bucket count), every group keeps its base file with log
+    blocks stacked on top, and the snapshot aggregate proves those
+    slices merge to the post-update post-delete supplier state."""
+    from ..sources.hudi import hudi_fsview, hudi_scan
+    from .pipeline50 import _hudi_mor_layout
+
+    path = _hudi_mor_layout(spark, sf_dir)
+    view = hudi_fsview(path)
+    n_groups = len(view)
+    n_base = sum(1 for g in view if g["has_base"])
+    agg = hudi_scan(spark, path).agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+    return agg.select(
+        F.lit(n_groups).cast("long").alias("n_groups"),
+        F.lit(n_base).cast("long").alias("n_base"),
+        F.col("n_rows").cast("long"),
+        F.col("bal"),
+    )

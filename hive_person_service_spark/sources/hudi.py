@@ -2057,6 +2057,31 @@ def hudi_clean(spark: SparkSession, table: str, keep_versions: int = 1) -> dict:
     }
 
 
+def hudi_fsview(table: str, as_of: str | None = None) -> list[dict]:
+    """The file-system VIEW as a relation (the ``show_fsview`` face):
+    one record per latest file slice visible at ``as_of`` -- file group
+    id, partition (from the file path), base presence + instant, and
+    the stacked log count.  Driver-side timeline metadata only, the
+    same O(#files + #instants) walk planning a scan does."""
+    out: list[dict] = []
+    for fid, g in sorted(_file_slices(table, as_of=as_of).items()):
+        ref = g.get("base") or (g.get("logs") or [None])[0]
+        part = ""
+        if ref:
+            d = os.path.dirname(os.path.relpath(ref, table))
+            part = "" if d in ("", ".") else d
+        out.append(
+            {
+                "file_id": fid,
+                "partition": part,
+                "has_base": g.get("base") is not None,
+                "base_instant": g.get("base_instant"),
+                "n_logs": len(g.get("logs") or []),
+            }
+        )
+    return out
+
+
 def hudi_timeline(table: str) -> list[dict]:
     """Completed timeline as plain dicts (instant, action, operation) --
     the DESCRIBE HISTORY face."""

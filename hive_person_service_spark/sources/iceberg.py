@@ -817,6 +817,53 @@ def iceberg_refs(table: str) -> list[dict]:
     return out
 
 
+def iceberg_manifests(
+    table: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """The ``manifests`` metadata table: one record per manifest of the
+    snapshot's manifest list -- content class (0 data / 1 deletes),
+    on-disk length, partition spec id, sequence number, and entry
+    tallies (live vs status=DELETED, live record sum).  Manifest-list +
+    manifest metadata only; no data file is opened."""
+    meta = _load_metadata(table)
+    snaps = meta.get("snapshots", [])
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+    snap = next(
+        (s for s in snaps if s["snapshot-id"] == snapshot_id), None
+    )
+    if snap is None:
+        raise ValueError(f"snapshot {snapshot_id} not in table log")
+    _, mlist = read_ocf(
+        Path(_resolve(table, snap["manifest-list"])).read_bytes()
+    )
+    out: list[dict] = []
+    for m in mlist:
+        man_path = _resolve(table, m["manifest_path"])
+        _, entries = read_ocf(Path(man_path).read_bytes())
+        live = [e for e in entries if e.get("status", 0) != 2]
+        out.append(
+            {
+                "path": os.path.relpath(man_path, table),
+                "length": (
+                    int(m["manifest_length"])
+                    if m.get("manifest_length") is not None
+                    else os.path.getsize(man_path)
+                ),
+                "partition_spec_id": int(m.get("partition_spec_id") or 0),
+                "content": int(m.get("content") or 0),
+                "sequence_number": int(m.get("sequence_number") or 0),
+                "n_live_entries": len(live),
+                "n_deleted_entries": len(entries) - len(live),
+                "live_record_count": sum(
+                    int(e["data_file"].get("record_count") or 0)
+                    for e in live
+                ),
+            }
+        )
+    return out
+
+
 def iceberg_files(table: str, snapshot_id: int | None = None) -> list[dict]:
     """The ``files`` metadata table (``SELECT * FROM t.files``): one
     record per live manifest entry of the snapshot -- data files
