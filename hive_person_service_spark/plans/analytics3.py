@@ -60,8 +60,9 @@ ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
 )
 def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus bigram PMI: unigram/bigram count tables -> probability join ->
-    log2 ratio (FLOOR-half-up 6dp). Both count tables are vocabulary-sized
-    (tiny) after their groupBys, so the joins broadcast; both corpus totals
+    log2 ratio (FLOOR-half-up 6dp). The unigram count table joins back
+    un-hinted -- vocabulary grows with the corpus (Heaps law, web-scale
+    typos/URLs), so the join strategy is AQE's call; both corpus totals
     come from ONE 1-row aggregate that rides along as a broadcast cross
     join -- no driver-side collect, no extra corpus passes."""
     d = load_table(spark, sf_dir, "documents")
@@ -93,8 +94,8 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
     b = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
     joined = (
-        big.join(F.broadcast(a), F.split("g", " ").getItem(0) == F.col("wa"))
-        .join(F.broadcast(b), F.split("g", " ").getItem(1) == F.col("wb"))
+        big.join(a, F.split("g", " ").getItem(0) == F.col("wa"))
+        .join(b, F.split("g", " ").getItem(1) == F.col("wb"))
         .crossJoin(F.broadcast(totals))
     )
     pmi = F.log2(

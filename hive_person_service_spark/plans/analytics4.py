@@ -204,17 +204,19 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF keywords per document: term-frequency groupBy, vocab-
-    sized document-frequency relation broadcast back, per-doc top-k window
-    (WindowGroupLimit pushes the rank filter into the sort). The corpus
-    total rides along as a broadcast 1-row aggregate."""
+    """Top-3 TF-IDF keywords per document: term-frequency groupBy, the
+    document-frequency relation joined back un-hinted (vocabulary grows
+    with the corpus -- AQE broadcasts when it fits, shuffles when it
+    doesn't), per-doc top-k window (WindowGroupLimit pushes the rank
+    filter into the sort). The corpus total rides along as a broadcast
+    1-row aggregate."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_expr()).alias("w"))
     tf = tok.groupBy("doc_id", "w").agg(F.count("*").cast("long").alias("tf"))
     df = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "w")
+        tf.join(df, "w")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",

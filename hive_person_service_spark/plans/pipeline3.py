@@ -251,8 +251,10 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     fluency filter of corpus pipelines, self-contained (no external model).
     High proxy => improbable word sequences. Three aggregates over one
     exploded bigram relation (model counts are corpus-wide, scores per
-    doc); the model tables are vocabulary-sized and broadcast back onto
-    the stream. ln/exp are transcendental, so the score is half-up-rounded
+    doc); the model tables join back as plain equi-joins -- bigram types
+    grow near-linearly with corpus size, so the join strategy is left to
+    AQE/statistics (broadcast at small scale, shuffle at web scale) rather
+    than forced. ln/exp are transcendental, so the score is half-up-rounded
     to 4 via the engine-proof FLOOR(x*1e4+0.5) idiom; the AVG over exact
     count ratios is the one accumulation risk and stays within rounding
     tolerance at every fixture SF (verified)."""
@@ -274,10 +276,10 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = grams.groupBy(F.col("w1").alias("uw1")).agg(F.count("*").alias("c1"))
     scored = (
         grams.join(
-            F.broadcast(big),
+            big,
             (F.col("w1") == F.col("bw1")) & (F.col("w2") == F.col("bw2")),
         )
-        .join(F.broadcast(uni), F.col("w1") == F.col("uw1"))
+        .join(uni, F.col("w1") == F.col("uw1"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

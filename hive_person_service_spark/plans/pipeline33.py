@@ -507,8 +507,10 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically there). Same scale-invariance discipline as the unigram
     query — 6-decimal logp quanta accumulated as DECIMAL(18,6), mean
     emitted via FLOOR (no .5-tie semantics) — so the score is
-    bit-identical at every sf. The bigram vocabulary is Zipf-bounded;
-    the model join broadcasts at any corpus scale."""
+    bit-identical at every sf. The model join is un-hinted: distinct
+    bigram types grow near-linearly with corpus size, so the join
+    strategy stays a planner decision (AQE broadcasts when the model
+    fits, shuffles on bg when it doesn't)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",

@@ -124,7 +124,7 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.join(
-            F.broadcast(best),
+            best,
             (F.col("c_custkey") == F.col("b_custkey"))
             & (F.col("d2") == F.col("best_d2")),
         )

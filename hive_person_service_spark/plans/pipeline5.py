@@ -172,8 +172,10 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-chunk "lines" -> per-line document frequency -> drop lines in >=
     BOILER_DF docs -> reassemble in order. The only shuffle groups by line
     text (cardinality = distinct lines, not corpus rows); the boilerplate
-    set is small and broadcasts back onto the exploded lines, and the final
-    per-doc reassembly re-uses the doc_id partitioning."""
+    set joins back onto the exploded lines un-hinted (at web scale the
+    duplicated-line table is itself large -- CCNet-style dedup tables run
+    to billions of lines -- so the strategy stays AQE's call), and the
+    final per-doc reassembly re-uses the doc_id partitioning."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_expr()
     n_lines = F.ceil(F.size(toks) / float(LINE_TOKENS)).cast("int")
@@ -195,7 +197,7 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("line")
     )
     flagged = lines.join(
-        F.broadcast(boiler.withColumn("is_boiler", F.lit(True))), "line", "left"
+        boiler.withColumn("is_boiler", F.lit(True)), "line", "left"
     ).select("doc_id", "pos", "line", F.col("is_boiler").isNull().alias("keep"))
     kept_sorted = F.filter(
         F.array_sort(F.collect_list(F.struct("pos", "keep", "line"))),

@@ -29,7 +29,9 @@ Scale shapes: the GBT histogram pass is one shuffle per feature on the
 feature VALUE (50 + 11 cells -- the leaf-wise histogram trick: split
 search cost is bounded by bins, never rows); ALS is one shuffle per
 half-step on the solved-for key; KN is the bigram groupBy + two
-Zipf-bounded model joins that broadcast at any corpus scale.
+un-hinted model joins (AQE broadcasts when the model fits, shuffles
+on the bigram key when it doesn't -- bigram types grow with corpus
+size, so the hint is never forced).
 """
 
 from __future__ import annotations
@@ -422,7 +424,8 @@ def text_kneser_ney_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline of text_bigram_logprob, so the score is bit-identical at
     every sf.  Unlike the raw-MLE sibling, unseen-context mass is
     explicitly reserved -- the production fluency gate shape.  The
-    model tables are Zipf-bounded and broadcast at any corpus scale."""
+    model joins are un-hinted (bigram types grow with corpus size;
+    AQE picks broadcast only when the model actually fits)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",

@@ -251,14 +251,17 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Smoothed TF-IDF per (doc, token): tf * (ln((N+1)/(df+1)) + 1).
     df and N computed over the full corpus; output bounded to doc_id < 100.
-    Composable shape: one explode, two aggregates, broadcast joins."""
+    Composable shape: one explode, two aggregates; the vocabulary df
+    relation joins back un-hinted (web-scale vocab can exceed broadcast
+    limits -- AQE picks broadcast when it fits), only the 1-row corpus
+    total is broadcast."""
     d = load_table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(tokens_expr()).alias("token"))
     tf = tokens.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")
         .crossJoin(F.broadcast(n))
         .where(F.col("doc_id") < 100)
         .select(
