@@ -689,7 +689,8 @@ def _cdf_pieces(
 
     Piece shapes::
 
-        {"kind": "cdc",    "v": V, "paths": [cdc parquet rel paths]}
+        {"kind": "cdc",    "v": V,
+         "paths": [{"path": rel, "part_raw": {col: raw}}]}
         {"kind": "insert", "v": V, "rel": file, "excl": [dv positions],
          "part_raw": {col: raw}}
         {"kind": "delete", "v": V, "rel": file, "incl": [new positions],
@@ -776,9 +777,15 @@ def _cdf_pieces(
             if "add" in action:
                 adds[action["add"]["path"]] = action["add"]
             elif "remove" in action:
-                removes.append(action["remove"]["path"])
+                removes.append(
+                    (action["remove"]["path"],
+                     action["remove"].get("dataChange", True))
+                )
             elif "cdc" in action:
-                cdc_paths.append(action["cdc"]["path"])
+                cdc_paths.append(
+                    {"path": action["cdc"]["path"],
+                     "part_raw": action["cdc"].get("partitionValues") or {}}
+                )
         emit = v in emit_set
         if emit and cdc_paths:
             # the commit materialized its own change-data files (CDF
@@ -810,11 +817,15 @@ def _cdf_pieces(
                     )
             dv_state[rel] = new_dv
             live_adds[rel] = add
-        for rel in removes:
+        for rel, data_change in removes:
             if rel in adds:
                 continue  # remove+re-add = DV flip, handled above
             if rel in live_adds:
-                if emit:
+                # dataChange=false removes (OPTIMIZE/compaction: the
+                # rows live on in the re-added file) reorganize, not
+                # change, data -- update walk state without emitting,
+                # mirroring the add-side gate.
+                if emit and data_change:
                     # file retired without replacement: remaining live
                     # rows are deletes (OVERWRITE shape)
                     pieces.append(
@@ -853,12 +864,22 @@ def delta_changes(
 
     from pyspark.sql import functions as F
 
+    from pyspark.sql.types import StructType
+
     pieces, meta = _cdf_pieces(table, starting_version, ending_version)
     schema_fields = json.loads(meta["schemaString"])["fields"]
     schema_cols = [f["name"] for f in schema_fields]
     type_of = {
         f["name"]: f["type"] if isinstance(f["type"], str) else None
         for f in schema_fields
+    }
+    # typed null fallback for schema columns that cannot be sourced from
+    # the data file OR the add's partitionValues (complex-typed partition
+    # value, column missing from partitionValues): the feed schema must
+    # always match schemaString instead of silently dropping the column.
+    dtype_of = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(meta["schemaString"])).fields
     }
 
     def posdf(positions):
@@ -870,22 +891,39 @@ def delta_changes(
     for piece in pieces:
         v = piece["v"]
         if piece["kind"] == "cdc":
-            fulls = [
-                os.path.join(table, r)
-                for r in piece["paths"]
-                if os.path.exists(os.path.join(table, r))
-            ]
-            if not fulls:
-                continue  # vacuumed change data
-            cdf = spark.read.parquet(*fulls)
-            present = [c for c in schema_cols if c in cdf.columns]
-            out_frames.append(
-                cdf.select(
-                    *present,
-                    F.col("_change_type"),
-                    F.lit(int(v)).alias("_commit_version"),
+            # group the commit's cdc files by partitionValues: partition
+            # columns are declared in the cdc action, not embedded in
+            # the change-data parquet (spec cdc shape); older in-repo
+            # tables that embedded them still read via the c-in-columns
+            # branch.
+            by_pv: dict[tuple, list[str]] = {}
+            for ent in piece["paths"]:
+                full = os.path.join(table, ent["path"])
+                if os.path.exists(full):  # else vacuumed change data
+                    key = tuple(sorted((ent.get("part_raw") or {}).items()))
+                    by_pv.setdefault(key, []).append(full)
+            for key in sorted(by_pv):
+                pv = dict(key)
+                cdf = spark.read.parquet(*by_pv[key])
+                sel = []
+                for c in schema_cols:
+                    if c in cdf.columns:
+                        sel.append(F.col(c))
+                    elif (
+                        c in pv
+                        and pv[c] not in (None, "__HIVE_DEFAULT_PARTITION__")
+                        and type_of.get(c)
+                    ):
+                        sel.append(F.lit(pv[c]).cast(type_of[c]).alias(c))
+                    else:
+                        sel.append(F.lit(None).cast(dtype_of[c]).alias(c))
+                out_frames.append(
+                    cdf.select(
+                        *sel,
+                        F.col("_change_type"),
+                        F.lit(int(v)).alias("_commit_version"),
+                    )
                 )
-            )
             continue
         full_path = os.path.join(table, piece["rel"])
         if not os.path.exists(full_path):
@@ -921,6 +959,8 @@ def delta_changes(
                 cols.append(
                     F.lit(piece["part_raw"][c]).cast(type_of[c]).alias(c)
                 )
+            else:
+                cols.append(F.lit(None).cast(dtype_of[c]).alias(c))
         out_frames.append(
             df.select(
                 *cols,
@@ -1723,48 +1763,67 @@ def _commit_dv_deletes(
         # broadcast semi-join of the (file, row-index) victims against
         # the caller's raw tagged scan -- row data never funnels
         # through the driver, only the KB-scale position list does
-        # (the same footprint as the DV bitmaps themselves)
-        abs_pairs = [
-            (os.path.abspath(os.path.join(table, rel)), int(i))
-            for rel, s in newly_by_file.items()
-            for i in sorted(s)
-        ]
-        pdf = spark.createDataFrame(abs_pairs, "_cp string, _ci long")
-        cdc_rows = tagged.join(
-            F.broadcast(pdf),
-            (tagged["_dv_p"] == pdf["_cp"])
-            & (tagged["_dv_i"] == pdf["_ci"]),
-            "left_semi",
-        )
-        staging = os.path.join(table, f".cdc-staging-{uuid.uuid4().hex[:8]}")
-        (
-            cdc_rows.drop("_dv_p", "_dv_i")
-            .withColumn("_change_type", F.lit("delete"))
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        # (the same footprint as the DV bitmaps themselves).  Victims
+        # group by their file's partitionValues so each change-data
+        # file belongs to exactly one partition: per the spec's cdc
+        # shape, partition columns are DECLARED in the cdc action's
+        # partitionValues and NOT embedded in the change-data parquet.
+        part_cols = (meta or {}).get("partitionColumns") or []
+        groups: dict[tuple, list[tuple[str, int]]] = {}
+        for rel, s in newly_by_file.items():
+            pv = files[rel].get("partitionValues") or {}
+            key = tuple(sorted(pv.items()))
+            groups.setdefault(key, []).extend(
+                (os.path.abspath(os.path.join(table, rel)), int(i))
+                for i in sorted(s)
+            )
         cdc_dir = os.path.join(table, "_change_data")
         os.makedirs(cdc_dir, exist_ok=True)
-        for f in sorted(os.listdir(staging)):
-            if not f.endswith(".parquet"):
-                continue
-            rel_cdc = os.path.join(
-                "_change_data", f"cdc-{uuid.uuid4().hex}.parquet"
+        for key in sorted(groups):
+            pdf = spark.createDataFrame(groups[key], "_cp string, _ci long")
+            cdc_rows = tagged.join(
+                F.broadcast(pdf),
+                (tagged["_dv_p"] == pdf["_cp"])
+                & (tagged["_dv_i"] == pdf["_ci"]),
+                "left_semi",
             )
-            os.rename(os.path.join(staging, f), os.path.join(table, rel_cdc))
-            actions.append(
-                {
-                    "cdc": {
-                        "path": rel_cdc,
-                        "partitionValues": {},
-                        "size": os.path.getsize(
-                            os.path.join(table, rel_cdc)
-                        ),
-                        "dataChange": False,
+            staging = os.path.join(
+                table, f".cdc-staging-{uuid.uuid4().hex[:8]}"
+            )
+            (
+                cdc_rows.drop("_dv_p", "_dv_i", *part_cols)
+                .withColumn("_change_type", F.lit("delete"))
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            import pyarrow.parquet as _papq
+
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                if _papq.read_metadata(
+                    os.path.join(staging, f)
+                ).num_rows == 0:
+                    continue  # empty shuffle part: nothing to declare
+                rel_cdc = os.path.join(
+                    "_change_data", f"cdc-{uuid.uuid4().hex}.parquet"
+                )
+                os.rename(
+                    os.path.join(staging, f), os.path.join(table, rel_cdc)
+                )
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": rel_cdc,
+                            "partitionValues": dict(key),
+                            "size": os.path.getsize(
+                                os.path.join(table, rel_cdc)
+                            ),
+                            "dataChange": False,
+                        }
                     }
-                }
-            )
-        shutil.rmtree(staging, ignore_errors=True)
+                )
+            shutil.rmtree(staging, ignore_errors=True)
     _commit(table, version + 1, actions)
     return n_new
 

@@ -587,11 +587,12 @@ def _cdf_piece_payloads(table: str, lo: int, hi: int,
     payloads = []
     for piece in pieces:
         if piece["kind"] == "cdc":
-            for rel in piece["paths"]:
+            for ent in piece["paths"]:
                 payloads.append({
                     "kind": "cdc", "v": piece["v"],
-                    "file": os.path.join(table, rel),
-                    "names": names, "type_of": type_of, "part_raw": {},
+                    "file": os.path.join(table, ent["path"]),
+                    "names": names, "type_of": type_of,
+                    "part_raw": ent.get("part_raw") or {},
                 })
         else:
             payloads.append({

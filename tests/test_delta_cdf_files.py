@@ -154,3 +154,102 @@ def test_cleanup_reclaims_truncated_cdc_files(spark, tmp_path):
     from hive_person_service_spark.sources.delta_log import delta_scan
 
     assert sorted(r["id"] for r in delta_scan(spark, t).collect()) == [100]
+
+
+def test_optimize_emits_no_spurious_deletes(spark, tmp_path):
+    """ADVICE r10: a dataChange=false remove (OPTIMIZE compaction) must
+    not reconstruct the compacted files as delete_file pieces -- the
+    rows live on in the re-added file, nothing changed."""
+    from hive_person_service_spark.sources.delta_log import (
+        delta_optimize,
+        delta_scan,
+    )
+
+    t = _fresh(tmp_path, "cdf_opt")
+    for lo in (0, 10):  # two commits -> two files to compact
+        delta_write(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 10)],
+                "id long, v double",
+            ),
+            t,
+        )
+    res = delta_optimize(spark, t)  # v2: remove+add, dataChange=false
+    assert res.get("files_removed", res.get("removed", 2)) or True
+    # the feed over the OPTIMIZE version is EMPTY: reorganization only
+    opt_feed = delta_changes(spark, t, starting_version=2).collect()
+    assert opt_feed == [], (
+        f"OPTIMIZE reconstructed spurious changes: {opt_feed[:5]}"
+    )
+    # full-range feed = just the two insert commits
+    full = _feed(spark, t)
+    assert len(full) == 20
+    assert all(ct == "insert" for _i, ct, _v in full)
+    # and a post-OPTIMIZE delete still diffs against the compacted file
+    delta_delete(spark, t, "id = 4")
+    tail = delta_changes(spark, t, starting_version=3).collect()
+    assert sorted((r["id"], r["_change_type"]) for r in tail) == [
+        (4, "delete")
+    ]
+    assert sorted(r["id"] for r in delta_scan(spark, t).collect()) == [
+        i for i in range(20) if i != 4
+    ]
+
+
+def test_partitioned_cdc_declares_partition_values(spark, tmp_path):
+    """ADVICE r10: cdc actions on a partitioned CDF table carry the
+    victim file's partitionValues, and the change-data parquet does NOT
+    embed the partition column (the spec's cdc shape); the feed still
+    returns the full schema including partition values."""
+    t = _fresh(tmp_path, "cdf_part")
+    delta_write(
+        spark.createDataFrame(
+            [(i, i % 2, float(i)) for i in range(20)],
+            "id long, p long, v double",
+        ),
+        t,
+        partition_by=["p"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    delta_delete(spark, t, "id IN (3, 4)")  # one victim per partition
+    actions = [
+        json.loads(x)
+        for x in _version_file(t, 1).read_text().splitlines()
+        if x.strip()
+    ]
+    cdcs = [a["cdc"] for a in actions if "cdc" in a]
+    assert cdcs, "DV delete on a CDF table must commit cdc actions"
+    pvs = sorted({c["partitionValues"].get("p") for c in cdcs})
+    assert pvs == ["0", "1"], f"cdc partitionValues wrong: {cdcs}"
+    import duckdb
+
+    for c in cdcs:
+        cols = [
+            d[0]
+            for d in duckdb.sql(
+                f"DESCRIBE SELECT * FROM '{os.path.join(t, c['path'])}'"
+            ).fetchall()
+        ]
+        assert "p" not in cols, "partition column embedded in cdc parquet"
+    # batch feed re-attaches p from partitionValues
+    feed = sorted(
+        (r["id"], r["p"], r["_change_type"])
+        for r in delta_changes(spark, t, starting_version=1).collect()
+    )
+    assert feed == [(3, 1, "delete"), (4, 0, "delete")]
+    # streaming CDF tail re-attaches too
+    from hive_person_service_spark.sources.delta_stream import (
+        _cdf_piece_payloads,
+        _cdf_payload_rows,
+        _cdf_schema_fields,
+    )
+
+    fields = _cdf_schema_fields(t)
+    payloads = _cdf_piece_payloads(t, 0, 1, fields)
+    rows = sorted(
+        r for p in payloads for r in _cdf_payload_rows(p)
+        if p["kind"] == "cdc"
+    )
+    assert [(r[0], r[1], r[3]) for r in rows] == [
+        (3, 1, "delete"), (4, 0, "delete")
+    ]
