@@ -112,12 +112,40 @@ def _acid_tail_payloads(
 ) -> list[dict]:
     """Driver half: the bucket files of insert deltas with write id in
     (lo, hi], one payload per file.  delete_deltas and bases appearing
-    in the range gate (change commits) unless skip_change."""
+    in the range gate (change commits) unless skip_change -- and a
+    skipped change commit skips WHOLE: the same-write-id insert delta
+    (an UPDATE's post-image re-inserts) is skipped with it, matching
+    delta-spark's whole-commit skip semantics.
+
+    A minor-compacted ``delta_lo_hi`` whose lo falls at or below the
+    committed offset merged already-streamed history into one
+    directory; replaying it verbatim would double-deliver.  Full-ACID
+    rows carry ``originalTransaction``, so such a directory streams
+    with a row filter to write ids in (lo, hi] (exactly-once kept);
+    insert-only deltas have no per-row write id and gate like a
+    mid-stream base (compaction rewrote history)."""
     payloads: list[dict] = []
     parts = _partitions(table)
     partitioned = "" not in parts
     names = [f["name"] for f in fields]
     data_names = names[:-1] if partitioned else names
+    # pass 1 (all partitions -- write ids are table-global): the write
+    # ids of single-commit change actions being skipped, so their
+    # same-commit insert deltas skip too
+    skip_wids: set[int] = set()
+    if skip_change:
+        for pdir in parts.values():
+            for name in os.listdir(pdir):
+                if not os.path.isdir(os.path.join(pdir, name)):
+                    continue
+                m = _DELETE_RE.match(name)
+                if m and m.group(1) == m.group(2) \
+                        and lo < int(m.group(2)) <= hi:
+                    skip_wids.add(int(m.group(2)))
+                    continue
+                m = _BASE_RE.match(name)
+                if m and lo < int(m.group(1)) <= hi:
+                    skip_wids.add(int(m.group(1)))
     for pname in sorted(parts):
         pdir = parts[pname]
         for name in sorted(os.listdir(pdir)):
@@ -145,6 +173,23 @@ def _acid_tail_payloads(
             m = _DELTA_RE.match(name)
             if not m or not (lo < int(m.group(2)) <= hi):
                 continue
+            d_lo, d_hi = int(m.group(1)), int(m.group(2))
+            if d_lo == d_hi and d_hi in skip_wids:
+                continue  # insert half of a skipped UPDATE/base commit
+            wid_range = None
+            if d_lo <= lo:
+                # merged directory straddling the committed boundary
+                if not insert_only:
+                    wid_range = (lo, hi)
+                elif skip_change:
+                    continue
+                else:
+                    raise ValueError(
+                        f"hive_acid_tail: minor-compacted {name} merged "
+                        f"already-streamed write ids <= {lo}; insert-only "
+                        "rows carry no per-row write id to filter by "
+                        "(set skipChangeCommits=true to skip it)"
+                    )
             files = [f for f in sorted(os.listdir(full))
                      if f.startswith("bucket_")]
             for i, f in enumerate(files):
@@ -153,6 +198,7 @@ def _acid_tail_payloads(
                     "names": data_names,
                     "acid": not insert_only,
                     "part_val": _part_kv(pname)[1] if partitioned else None,
+                    "wid_range": wid_range,
                 })
     return payloads
 
@@ -164,6 +210,7 @@ def _acid_payload_rows(p: dict):
     orc = pao.ORCFile(p["file"])
     names = p["names"]
     extra = (p["part_val"],) if p["part_val"] is not None else ()
+    wid_range = p.get("wid_range")
     for i in range(orc.nstripes):
         rb = orc.read_stripe(i)
         if p["acid"]:
@@ -172,6 +219,15 @@ def _acid_payload_rows(p: dict):
                 n: rows.field(n).to_pylist() for n in names
             }
             n_rows = len(rows)
+            if wid_range is not None:
+                # merged delta straddling the committed offset: deliver
+                # only rows whose originating write id is in (lo, hi]
+                w_lo, w_hi = wid_range
+                wids = rb.column("originalTransaction").to_pylist()
+                for j in range(n_rows):
+                    if w_lo < wids[j] <= w_hi:
+                        yield tuple(cols[n][j] for n in names) + extra
+                continue
         else:
             cols = {n: rb.column(n).to_pylist() for n in names}
             n_rows = rb.num_rows

@@ -200,3 +200,104 @@ def test_insert_overwrite_writes_base(spark, tmp_path):
     b = os.path.join(t2, "base_2")
     f = os.path.join(b, sorted(os.listdir(b))[0])
     assert pao.ORCFile(f).schema.names == ["id", "v"]
+
+
+def test_minor_compacted_delta_does_not_replay(spark, tmp_path):
+    """ADVICE r10: a minor-compacted delta_lo_hi whose lo falls at or
+    below the committed offset must not double-deliver -- full-ACID rows
+    filter to originalTransaction in (start, end]."""
+    from hive_person_service_spark.sources.hive_acid import hive_acid_compact
+
+    t = _fresh(tmp_path, "acid_tail_minor")
+    for lo in (0, 10):  # wid 1, wid 2
+        hive_acid_insert(
+            spark, t,
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 10)],
+                "id long, v double",
+            ),
+            key_col="id",
+        )
+    register_hive_acid_tail(spark)
+    scratch = _fresh(tmp_path, "scratch_minor")
+    out = _drain_tail(spark, t, scratch)
+    assert sorted(r["id"] for r in out.collect()) == list(range(20))
+    # wid 3 lands, then minor compaction merges wids 1-3 into delta_1_3
+    hive_acid_insert(
+        spark, t,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20, 30)], "id long, v double"
+        ),
+        key_col="id",
+    )
+    res = hive_acid_compact(spark, t, mode="minor")
+    assert not res.get("noop")
+    assert any(d.startswith("delta_1_") for d in os.listdir(t))
+    # resuming the SAME checkpoint streams only wid 3's rows
+    out = _drain_tail(spark, t, scratch)
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == list(range(30)), f"double-delivery: {len(ids)} rows"
+    # a fresh subscriber still gets the whole merged history once
+    out2 = _drain_tail(spark, t, _fresh(tmp_path, "scratch_minor2"))
+    assert sorted(r["id"] for r in out2.collect()) == list(range(30))
+
+
+def test_minor_compacted_mm_delta_gates(spark, tmp_path):
+    """Insert-only rows carry no per-row write id: a straddling merged
+    delta gates like a mid-stream base instead of double-delivering."""
+    import pytest as _pytest
+
+    from hive_person_service_spark.sources.hive_acid import hive_acid_compact
+
+    t = _fresh(tmp_path, "acid_tail_minor_mm")
+    for lo in (0, 10, 20):
+        hive_acid_insert_only(
+            spark, t,
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 10)],
+                "id long, v double",
+            ),
+            key_col="id",
+        )
+    register_hive_acid_tail(spark)
+    scratch = _fresh(tmp_path, "scratch_minor_mm")
+    out = _drain_tail(spark, t, scratch)
+    assert sorted(r["id"] for r in out.collect()) == list(range(30))
+    hive_acid_insert_only(
+        spark, t,
+        spark.createDataFrame([(99, 9.0)], "id long, v double"),
+        key_col="id",
+    )
+    hive_acid_compact(spark, t, mode="minor")  # delta_1_4
+    with _pytest.raises(Exception, match="minor-compacted"):
+        _drain_tail(spark, t, scratch)
+    out = _drain_tail(spark, t, scratch, skipChangeCommits="true")
+    assert sorted(r["id"] for r in out.collect()) == list(range(30))
+
+
+def test_skip_change_commits_skips_update_whole(spark, tmp_path):
+    """ADVICE r10: with skipChangeCommits=true an UPDATE skips WHOLE --
+    the same-write-id delta of post-image re-inserts must not stream as
+    duplicate rows with new values."""
+    from hive_person_service_spark.sources.hive_acid import hive_acid_update
+
+    t = _fresh(tmp_path, "acid_tail_upd")
+    hive_acid_insert(
+        spark, t,
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(12)], "id long, v double"
+        ),
+        key_col="id",
+    )
+    n = hive_acid_update(spark, t, "row.id < 3", {"v": "v + 100.0"})
+    assert n == 3
+    assert os.path.isdir(os.path.join(t, "delta_2_2"))
+    assert os.path.isdir(os.path.join(t, "delete_delta_2_2"))
+    register_hive_acid_tail(spark)
+    out = _drain_tail(
+        spark, t, _fresh(tmp_path, "scratch_upd"), skipChangeCommits="true"
+    )
+    rows = sorted((r["id"], r["v"]) for r in out.collect())
+    assert rows == [(i, float(i)) for i in range(12)], (
+        f"UPDATE half-skipped, post-images leaked: {rows}"
+    )
