@@ -367,3 +367,81 @@ def table_hudi_fsview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long"),
         F.col("bal"),
     )
+
+
+def _hudi_restore_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once) a CoW Hudi table whose history exercised the
+    full disaster-recovery cycle: even-key insert, a %10 balance upsert,
+    a SAVEPOINT pinning that state, a third (bad) commit zeroing %4
+    balances, then RESTORE back to the savepoint -- so the stable layout
+    IS the post-restore snapshot."""
+    from ..sources.hudi import (
+        hudi_restore,
+        hudi_savepoint,
+        hudi_timeline,
+        hudi_write,
+    )
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudirestore11".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_hudirestore_{digest}")
+    if not os.path.isdir(os.path.join(path, ".hoodie")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier")
+            hudi_write(spark, tmp, sup.where(F.col("s_suppkey") % 2 == 0),
+                       record_key="s_suppkey")
+            hudi_write(
+                spark, tmp,
+                sup.where(F.col("s_suppkey") % 10 == 0).withColumn(
+                    "s_acctbal", F.col("s_acctbal") + 1000.0
+                ),
+                record_key="s_suppkey",
+            )
+            good = hudi_timeline(tmp)[-1]["instant"]
+            hudi_savepoint(tmp, good, comment="known-good v2")
+            hudi_write(
+                spark, tmp,
+                sup.where(F.col("s_suppkey") % 4 == 0).withColumn(
+                    "s_acctbal", F.lit(-1.0)
+                ),
+                record_key="s_suppkey",
+            )
+            res = hudi_restore(tmp, good)
+            assert res["restored_to"] == good and len(res["rolled_back"]) == 1
+    return path
+
+
+@declare(
+    "table_hudi_restore",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(CASE WHEN s_suppkey % 10 = 0
+                          THEN s_acctbal + 1000.0
+                          ELSE s_acctbal END), 2) AS bal
+    FROM supplier
+    WHERE s_suppkey % 2 = 0
+    GROUP BY s_nationkey
+    """,
+)
+def table_hudi_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi SAVEPOINT + RESTORE (four-format disaster-recovery parity
+    with table_delta_restore / iceberg rollback_to_snapshot): the layout
+    savepointed its known-good second commit, took a corrupting third
+    commit, and restored -- rolling the timeline back and physically
+    deleting the bad commit's files.  The oracle states the SECOND
+    commit's snapshot, so agreement proves the restore landed exactly on
+    the savepoint (the corrupting -1.0 balances are gone) and that the
+    restore action itself stays invisible to snapshot resolution."""
+    from ..sources.hudi import hudi_scan, hudi_timeline
+
+    path = _hudi_restore_layout(spark, sf_dir)
+    assert len(hudi_timeline(path)) == 2  # third commit rolled back
+    s = hudi_scan(spark, path)
+    return s.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )

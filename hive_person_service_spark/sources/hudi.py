@@ -1900,6 +1900,10 @@ def _check_clean_boundary(table: str, instant: str | None, what: str) -> None:
         return  # snapshot read: no boundary to check, skip the listing
     boundary = _clean_boundary(table)
     if instant is not None and boundary is not None and instant < boundary:
+        if os.path.exists(
+            os.path.join(_meta_dir(table), f"{instant}.savepoint")
+        ):
+            return  # a savepoint pinned this snapshot's files through cleans
         raise ValueError(
             f"hudi: {what} {instant!r} predates the clean retention "
             f"boundary {boundary!r} -- superseded file slices were "
@@ -1993,6 +1997,17 @@ def hudi_clean(spark: SparkSession, table: str, keep_versions: int = 1) -> dict:
             if m and (m["file_id"], m["base"]) in victim_slices:
                 victims.append((part, name))
 
+    # SAVEPOINTED slices are pinned: each savepoint's partitionMetadata
+    # names every file serving its snapshot, and the cleaner must retain
+    # them regardless of version policy (Hudi's savepoint contract)
+    pinned: set[tuple[str, str]] = set()
+    for sp_meta in _savepoints(table).values():
+        for part, pmeta in (sp_meta.get("partitionMetadata") or {}).items():
+            for name in pmeta.get("savepointDataFile", []):
+                pinned.add((part, name))
+    if pinned:
+        victims = [v for v in victims if v not in pinned]
+
     instant = _next_instant(table)
     md = _meta_dir(table)
     open(os.path.join(md, f"{instant}.clean.requested"), "w").close()
@@ -2054,6 +2069,183 @@ def hudi_clean(spark: SparkSession, table: str, keep_versions: int = 1) -> dict:
         "instant": instant,
         "files_deleted": len(deleted),
         "earliest_commit_to_retain": boundary or None,
+    }
+
+
+def _savepoints(table: str) -> dict[str, dict]:
+    """{savepointed instant: HoodieSavepointMetadata} for every completed
+    savepoint on the timeline."""
+    out: dict[str, dict] = {}
+    md = _meta_dir(table)
+    for name in os.listdir(md):
+        parts = name.split(".")
+        if len(parts) == 2 and parts[1] == "savepoint" and parts[0].isdigit():
+            with open(os.path.join(md, name), encoding="utf-8") as fh:
+                out[parts[0]] = json.load(fh)
+    return out
+
+
+def hudi_savepoint(
+    table: str,
+    instant: str | None = None,
+    user: str = "",
+    comment: str = "",
+) -> dict:
+    """SAVEPOINT (the disaster-recovery pin): record, as a
+    ``<instant>.savepoint`` timeline action, every file serving the
+    snapshot at ``instant`` (default: latest commit), in the public
+    HoodieSavepointMetadata shape (``partitionMetadata`` ->
+    ``savepointDataFile`` lists).  The cleaner retains pinned files
+    regardless of its version policy, time travel to a savepointed
+    instant stays valid past the clean boundary, and ``hudi_restore``
+    may return the table to it.  Idempotent: savepointing an
+    already-savepointed instant returns the existing pin.
+
+    Driver-side metadata only -- O(#files visible at the instant), the
+    same timeline walk planning a scan does; no data read at any scale."""
+    done = _completed_instants(table)
+    if not done:
+        raise ValueError(f"hudi_savepoint: no completed commits in {table!r}")
+    if instant is None:
+        instant = done[-1][0]
+    if instant not in {t for (t, _a) in done}:
+        raise ValueError(
+            f"hudi_savepoint: {instant!r} is not a completed commit"
+        )
+    _check_clean_boundary(table, instant, "savepoint at")
+    md = _meta_dir(table)
+    sp_path = os.path.join(md, f"{instant}.savepoint")
+    if os.path.exists(sp_path):
+        with open(sp_path, encoding="utf-8") as fh:
+            meta = json.load(fh)
+        return {"instant": instant, "files": sum(
+            len(p.get("savepointDataFile", []))
+            for p in (meta.get("partitionMetadata") or {}).values()
+        ), "existing": True}
+    part_meta: dict[str, list[str]] = {}
+    for _fid, g in _file_slices(table, as_of=instant).items():
+        files = []
+        if g.get("base"):
+            files.append(os.path.basename(g["base"]))
+        files += [os.path.basename(p) for p in g.get("logs") or []]
+        part_meta.setdefault(g.get("partition") or "", []).extend(files)
+    meta = {
+        "savepointedBy": user,
+        "savepointedAt": instant,
+        "comments": comment,
+        "partitionMetadata": {
+            part: {
+                "partitionPath": part,
+                "savepointDataFile": sorted(files),
+            }
+            for part, files in sorted(part_meta.items())
+        },
+    }
+    open(os.path.join(md, f"{instant}.savepoint.requested"), "w").close()
+    open(os.path.join(md, f"{instant}.savepoint.inflight"), "w").close()
+    tmp = os.path.join(md, f".{instant}.savepoint.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+    os.rename(tmp, sp_path)
+    return {"instant": instant,
+            "files": sum(len(f) for f in part_meta.values())}
+
+
+def hudi_restore(table: str, instant: str) -> dict:
+    """RESTORE TO SAVEPOINT (parity with ``delta_restore`` /
+    ``iceberg_rollback``): roll back every commit AFTER the savepointed
+    ``instant`` -- physically deleting the files those commits wrote and
+    their timeline actions -- then record a ``<new>.restore`` timeline
+    action (HoodieRestoreMetadata shape: the savepoint target + rolled
+    back instants).  Requires a savepoint at ``instant``, as real Hudi
+    does: only a savepoint guarantees the cleaner retained that
+    snapshot's files.  Savepoints pinned on rolled-back instants are
+    dropped with them; the files/column-stats/bloom indexes prune the
+    deleted paths transactionally before the restore completes.
+
+    Metadata + unlink work only, O(#files written after the savepoint)."""
+    md = _meta_dir(table)
+    if not os.path.exists(os.path.join(md, f"{instant}.savepoint")):
+        raise ValueError(
+            f"hudi_restore: no savepoint at {instant!r} -- restore "
+            "requires one (run hudi_savepoint first; files of an "
+            "unsavepointed snapshot may already be cleaned)"
+        )
+    done = _completed_instants(table)
+    later = [(t, a) for (t, a) in done if t > instant]
+    # delete the data files the rolled-back commits wrote
+    deleted: list[str] = []
+    for t, a in later:
+        meta = _read_instant(table, t, a)
+        for part, stats in (meta.get("partitionToWriteStats") or {}).items():
+            for st in stats:
+                rel = st.get("path")
+                if not rel:
+                    continue
+                full = os.path.join(table, rel)
+                if os.path.exists(full):
+                    os.remove(full)
+                deleted.append(rel)
+    # drop the rolled-back timeline actions (completed + transition
+    # markers), any savepoints that pointed at them, and later clean
+    # actions' records (their deletions are history the restore keeps --
+    # files already gone stay gone; the boundary marker stays, which is
+    # the conservative direction for pre-savepoint time travel)
+    rolled: list[str] = []
+    for t, a in later:
+        for suffix in (a, f"{a}.inflight", f"{a}.requested"):
+            p = os.path.join(md, f"{t}.{suffix}")
+            if os.path.exists(p):
+                os.remove(p)
+        for suffix in ("savepoint", "savepoint.inflight",
+                       "savepoint.requested"):
+            p = os.path.join(md, f"{t}.{suffix}")
+            if os.path.exists(p):
+                os.remove(p)
+        rolled.append(t)
+    # prune the deleted paths from the maintained indexes (same
+    # discipline as hudi_clean: index knowing less than disk is safe)
+    idx = _load_files_index(table)
+    if idx is not None and deleted:
+        gone = set(deleted)
+        pruned = {
+            p: [n for n in ns if (os.path.join(p, n) if p else n) not in gone]
+            for p, ns in idx.items()
+        }
+        tmp = _files_index_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(pruned, fh, indent=2, sort_keys=True)
+        os.rename(tmp, _files_index_path(table))
+    for load, path_fn in (
+        (_load_column_stats, _column_stats_path),
+        (_load_bloom_index, _bloom_index_path),
+    ):
+        data = load(table)
+        if data is not None and deleted:
+            for rel in deleted:
+                data.pop(rel, None)
+            tmp = path_fn(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(data, fh, indent=1, sort_keys=True)
+            os.rename(tmp, path_fn(table))
+    r_instant = _next_instant(table)
+    open(os.path.join(md, f"{r_instant}.restore.requested"), "w").close()
+    open(os.path.join(md, f"{r_instant}.restore.inflight"), "w").close()
+    meta = {
+        "savepointToRestoreTimestamp": instant,
+        "instantsToRollback": rolled,
+        "filesDeleted": len(deleted),
+        "deletePathPatterns": sorted(deleted),
+    }
+    tmp = os.path.join(md, f".{r_instant}.restore.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(meta, fh, indent=2, sort_keys=True)
+    os.rename(tmp, os.path.join(md, f"{r_instant}.restore"))
+    return {
+        "instant": r_instant,
+        "restored_to": instant,
+        "rolled_back": rolled,
+        "files_deleted": len(deleted),
     }
 
 

@@ -136,3 +136,150 @@ def test_iceberg_expire_keeps_ref_snapshots(spark, tmp_path):
     # the tagged base stays fully readable after expiry
     n0 = sup.where(F.col("s_suppkey") % 3 == 0).count()
     assert iceberg_scan(spark, t, ref="rel1").count() == n0
+
+
+# ---------------------------------------------------------------------------
+# Hudi savepoint + restore (round 11: four-format disaster-recovery parity)
+# ---------------------------------------------------------------------------
+
+
+def _hudi_3commits(spark, t):
+    from hive_person_service_spark.sources.hudi import hudi_timeline, hudi_write
+
+    sup = _sup(spark)
+    hudi_write(spark, t, sup.where(F.col("s_suppkey") % 2 == 0),
+               record_key="s_suppkey")
+    hudi_write(
+        spark, t,
+        sup.where(F.col("s_suppkey") % 10 == 0).withColumn(
+            "s_acctbal", F.col("s_acctbal") + 1000.0
+        ),
+        record_key="s_suppkey",
+    )
+    hudi_write(
+        spark, t,
+        sup.where(F.col("s_suppkey") % 4 == 0).withColumn(
+            "s_acctbal", F.lit(-1.0)
+        ),
+        record_key="s_suppkey",
+    )
+    return [e["instant"] for e in hudi_timeline(t)]
+
+
+def test_hudi_restore_to_savepoint(spark, tmp_path):
+    from hive_person_service_spark.sources.hudi import (
+        hudi_restore,
+        hudi_savepoint,
+        hudi_scan,
+        hudi_timeline,
+    )
+
+    t = str(tmp_path / "hsp")
+    instants = _hudi_3commits(spark, t)
+    assert len(instants) == 3
+    # the pre-restore time-travel read IS the certification target
+    want = sorted(
+        (r["s_suppkey"], round(r["s_acctbal"], 2))
+        for r in hudi_scan(spark, t, as_of=instants[1]).collect()
+    )
+    sp = hudi_savepoint(t, instants[1], user="tester", comment="pin v2")
+    assert sp["instant"] == instants[1] and sp["files"] > 0
+    # idempotent
+    again = hudi_savepoint(t, instants[1])
+    assert again.get("existing") is True
+    res = hudi_restore(t, instants[1])
+    assert res["rolled_back"] == [instants[2]]
+    assert res["files_deleted"] > 0
+    got = sorted(
+        (r["s_suppkey"], round(r["s_acctbal"], 2))
+        for r in hudi_scan(spark, t).collect()
+    )
+    assert got == want, "restored snapshot != pre-restore time travel"
+    assert [e["instant"] for e in hudi_timeline(t)] == instants[:2]
+    # restore without a savepoint refuses
+    with pytest.raises(ValueError, match="requires one"):
+        hudi_restore(t, instants[0])
+
+
+def test_hudi_savepoint_pins_through_clean(spark, tmp_path):
+    from hive_person_service_spark.sources.hudi import (
+        hudi_clean,
+        hudi_restore,
+        hudi_savepoint,
+        hudi_scan,
+        hudi_timeline,
+    )
+
+    t = str(tmp_path / "hspc")
+    instants = _hudi_3commits(spark, t)
+    want = sorted(
+        (r["s_suppkey"], round(r["s_acctbal"], 2))
+        for r in hudi_scan(spark, t, as_of=instants[1]).collect()
+    )
+    hudi_savepoint(t, instants[1])
+    res = hudi_clean(spark, t, keep_versions=1)
+    # clean ran, but the savepointed slice's files survived: time travel
+    # at the savepointed instant still serves past the boundary...
+    got = sorted(
+        (r["s_suppkey"], round(r["s_acctbal"], 2))
+        for r in hudi_scan(spark, t, as_of=instants[1]).collect()
+    )
+    assert got == want
+    # ...and an UNsavepointed pre-boundary instant still refuses
+    if res["earliest_commit_to_retain"]:
+        with pytest.raises(ValueError, match="clean retention"):
+            hudi_scan(spark, t, as_of=instants[0]).collect()
+    # restore still lands on the pinned snapshot after the clean
+    hudi_restore(t, instants[1])
+    got = sorted(
+        (r["s_suppkey"], round(r["s_acctbal"], 2))
+        for r in hudi_scan(spark, t).collect()
+    )
+    assert got == want
+    assert [e["instant"] for e in hudi_timeline(t)] == instants[:2]
+
+
+def test_hudi_restore_mor_drops_logs(spark, tmp_path):
+    from hive_person_service_spark.sources.hudi import (
+        hudi_restore,
+        hudi_savepoint,
+        hudi_scan,
+        hudi_write,
+    )
+
+    t = str(tmp_path / "hmor")
+    sup = _sup(spark)
+    hudi_write(spark, t, sup, record_key="s_suppkey", table_type="mor")
+    from hive_person_service_spark.sources.hudi import hudi_timeline
+
+    first = hudi_timeline(t)[0]["instant"]
+    want = sorted(
+        (r["s_suppkey"], round(r["s_acctbal"], 2))
+        for r in hudi_scan(spark, t).collect()
+    )
+    hudi_savepoint(t, first)
+    hudi_write(
+        spark, t,
+        sup.where(F.col("s_suppkey") % 7 == 0).withColumn(
+            "s_acctbal", -F.col("s_acctbal")
+        ),
+        record_key="s_suppkey", table_type="mor",
+    )  # deltacommit: log blocks
+    res = hudi_restore(t, first)
+    assert res["files_deleted"] > 0
+    got = sorted(
+        (r["s_suppkey"], round(r["s_acctbal"], 2))
+        for r in hudi_scan(spark, t).collect()
+    )
+    assert got == want
+    # a fresh write after restore lands cleanly
+    hudi_write(
+        spark, t,
+        sup.where(F.col("s_suppkey") == 1).withColumn(
+            "s_acctbal", F.lit(9.0)
+        ),
+        record_key="s_suppkey", table_type="mor",
+    )
+    rows = {r["s_suppkey"]: round(r["s_acctbal"], 2)
+            for r in hudi_scan(spark, t).collect()}
+    assert rows.get(1) == 9.0

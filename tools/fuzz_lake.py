@@ -356,11 +356,37 @@ def run_hudi_history(spark, rng: random.Random, root: str,
            sorted(shadow.values()))
 
     clean_floor = ""  # earliestCommitToRetain across clean actions
+    savepoints: dict[str, list] = {}  # savepointed instant -> snapshot
     for _step in range(rng.randrange(3, 7)):
-        ops = ["upsert", "delete", "insert_overwrite", "clean"]
+        ops = ["upsert", "delete", "insert_overwrite", "clean", "savepoint"]
         if table_type == "mor":
             ops.append("compact")
+        if savepoints:
+            ops.append("restore")
         op = rng.choice(ops)
+        if op == "savepoint":
+            from hive_person_service_spark.sources.hudi import hudi_savepoint
+
+            inst = hudi_timeline(t)[-1]["instant"]
+            hudi_savepoint(t, inst)
+            savepoints[inst] = sorted(shadow.values())
+            _check(f"hudi-{table_type} savepoint",
+                   _scan_rows(hudi_scan(spark, t)), sorted(shadow.values()))
+            n_checks += 1
+            continue
+        if op == "restore":
+            from hive_person_service_spark.sources.hudi import hudi_restore
+
+            sp = rng.choice(sorted(savepoints))
+            hudi_restore(t, sp)
+            shadow = {r[0]: r for r in savepoints[sp]}
+            # rolled-back instants are gone: drop them as travel targets
+            history = [(i, s) for (i, s) in history if i <= sp]
+            savepoints = {i: s for i, s in savepoints.items() if i <= sp}
+            _check(f"hudi-{table_type} restore",
+                   _scan_rows(hudi_scan(spark, t)), sorted(shadow.values()))
+            n_checks += 1
+            continue
         if op == "clean":
             from hive_person_service_spark.sources.hudi import hudi_clean
 
@@ -402,7 +428,9 @@ def run_hudi_history(spark, rng: random.Random, root: str,
         n_checks += 1
 
     for instant, snap in history:
-        if clean_floor and instant < clean_floor:
+        if clean_floor and instant < clean_floor and instant not in savepoints:
+            # (savepointed instants stay readable past the boundary --
+            # the cleaner pinned their files)
             # before the retention boundary the guard must REFUSE --
             # reclaimed slices make the old snapshot unreconstructable
             try:
