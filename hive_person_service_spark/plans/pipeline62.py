@@ -445,3 +445,89 @@ def table_hudi_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_supp"),
         F.round(F.sum("s_acctbal"), 2).alias("bal"),
     )
+
+
+def _hudi_ingest_layout(spark: SparkSession, sf_dir: str) -> str:
+    """CoW Hudi table fed by a REAL Structured Streaming run through the
+    exactly-once ingest sink (streaming/jobs.py::stream_into_hudi --
+    replay markers in commit metadata).  The ingest is run TWICE from a
+    fresh checkpoint on purpose: the second run replays every batch and
+    the markers must no-op them, so the layout re-proves idempotence
+    each time it is built."""
+    from ..sources.hudi import hudi_timeline
+    from ..streaming.jobs import stream_into_hudi
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:hudiingest11".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(_LAYOUT_ROOT, f"orders_hudiingest_{digest}")
+    table = os.path.join(root, "table")
+    if not os.path.isdir(os.path.join(table, ".hoodie")):
+        landing = os.path.join(root, "landing")
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        for i in range(3):
+            orders.where(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(landing, f"part{i}.parquet"))
+
+        def stream():
+            return (
+                spark.readStream.schema(
+                    "o_orderkey long, o_custkey long, o_orderstatus string,"
+                    " o_totalprice double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{landing}/part*.parquet")
+            )
+
+        stream_into_hudi(stream(), table, os.path.join(root, "ckpt"),
+                         record_key="o_orderkey", app_id="orders-ingest")
+        n_commits = len(hudi_timeline(table))
+        # replay from a LOST checkpoint: markers must no-op every batch
+        stream_into_hudi(stream(), table, os.path.join(root, "ckpt2"),
+                         record_key="o_orderkey", app_id="orders-ingest")
+        if len(hudi_timeline(table)) != n_commits:
+            raise RuntimeError(
+                "hudi ingest idempotence failed: replay re-committed"
+            )
+    return table
+
+
+@declare(
+    "stream_hudi_ingest",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def stream_hudi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest INTO Hudi -- completing ingest+tail
+    symmetry across all four formats (Delta, Iceberg, Hive ACID MM, now
+    Hudi): each micro-batch upserts with an ingest marker in its commit
+    metadata (the deltastreamer-checkpoint slot), so replayed batches
+    are skipped table-side.  The layout replays the whole stream from a
+    fresh checkpoint and asserts zero re-commits; the oracle aggregates
+    the ORIGINAL orders, so agreement proves the streamed rows landed
+    exactly once."""
+    from ..sources.hudi import hudi_scan
+
+    table = _hudi_ingest_layout(spark, sf_dir)
+    t = hudi_scan(spark, table)
+    return t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -281,6 +281,7 @@ def _commit(
     operation: str,
     replaced_file_ids: list[str] | None = None,
     schema_json: str | None = None,
+    ingest: tuple[str, int] | None = None,
 ) -> None:
     """Write the requested/inflight transition markers then the completed
     instant file (HoodieCommitMetadata JSON) -- the single-writer rename
@@ -299,8 +300,15 @@ def _commit(
         "operationType": operation.upper(),
         "fileIdAndRelativePaths": {s["fileId"]: s["path"] for s in write_stats},
     }
+    extra: dict[str, str] = {}
     if schema_json is not None:
-        meta["extraMetadata"] = {"schema": schema_json}
+        extra["schema"] = schema_json
+    if ingest is not None:
+        # the deltastreamer-checkpoint slot: replay protection rides the
+        # commit metadata itself, so it survives cleans and compactions
+        extra[f"ingest.{ingest[0]}"] = str(int(ingest[1]))
+    if extra:
+        meta["extraMetadata"] = extra
     if replaced_file_ids is not None:
         meta["partitionToReplaceFileIds"] = {"": replaced_file_ids}
     # keep the files index transactional with the commit: add the new
@@ -1211,6 +1219,7 @@ def hudi_write(
     precombine: str | None = None,
     n_buckets: int | None = None,
     partition_field: str | None = None,
+    ingest: tuple[str, int] | None = None,
 ) -> str:
     """Insert/upsert ``df`` into a Hudi table (creating it if absent).
 
@@ -1222,7 +1231,10 @@ def hudi_write(
     block to each touched bucket that already has a base file (buckets
     seen for the first time still get a base file, as real MOR writers
     do).  ``mode="insert_overwrite"`` replaces ALL existing file groups
-    via a replacecommit.  Returns the new instant time."""
+    via a replacecommit.  ``ingest=(app_id, batch_id)`` embeds a
+    replay-protection marker in the commit metadata (the deltastreamer-
+    checkpoint slot) -- pair with ``hudi_txn_version`` for exactly-once
+    streaming sinks.  Returns the new instant time."""
     _init_table(table, table_type, record_key, precombine,
                 n_buckets if n_buckets is not None else 4)
     n_buckets = _resolve_n_buckets(table, n_buckets)
@@ -1236,14 +1248,15 @@ def hudi_write(
     if mode == "insert_overwrite":
         stats = _write_base_files(df_meta, table, instant)
         _commit(table, instant, "replacecommit", stats, "insert_overwrite",
-                replaced_file_ids=sorted(slices), schema_json=schema_json)
+                replaced_file_ids=sorted(slices), schema_json=schema_json,
+                ingest=ingest)
         _record_index_append(table, df_meta)
         return instant
 
     if not slices:  # first commit: plain bulk insert
         stats = _write_base_files(df_meta, table, instant)
         _commit(table, instant, "commit" if ttype == "cow" else "deltacommit",
-                stats, "bulk_insert", schema_json=schema_json)
+                stats, "bulk_insert", schema_json=schema_json, ingest=ingest)
         _record_index_append(table, df_meta)
         return instant
 
@@ -1280,7 +1293,8 @@ def hudi_write(
             stats += _write_base_files(
                 df_meta.where(gkey.isin(_keys(new_groups))), table, instant
             )
-        _commit(table, instant, "commit", stats, "upsert", schema_json=schema_json)
+        _commit(table, instant, "commit", stats, "upsert",
+                schema_json=schema_json, ingest=ingest)
     else:
         if new_groups:
             stats += _write_base_files(
@@ -1323,7 +1337,8 @@ def hudi_write(
                     "totalWriteBytes": out.tell(),
                 }
             )
-        _commit(table, instant, "deltacommit", stats, "upsert", schema_json=schema_json)
+        _commit(table, instant, "deltacommit", stats, "upsert",
+                schema_json=schema_json, ingest=ingest)
     _record_index_append(table, df_meta)
     return instant
 
@@ -2282,3 +2297,24 @@ def hudi_timeline(table: str) -> list[dict]:
         meta = _read_instant(table, t, a)
         out.append({"instant": t, "action": a, "operation": meta.get("operationType")})
     return out
+
+
+def hudi_txn_version(table: str, app_id: str) -> int:
+    """Highest batch id ``app_id`` has committed via
+    ``hudi_write(..., ingest=(app_id, batch))`` -- the replay-protection
+    read of exactly-once streaming ingest (the role the deltastreamer
+    checkpoint plays in real Hudi).  Markers ride commit metadata, so
+    they survive cleans (which reclaim files, not timeline actions);
+    max across the timeline keeps the answer stable even if a newer
+    commit lacks a marker.  -1 when the app never committed."""
+    md = _meta_dir(table)
+    if not os.path.isdir(md):
+        raise ValueError(f"hudi_txn_version: no Hudi table at {table!r}")
+    key = f"ingest.{app_id}"
+    best = -1
+    for t, a in _completed_instants(table):
+        meta = _read_instant(table, t, a)
+        v = (meta.get("extraMetadata") or {}).get(key)
+        if v is not None:
+            best = max(best, int(v))
+    return best

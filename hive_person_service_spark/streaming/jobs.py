@@ -683,3 +683,58 @@ def stream_into_hive_acid(
     except Exception as e:
         if "injected crash" not in str(e):
             raise
+
+
+def stream_into_hudi(
+    stream: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    record_key: str,
+    app_id: str = "hudi-ingest",
+    table_type: str = "cow",
+    n_buckets: int = 2,
+    timeout_s: int = 120,
+    crash_after_batch: int | None = None,
+) -> None:
+    """EXACTLY-ONCE streaming ingest into a Hudi table -- the fourth
+    format's write side (Delta / Iceberg / Hive ACID MM already have
+    one), carried by ingest markers in commit metadata
+    (sources/hudi.py::hudi_txn_version, the deltastreamer-checkpoint
+    slot): each micro-batch upserts with ``ingest=(app_id, batch_id)``;
+    on redelivery (crash between the Hudi commit and Spark's checkpoint,
+    or a rebuilt checkpoint replaying from batch 0) the sink skips
+    batches already on the timeline.  Markers survive cleans and
+    compactions because they ride timeline actions, not data files.
+
+    ``crash_after_batch`` injects a failure AFTER the Hudi commit of
+    that batch but BEFORE Spark records it -- the worst-case window."""
+    from ..sources.hudi import hudi_txn_version, hudi_write
+
+    class _Injected(RuntimeError):
+        pass
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            committed = hudi_txn_version(table, app_id)
+        except (ValueError, FileNotFoundError):
+            committed = -1  # table not created yet
+        if batch_id > committed:
+            hudi_write(batch_df.sparkSession, table, batch_df,
+                       record_key=record_key, table_type=table_type,
+                       n_buckets=n_buckets, ingest=(app_id, batch_id))
+        if crash_after_batch is not None and batch_id == crash_after_batch:
+            raise _Injected(f"injected crash after batch {batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"stream_into_hudi: no drain in {timeout_s}s")
+    except Exception as e:
+        if "injected crash" not in str(e):
+            raise

@@ -673,3 +673,85 @@ def test_log_block_golden_bytes():
     assert blob[18:22] == (3).to_bytes(4, "big")
     assert BLOCK_AVRO_DATA == 3 and BLOCK_DELETE == 1
     assert HEADER_INSTANT_TIME == 0 and HEADER_SCHEMA == 2
+
+
+# ---------------------------------------------------------------------------
+# Round 11: exactly-once streaming ingest INTO Hudi
+# ---------------------------------------------------------------------------
+
+
+def _ingest_landing(spark, root, n_files=3):
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "id long, v double"
+    )
+    for i in range(n_files):
+        df.where(F.col("id") % n_files == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, f"part{i}.parquet"))
+
+    def stream():
+        return (
+            spark.readStream.schema("id long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/part*.parquet")
+        )
+
+    return stream
+
+
+def test_hudi_ingest_exactly_once_and_crash_replay(spark, tmp_path):
+    import os
+
+    from hive_person_service_spark.sources.hudi import (
+        hudi_scan,
+        hudi_timeline,
+        hudi_txn_version,
+    )
+    from hive_person_service_spark.streaming.jobs import stream_into_hudi
+
+    root = str(tmp_path / "hudi_ing")
+    t = os.path.join(root, "table")
+    stream = _ingest_landing(spark, os.path.join(root, "landing"))
+    stream_into_hudi(stream(), t, os.path.join(root, "ck"),
+                     record_key="id", app_id="nums")
+    ids = sorted(r["id"] for r in hudi_scan(spark, t).collect())
+    assert ids == list(range(30))
+    assert hudi_txn_version(t, "nums") == 2
+    n_commits = len(hudi_timeline(t))
+    # replay from a LOST checkpoint: markers must no-op every batch
+    stream_into_hudi(stream(), t, os.path.join(root, "ck2"),
+                     record_key="id", app_id="nums")
+    assert len(hudi_timeline(t)) == n_commits
+    assert sorted(r["id"] for r in hudi_scan(spark, t).collect()) == ids
+
+
+def test_hudi_ingest_crash_between_commit_and_checkpoint(spark, tmp_path):
+    """Kill AFTER the Hudi commit but BEFORE Spark records the batch --
+    the worst-case redelivery window -- then resume: no dupes, no lost
+    batches."""
+    import os
+
+    from hive_person_service_spark.sources.hudi import (
+        hudi_scan,
+        hudi_timeline,
+    )
+    from hive_person_service_spark.streaming.jobs import stream_into_hudi
+
+    root = str(tmp_path / "hudi_crash")
+    t = os.path.join(root, "table")
+    ck = os.path.join(root, "ck")
+    stream = _ingest_landing(spark, os.path.join(root, "landing"))
+    stream_into_hudi(stream(), t, ck, record_key="id", app_id="nums",
+                     crash_after_batch=1)
+    mid = len(hudi_timeline(t))
+    assert mid >= 2  # batches 0 and 1 committed before the crash
+    # resume from the SAME checkpoint: batch 1 redelivers, marker no-ops
+    # it, batch 2 lands once
+    stream_into_hudi(stream(), t, ck, record_key="id", app_id="nums")
+    assert len(hudi_timeline(t)) == mid + 1
+    ids = sorted(r["id"] for r in hudi_scan(spark, t).collect())
+    assert ids == list(range(30))
