@@ -444,3 +444,80 @@ def stream_hive_acid_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def _acid_abort_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Full-ACID table whose history includes an ABORTED transaction:
+    orders land in two commits, a third commit publishes corrupted
+    totals and is aborted (its delta stays on disk, invisible), then a
+    fourth good commit lands on top -- the valid-write-id visibility
+    test shaped as a layout."""
+    from ..sources.hive_acid import hive_acid_abort, hive_acid_insert
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:acidabort11".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"orders_acidabort_{digest}")
+    if not os.path.isdir(path):
+        with _atomic_layout(path) as tmp:
+            orders = load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+            )
+            hive_acid_insert(
+                spark, tmp, orders.where(F.col("o_orderkey") % 3 == 0),
+                key_col="o_orderkey",
+            )
+            hive_acid_insert(
+                spark, tmp, orders.where(F.col("o_orderkey") % 3 == 1),
+                key_col="o_orderkey",
+            )
+            bad = hive_acid_insert(
+                spark, tmp,
+                orders.where(F.col("o_orderkey") % 3 == 1).withColumn(
+                    "o_totalprice", F.lit(-1.0)
+                ),
+                key_col="o_orderkey",
+            )
+            hive_acid_abort(tmp, bad)
+            hive_acid_insert(
+                spark, tmp, orders.where(F.col("o_orderkey") % 3 == 2),
+                key_col="o_orderkey",
+            )
+    return path
+
+
+@declare(
+    "table_hive_acid_abort",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS revenue,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def table_hive_acid_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aborted-transaction visibility (Hive's valid-write-id list,
+    modeled as the table-side ``_aborted_write_ids`` marker): a
+    published delta full of corrupted -1.0 totals was ABORTED, so the
+    reader must subtract it even though its directory sits on disk
+    between two good commits.  The oracle aggregates the original
+    orders -- agreement proves the aborted write id is invisible and
+    everything around it is not."""
+    from ..sources.hive_acid import hive_acid_scan
+
+    path = _acid_abort_layout(spark, sf_dir)
+    t = hive_acid_scan(spark, path)
+    return t.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        (
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast(
+                "double"
+            )
+            / 100.0
+        ).alias("revenue"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -56,7 +56,10 @@ pruning here.
 Simplifications vs full Hive, each explicit: write-id allocation is
 ``max(existing)+1`` from the directory names (no metastore txn manager
 -- single-writer, the same discipline as the Delta/Hudi clients here);
-no open/aborted write-id filtering (everything on disk is committed);
+aborted write-id filtering is a table-side ``_aborted_write_ids``
+marker (``hive_acid_abort``) standing in for the metastore's
+valid-write-id list -- readers/streams/compaction subtract it, major
+compaction GCs it (open-txn tracking beyond abort is out of scope);
 the v2 bucket codec's statement-id bits are not modeled (bucket = the
 plain bucket ordinal); streaming-ingest side files (_flush_length) are
 out of scope; partitioning is single-level; one original file per
@@ -73,6 +76,7 @@ AcidInputFormat achieves after its own delete-delta in-memory registry.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 import shutil
@@ -171,6 +175,7 @@ def _prune_partitions(
 
 def _list_dirs(
     root: str,
+    aborted: frozenset[int] = frozenset(),
 ) -> tuple[
     int,
     list[tuple[int, int, str]],
@@ -181,7 +186,14 @@ def _list_dirs(
     """Resolve one directory's tiers: (base write-id or -1, base dirs,
     insert deltas, delete deltas, original files), deltas as
     (min_wid, max_wid, path) sorted by range, excluding everything a
-    base already folded (a base also folds the original files)."""
+    base already folded (a base also folds the original files).
+
+    ``aborted`` is the table's aborted-write-id set (Hive's
+    valid-write-id semantics, modeled by the ``_aborted_write_ids``
+    marker): a published single-commit directory whose write id was
+    aborted is INVISIBLE -- readers skip it, compaction refuses to fold
+    it.  Merged directories never contain aborted ids
+    (``hive_acid_abort`` refuses to abort committed/folded history)."""
     if not os.path.isdir(root):
         raise ValueError(f"not a directory: {root}")
     base_n, base_dir = -1, None
@@ -190,13 +202,16 @@ def _list_dirs(
         full = os.path.join(root, name)
         if os.path.isdir(full):
             m = _BASE_RE.match(name)
-            if m and int(m.group(1)) > base_n:
+            if m and int(m.group(1)) > base_n \
+                    and int(m.group(1)) not in aborted:
                 base_n, base_dir = int(m.group(1)), full
             m = _DELTA_RE.match(name)
-            if m:
+            if m and not (m.group(1) == m.group(2)
+                          and int(m.group(1)) in aborted):
                 deltas.append((int(m.group(1)), int(m.group(2)), full))
             m = _DELETE_RE.match(name)
-            if m:
+            if m and not (m.group(1) == m.group(2)
+                          and int(m.group(1)) in aborted):
                 deletes.append((int(m.group(1)), int(m.group(2)), full))
         elif _ORIGINAL_RE.match(name):
             originals.append(full)
@@ -208,6 +223,97 @@ def _list_dirs(
         originals = []
     base_dirs = [] if base_dir is None else [(0, base_n, base_dir)]
     return base_n, base_dirs, deltas, deletes, originals
+
+
+_ABORTED_MARKER = "_aborted_write_ids"
+
+
+def _aborted_marker_path(table: str) -> str:
+    return os.path.join(table, _ABORTED_MARKER)
+
+
+def _aborted_wids(table: str) -> frozenset[int]:
+    """The table's aborted write ids (empty when the marker is absent) --
+    the minimal model of the metastore's valid-write-id list: readers
+    subtract it, compaction refuses to fold it, major compaction GCs it."""
+    p = _aborted_marker_path(table)
+    if not os.path.exists(p):
+        return frozenset()
+    with open(p, encoding="utf-8") as fh:
+        return frozenset(int(w) for w in json.load(fh))
+
+
+def _write_aborted_marker(table: str, wids: set[int]) -> None:
+    p = _aborted_marker_path(table)
+    if not wids:
+        if os.path.exists(p):
+            os.remove(p)
+        return
+    tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(sorted(wids), fh)
+    os.rename(tmp, p)
+
+
+def hive_acid_abort(table: str, write_id: int) -> dict:
+    """ABORT a write id (Hive's metastore-side txn abort, modeled
+    table-side): the writer's already-PUBLISHED ``delta_W_W`` /
+    ``delete_delta_W_W`` directories stay on disk but become invisible
+    to every reader, stream, and compaction -- the valid-write-id
+    filtering real Hive readers get from the metastore.  Refuses to
+    abort history a base or merged directory already folded (those
+    write ids are committed; Hive can only abort OPEN transactions).
+    The marker is GC'd by major compaction once the aborted directories
+    are reclaimed."""
+    write_id = int(write_id)
+    if write_id <= 0:
+        raise ValueError(f"hive_acid_abort: invalid write id {write_id}")
+    for pdir in _partitions(table).values():
+        for name in os.listdir(pdir):
+            if not os.path.isdir(os.path.join(pdir, name)):
+                continue
+            m = _BASE_RE.match(name)
+            if m and int(m.group(1)) >= write_id:
+                raise ValueError(
+                    f"hive_acid_abort: write id {write_id} is committed "
+                    f"history (folded into {name}); only open "
+                    "transactions can abort"
+                )
+            m = _DELTA_RE.match(name) or _DELETE_RE.match(name)
+            if m and m.group(1) != m.group(2) \
+                    and int(m.group(1)) <= write_id <= int(m.group(2)):
+                raise ValueError(
+                    f"hive_acid_abort: write id {write_id} is committed "
+                    f"history (merged into {name}); only open "
+                    "transactions can abort"
+                )
+    wids = set(_aborted_wids(table))
+    wids.add(write_id)
+    _write_aborted_marker(table, wids)
+    return {"aborted": write_id, "marker": sorted(wids)}
+
+
+def _gc_aborted_marker(table: str) -> list[int]:
+    """Drop marker entries whose directories no longer exist anywhere
+    (major compaction reclaimed them); returns the GC'd write ids."""
+    wids = set(_aborted_wids(table))
+    if not wids:
+        return []
+    live: set[int] = set()
+    for pdir in _partitions(table).values():
+        for name in os.listdir(pdir):
+            if not os.path.isdir(os.path.join(pdir, name)):
+                continue
+            m = _DELTA_RE.match(name) or _DELETE_RE.match(name)
+            if m and m.group(1) == m.group(2):
+                live.add(int(m.group(1)))
+            m = _BASE_RE.match(name)
+            if m:
+                live.add(int(m.group(1)))
+    gone = sorted(wids - live)
+    if gone:
+        _write_aborted_marker(table, wids & live)
+    return gone
 
 
 def _next_write_id(table: str) -> int:
@@ -429,12 +535,15 @@ def hive_acid_scan(
         first = sorted(all_parts)[0]
         parts = {first: all_parts[first]}
     insert_only = _is_insert_only(table)
+    aborted = _aborted_wids(table)
     acid_items: list[tuple[str, str]] = []
     raw_items: list[tuple[str, str, int, int]] = []
     del_items: list[tuple[str, str]] = []
     for pname in sorted(parts):
         pdir = parts[pname]
-        _n, base_dirs, deltas, deletes, originals = _list_dirs(pdir)
+        _n, base_dirs, deltas, deletes, originals = _list_dirs(
+            pdir, aborted
+        )
         for _lo, hi, d in base_dirs + deltas:
             files = [
                 os.path.join(d, f)
@@ -1023,7 +1132,9 @@ def hive_acid_compact(
                 # table-wide minor compaction: partitions compact
                 # INDEPENDENTLY (Hive's unit), so one with nothing to
                 # merge is a per-partition no-op, not an error
-                _n, _b, deltas, deletes, _o = _list_dirs(parts[pname])
+                _n, _b, deltas, deletes, _o = _list_dirs(
+                    parts[pname], _aborted_wids(table)
+                )
                 if not deltas and not deletes:
                     results[pname] = {"mode": mode, "write_id": None,
                                       "folded": 0, "merged": {},
@@ -1046,7 +1157,10 @@ def hive_acid_compact(
 def _compact_one(
     spark: SparkSession, table: str, pdir: str, pname: str, mode: str
 ) -> dict:
-    base_n, base_dirs, deltas, deletes, originals = _list_dirs(pdir)
+    aborted = _aborted_wids(table)
+    base_n, base_dirs, deltas, deletes, originals = _list_dirs(
+        pdir, aborted
+    )
     insert_only = _is_insert_only(table)
     if mode == "major":
         hi = max(
@@ -1094,8 +1208,22 @@ def _compact_one(
             os.remove(f)
         for d in folded:
             shutil.rmtree(d, ignore_errors=True)
+        # aborted directories at-or-below the new base are trash the
+        # compactor reclaims (Hive's cleaner does the same); the marker
+        # GCs once no aborted directory survives anywhere
+        aborted_gc: list[int] = []
+        if aborted:
+            for name in sorted(os.listdir(pdir)):
+                m = (_DELTA_RE.match(name) or _DELETE_RE.match(name)
+                     or _BASE_RE.match(name))
+                if m and int(m.group(1)) in aborted \
+                        and int(m.group(1)) <= hi:
+                    shutil.rmtree(os.path.join(pdir, name),
+                                  ignore_errors=True)
+            aborted_gc = _gc_aborted_marker(table)
         return {"mode": mode, "write_id": hi,
-                "folded": len(folded) + len(originals), "noop": False}
+                "folded": len(folded) + len(originals), "noop": False,
+                "aborted_gc": aborted_gc}
     if mode == "minor":
         if not deltas and not deletes:
             raise ValueError(f"hive_acid: no deltas to compact in {pdir!r}")

@@ -40,6 +40,7 @@ from .hive_acid import (
     _BASE_RE,
     _DELETE_RE,
     _DELTA_RE,
+    _aborted_wids,
     _bucket_of,
     _is_insert_only,
     _part_kv,
@@ -51,7 +52,9 @@ def _acid_versions(table: str) -> list[int]:
     """Every write id visible on disk (insert deltas, delete deltas,
     bases), ascending.  Delete/base ids MUST advance the offset too --
     otherwise a trailing change commit would sit invisible below
-    latestOffset and the gate below could never fire."""
+    latestOffset and the gate below could never fire.  Aborted write ids
+    still advance the offset (their directories are invisible data, not
+    invisible history) so the stream never stalls under one."""
     wids: set[int] = set()
     for pdir in _partitions(table).values():
         for name in os.listdir(pdir):
@@ -129,6 +132,13 @@ def _acid_tail_payloads(
     partitioned = "" not in parts
     names = [f["name"] for f in fields]
     data_names = names[:-1] if partitioned else names
+    # aborted write ids (the valid-write-id subtraction): their
+    # published directories are invisible to the stream entirely
+    aborted = _aborted_wids(table)
+
+    def _is_aborted(m) -> bool:
+        return m.group(1) == m.group(2) and int(m.group(1)) in aborted
+
     # pass 1 (all partitions -- write ids are table-global): the write
     # ids of single-commit change actions being skipped, so their
     # same-commit insert deltas skip too
@@ -140,17 +150,28 @@ def _acid_tail_payloads(
                     continue
                 m = _DELETE_RE.match(name)
                 if m and m.group(1) == m.group(2) \
-                        and lo < int(m.group(2)) <= hi:
+                        and lo < int(m.group(2)) <= hi \
+                        and not _is_aborted(m):
                     skip_wids.add(int(m.group(2)))
                     continue
                 m = _BASE_RE.match(name)
-                if m and lo < int(m.group(1)) <= hi:
+                if m and lo < int(m.group(1)) <= hi \
+                        and int(m.group(1)) not in aborted:
                     skip_wids.add(int(m.group(1)))
     for pname in sorted(parts):
         pdir = parts[pname]
         for name in sorted(os.listdir(pdir)):
             full = os.path.join(pdir, name)
             if not os.path.isdir(full):
+                continue
+            m = _DELETE_RE.match(name)
+            if m and _is_aborted(m):
+                continue
+            m_b = _BASE_RE.match(name)
+            if m_b and int(m_b.group(1)) in aborted:
+                continue
+            m_d = _DELTA_RE.match(name)
+            if m_d and _is_aborted(m_d):
                 continue
             m = _DELETE_RE.match(name)
             if m and lo < int(m.group(2)) <= hi:

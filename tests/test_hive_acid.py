@@ -136,3 +136,117 @@ def test_scan_parallelism_one_task_per_file(spark, tmp_path):
     assert n_files == 4  # 2 writes x 2 buckets
     assert df.rdd.getNumPartitions() == n_files
     assert sorted(r["id"] for r in df.collect()) == list(range(11, 20))
+
+
+# ---------------------------------------------------------------------------
+# Round 11: aborted-write-id visibility (Hive's valid-write-id semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_abort_hides_published_delta(spark, tmp_path):
+    import os
+
+    from hive_person_service_spark.sources.hive_acid import (
+        _aborted_marker_path,
+        hive_acid_abort,
+        hive_acid_compact,
+        hive_acid_insert,
+        hive_acid_scan,
+    )
+
+    t = str(tmp_path / "acid_abort")
+
+    def _mk(lo):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 10)], "id long, v double"
+        )
+
+    def ids():
+        return sorted(
+            r["id"] for r in hive_acid_scan(spark, t).select("id").collect()
+        )
+
+    hive_acid_insert(spark, t, _mk(0), key_col="id")    # wid 1
+    w2 = hive_acid_insert(spark, t, _mk(10), key_col="id")  # wid 2
+    assert ids() == list(range(20))
+    # ABORT the published wid 2: scan unchanged from pre-wid-2 state
+    hive_acid_abort(t, w2)
+    assert ids() == list(range(10))
+    assert os.path.isdir(os.path.join(t, f"delta_{w2}_{w2}"))  # still on disk
+    # new commits keep landing and stay visible
+    hive_acid_insert(spark, t, _mk(20), key_col="id")   # wid 3
+    assert ids() == list(range(10)) + list(range(20, 30))
+    # minor compaction refuses to fold the aborted delta...
+    res = hive_acid_compact(spark, t, mode="minor")
+    assert not res.get("noop")
+    assert os.path.isdir(os.path.join(t, f"delta_{w2}_{w2}"))
+    assert ids() == list(range(10)) + list(range(20, 30))
+    # ...and major compaction reclaims it and GCs the marker
+    res = hive_acid_compact(spark, t, mode="major")
+    assert res["aborted_gc"] == [w2]
+    assert not os.path.isdir(os.path.join(t, f"delta_{w2}_{w2}"))
+    assert not os.path.exists(_aborted_marker_path(t))
+    assert ids() == list(range(10)) + list(range(20, 30))
+
+
+def test_abort_refuses_committed_history(spark, tmp_path):
+    import pytest as _pytest
+
+    from hive_person_service_spark.sources.hive_acid import (
+        hive_acid_abort,
+        hive_acid_compact,
+        hive_acid_insert,
+    )
+
+    t = str(tmp_path / "acid_abort_ref")
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    hive_acid_insert(spark, t, df, key_col="id")   # wid 1
+    hive_acid_insert(spark, t, df, key_col="id")   # wid 2
+    hive_acid_compact(spark, t, mode="minor")      # delta_1_2
+    with _pytest.raises(ValueError, match="merged into"):
+        hive_acid_abort(t, 1)
+    hive_acid_compact(spark, t, mode="major")      # base_2
+    with _pytest.raises(ValueError, match="folded into"):
+        hive_acid_abort(t, 2)
+
+
+def test_abort_invisible_to_tail_stream(spark, tmp_path):
+    import os
+
+    from hive_person_service_spark.sources.hive_acid import (
+        hive_acid_abort,
+        hive_acid_insert_only,
+    )
+    from hive_person_service_spark.sources.hive_acid_stream import (
+        register_hive_acid_tail,
+    )
+
+    t = str(tmp_path / "acid_abort_tail")
+
+    def _mk(lo):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 10)], "id long, v double"
+        )
+
+    hive_acid_insert_only(spark, t, _mk(0), key_col="id")       # wid 1
+    w2 = hive_acid_insert_only(spark, t, _mk(10), key_col="id")  # wid 2
+    hive_acid_abort(t, w2)
+    hive_acid_insert_only(spark, t, _mk(20), key_col="id")      # wid 3
+    register_hive_acid_tail(spark)
+    scratch = str(tmp_path / "scratch_abort")
+    q = (
+        spark.readStream.format("hive_acid_tail").option("table", t)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", os.path.join(scratch, "out"))
+        .option("checkpointLocation", os.path.join(scratch, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    out = spark.read.parquet(os.path.join(scratch, "out"))
+    # aborted wid 2's rows never stream; the offset still advanced past
+    # it (wid 3 delivered)
+    assert sorted(r["id"] for r in out.collect()) == (
+        list(range(10)) + list(range(20, 30))
+    )

@@ -519,11 +519,29 @@ def run_hive_acid_history(spark, rng: random.Random, root: str,
     check("seed")
     for _step in range(rng.randrange(3, 7)):
         if variant == "mm":
-            ops = ["insert", "compact_minor", "compact_major"]
+            ops = ["insert", "compact_minor", "compact_major", "abort"]
         else:
             ops = ["insert", "delete", "update",
-                   "compact_minor", "compact_major"]
+                   "compact_minor", "compact_major", "abort"]
         op = rng.choice(ops)
+        if op == "abort":
+            # publish a delta, then abort its write id: the scan must
+            # look exactly as if the commit never happened
+            from hive_person_service_spark.sources.hive_acid import (
+                hive_acid_abort,
+            )
+
+            doomed = _rows(rng, _fresh_ids(rng, [r[0] for r in shadow],
+                                           rng.randrange(2, 6)))
+            df = spark.createDataFrame(doomed, SCHEMA)
+            if variant == "mm":
+                wid = hive_acid_insert_only(spark, t, df, key_col="id")
+            else:
+                wid = hive_acid_insert(spark, t, df, key_col="id",
+                                       partition_col=part_col)
+            hive_acid_abort(t, wid)
+            check("abort")
+            continue
         if op == "insert":
             new = _rows(rng, _fresh_ids(rng, [r[0] for r in shadow],
                                         rng.randrange(3, 10)))
@@ -549,8 +567,13 @@ def run_hive_acid_history(spark, rng: random.Random, root: str,
         elif op == "compact_minor":
             # only meaningful when some directory has >=1 delta; a
             # tier with <2 dirs is an explicit no-op result
+            from hive_person_service_spark.sources.hive_acid import (
+                _aborted_wids,
+            )
+
+            ab = _aborted_wids(t)
             has_deltas = any(
-                _list_dirs(p)[2] or _list_dirs(p)[3]
+                _list_dirs(p, ab)[2] or _list_dirs(p, ab)[3]
                 for p in _partitions(t).values()
             )
             if not has_deltas:
