@@ -531,3 +531,71 @@ def stream_hudi_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+def _delta_row_tracking_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Row-tracking Delta table (delta.enableRowTracking=true): even-key
+    suppliers written as ONE sorted file (so fresh row ids = suppkey
+    rank), then an UPDATE of the %10 keys -- DV delete + post-image
+    re-insert whose materialized _row_id column preserves the victims'
+    original ids (the spec's stable-row-id contract)."""
+    from ..sources.delta_log import delta_update, delta_write
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:deltarowtrack11".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_deltart_{digest}")
+    if not os.path.isdir(os.path.join(path, "_delta_log")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier").where(
+                F.col("s_suppkey") % 2 == 0
+            )
+            delta_write(
+                sup.repartition(1).sortWithinPartitions("s_suppkey"),
+                tmp,
+                configuration={"delta.enableRowTracking": "true"},
+            )
+            delta_update(
+                spark, tmp, "s_suppkey % 10 = 0",
+                {"s_acctbal": "s_acctbal + 1000.0"},
+            )
+    return path
+
+
+@declare(
+    "table_delta_row_tracking",
+    oracle="""
+    SELECT s_suppkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS BIGINT)
+               AS _row_id,
+           CAST(CASE WHEN s_suppkey % 10 = 0 THEN 2 ELSE 0 END AS BIGINT)
+               AS _row_commit_version,
+           ROUND(CASE WHEN s_suppkey % 10 = 0
+                      THEN s_acctbal + 1000.0
+                      ELSE s_acctbal END, 2) AS bal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    """,
+)
+def table_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING read side (the newest protocol feature real
+    delta-spark tables increasingly carry): _row_id = a materialized
+    _row_id parquet column when the file has one, else the add's
+    baseRowId + in-file position; _row_commit_version = the add's
+    defaultRowCommitVersion.  The layout wrote one sorted file (fresh
+    ids = suppkey rank) then UPDATEd the %10 keys, so the oracle's
+    rank-derived ids certify BOTH halves: updated rows kept their
+    original row ids through the DV-delete + re-insert (stability) and
+    carry commit version 2 (the updating commit), untouched rows keep
+    version 0."""
+    from ..sources.delta_log import delta_scan
+
+    path = _delta_row_tracking_layout(spark, sf_dir)
+    s = delta_scan(spark, path, with_row_tracking=True)
+    return s.select(
+        "s_suppkey",
+        F.col("_row_id"),
+        F.col("_row_commit_version"),
+        F.round("s_acctbal", 2).alias("bal"),
+    )

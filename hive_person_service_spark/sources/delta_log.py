@@ -411,6 +411,7 @@ def delta_scan(
     version_as_of: int | None = None,
     skip_filters: list[tuple] | None = None,
     timestamp_as_of_ms: int | None = None,
+    with_row_tracking: bool = False,
 ) -> DataFrame:
     """Read a Delta table at HEAD (or ``version_as_of`` /
     ``timestamp_as_of_ms`` -- the latest commit at or before the
@@ -423,7 +424,15 @@ def delta_scan(
     add-actions' per-file ``stats`` and partitionValues BEFORE Spark
     lists them (the Delta data-skipping design). It is an optimization
     hint, not a row filter -- callers still apply their real predicate;
-    date/timestamp literals are ISO strings matching the stats form."""
+    date/timestamp literals are ISO strings matching the stats form.
+
+    ``with_row_tracking`` (on a table with
+    ``delta.enableRowTracking=true``) appends the protocol's row-id
+    columns: ``_row_id`` (a materialized ``_row_id`` parquet column when
+    the file carries one -- rewritten rows keep their ids -- else
+    baseRowId + in-file position) and ``_row_commit_version`` (the
+    add's defaultRowCommitVersion: the commit that last wrote the
+    row)."""
     if timestamp_as_of_ms is not None:
         if version_as_of is not None:
             raise ValueError(
@@ -471,7 +480,10 @@ def delta_scan(
         map_df = spark.createDataFrame(rows, map_schema)
         # recursiveFileLookup disables hive partition INFERENCE entirely
         # (the values come from the log, not the directory names)
-        df = spark.read.option("recursiveFileLookup", "true").parquet(*paths)
+        rdr = spark.read.option("recursiveFileLookup", "true")
+        if with_row_tracking:
+            rdr = rdr.option("mergeSchema", "true")
+        df = rdr.parquet(*paths)
         data_cols = df.columns
         df = (
             df.withColumn(
@@ -495,13 +507,59 @@ def delta_scan(
         )
     else:
         root = os.path.abspath(table) + os.sep
+        rdr = spark.read
+        if with_row_tracking:
+            # post-update files carry the materialized _row_id column
+            # the originals lack: merge so it is visible table-wide
+            rdr = rdr.option("mergeSchema", "true")
         if all(os.path.abspath(p).startswith(root) for p in paths):
-            df = spark.read.option("basePath", table).parquet(*paths)
+            df = rdr.option("basePath", table).parquet(*paths)
         else:
             # absolute external paths (shallow clones): basePath must be
             # a prefix of every file, so read without it -- clones are
             # unpartitioned by gate, no hive discovery is needed
-            df = spark.read.parquet(*paths)
+            df = rdr.parquet(*paths)
+    if with_row_tracking:
+        from pyspark.sql import functions as F
+
+        if (meta.get("configuration") or {}).get(
+            "delta.enableRowTracking"
+        ) != "true":
+            raise ValueError(
+                "delta_scan: with_row_tracking requires "
+                "delta.enableRowTracking=true on the table"
+            )
+        if (meta.get("configuration") or {}).get("delta.columnMapping.mode"):
+            raise ValueError(
+                "delta_scan: row tracking + column mapping unsupported "
+                "by this minimal client"
+            )
+        rt_rows = [
+            (os.path.abspath(os.path.join(table, rel)),
+             int(add.get("baseRowId", -1)),
+             int(add.get("defaultRowCommitVersion", -1)))
+            for rel, add in files.items()
+        ]
+        rt_map = spark.createDataFrame(
+            rt_rows, "__rt_path string, __rt_base long, __rt_ver long"
+        )
+        if "__p" not in df.columns:
+            df = df.withColumn(
+                "__p",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            ).withColumn("__i", F.col("_metadata.row_index"))
+        df = df.join(F.broadcast(rt_map), F.col("__p") == F.col("__rt_path"))
+        mat = (F.col("_row_id") if "_row_id" in df.columns
+               else F.lit(None).cast("long"))
+        df = (
+            df.withColumn(
+                "__rt_id_out",
+                F.coalesce(mat, F.col("__rt_base") + F.col("__i")),
+            )
+            .drop("_row_id", "__rt_path", "__rt_base")
+            .withColumnRenamed("__rt_id_out", "_row_id")
+            .withColumnRenamed("__rt_ver", "_row_commit_version")
+        )
     dv_adds = {p: a["deletionVector"] for p, a in files.items()
                if a.get("deletionVector")}
     if dv_adds:
@@ -535,6 +593,10 @@ def delta_scan(
         ).select(*cols)
     elif "__p" in df.columns:
         df = df.drop("__p", "__i")
+    if not with_row_tracking and "_row_id" in df.columns:
+        # the materialized row-id column is physical bookkeeping of the
+        # row-tracking feature, never part of the logical schema
+        df = df.drop("_row_id")
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
     if mode in ("name", "id"):
         # Column mapping: data files carry physical names; the logical
@@ -1440,6 +1502,40 @@ def _generated_sources(meta: dict) -> dict[str, tuple[str, str]]:
     return out
 
 
+def _row_id_high_water_mark(table: str) -> int:
+    """Current ``rowIdHighWaterMark`` of a row-tracking table: the
+    newest ``delta.rowTracking`` domainMetadata action wins; the live
+    adds' (baseRowId + numRecords - 1) maximum is a belt-and-braces
+    floor (a log whose domainMetadata was truncated still never reuses
+    a row id).  -1 on a table with no row ids yet."""
+    hwm = -1
+    for v in reversed(_list_versions(table)):
+        for line in _version_file(table, v).read_text().splitlines():
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            dm = action.get("domainMetadata")
+            if dm and dm.get("domain") == "delta.rowTracking" \
+                    and not dm.get("removed"):
+                cfg = json.loads(dm.get("configuration") or "{}")
+                hwm = int(cfg.get("rowIdHighWaterMark", -1))
+                break
+        if hwm >= 0:
+            break
+    files, _meta, _proto, _v = _snapshot(table)
+    for add in files.values():
+        base = add.get("baseRowId")
+        if base is not None:
+            n = 0
+            try:
+                n = int(json.loads(add.get("stats") or "{}")
+                        .get("numRecords") or 0)
+            except (ValueError, TypeError):
+                pass
+            hwm = max(hwm, int(base) + max(n - 1, 0))
+    return hwm
+
+
 def delta_write(
     df: DataFrame,
     table: str,
@@ -1478,10 +1574,12 @@ def delta_write(
                     name, metadata={"delta.generationExpression": expr}
                 ),
             )
+    tbl_cfg = dict(configuration or {})
     if exists:
         # recompute the table's generated columns for this append so the
         # caller writes the LOGICAL frame only
         _f0, meta0, _p0, _v0 = _snapshot(table)
+        tbl_cfg = dict(meta0.get("configuration") or {})
         for f in json.loads(meta0["schemaString"])["fields"]:
             expr = (f.get("metadata") or {}).get("delta.generationExpression")
             if expr and f["name"] not in df.columns:
@@ -1519,20 +1617,37 @@ def delta_write(
         )
     if exists and configuration:
         raise ValueError("configuration may only be set at table creation")
+    rt_on = tbl_cfg.get("delta.enableRowTracking") == "true"
     if not exists:
         cdf_on = (configuration or {}).get(
             "delta.enableChangeDataFeed"
         ) == "true"
-        actions.append(
-            {
-                "protocol": {
-                    "minReaderVersion": 1,
-                    # the spec gates CDF (cdc actions + _change_data
-                    # files) behind writer version 4
-                    "minWriterVersion": 4 if cdf_on else 2,
+        if rt_on:
+            # row tracking is a table-features capability: writer v7
+            # with the rowTracking + domainMetadata features declared
+            feats = ["domainMetadata", "rowTracking"]
+            if cdf_on:
+                feats.append("changeDataFeed")
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        "minWriterVersion": 7,
+                        "writerFeatures": sorted(feats),
+                    }
                 }
-            }
-        )
+            )
+        else:
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": 1,
+                        # the spec gates CDF (cdc actions + _change_data
+                        # files) behind writer version 4
+                        "minWriterVersion": 4 if cdf_on else 2,
+                    }
+                }
+            )
         actions.append(
             {
                 "metaData": {
@@ -1555,7 +1670,35 @@ def delta_write(
             )
     elif mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
-    actions.extend({"add": a} for a in _write_data_files(df, table, partition_by))
+    adds = _write_data_files(df, table, partition_by)
+    if rt_on:
+        # assign fresh row ids: each add gets baseRowId (its rows are
+        # baseRowId + position unless a materialized _row_id column
+        # overrides) and defaultRowCommitVersion; the high-water mark
+        # advances via the spec's delta.rowTracking domainMetadata
+        hwm = _row_id_high_water_mark(table) if exists else -1
+        for a in adds:
+            n = 0
+            try:
+                n = int(json.loads(a.get("stats") or "{}")
+                        .get("numRecords") or 0)
+            except (ValueError, TypeError):
+                pass
+            a["baseRowId"] = hwm + 1
+            a["defaultRowCommitVersion"] = version
+            hwm += max(n, 1)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds)
     _commit(table, version, actions)
     _maybe_checkpoint(table, version, checkpoint_interval)
     return version
@@ -1733,14 +1876,24 @@ def _commit_dv_deletes(
             }
         }
     ]
-    if proto.get("minReaderVersion", 1) < 3:
+    if proto.get("minReaderVersion", 1) < 3 or "deletionVectors" not in (
+        proto.get("readerFeatures") or []
+    ):
+        # merge with any features the table already declares (e.g.
+        # rowTracking) -- replacing the lists would silently drop them
         actions.append(
             {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["deletionVectors"],
-                    "writerFeatures": ["deletionVectors"],
+                    "readerFeatures": sorted(
+                        set(proto.get("readerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
+                    "writerFeatures": sorted(
+                        set(proto.get("writerFeatures") or [])
+                        | {"deletionVectors"}
+                    ),
                 }
             }
         )
@@ -1892,11 +2045,22 @@ def delta_update(
     bitmaps and the commit JSON touch the driver."""
     from pyspark.sql import functions as F
 
-    matched = delta_scan(spark, table).where(F.expr(predicate))
+    _files_u, meta_u, _proto_u, _v_u = _snapshot(table)
+    rt_on = (meta_u.get("configuration") or {}).get(
+        "delta.enableRowTracking"
+    ) == "true"
+    # on a row-tracking table the post-images carry their ORIGINAL row
+    # ids as the materialized _row_id column (the spec's stable-row-id
+    # contract); _row_commit_version is dropped -- the new add's
+    # defaultRowCommitVersion supplies the updating commit
+    matched = delta_scan(
+        spark, table, with_row_tracking=rt_on
+    ).where(F.expr(predicate))
+    keep = [c for c in matched.columns if c != "_row_commit_version"]
     updated = matched.select(
         *[
             F.expr(assignments[c]).alias(c) if c in assignments else F.col(c)
-            for c in matched.columns
+            for c in keep
         ]
     ).localCheckpoint(eager=True)  # snapshot BEFORE the delete flips rows
     n = updated.count()

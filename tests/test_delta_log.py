@@ -662,3 +662,100 @@ def test_txn_state_survives_checkpoint_retention(spark, tmp_path):
     before = delta_scan(spark, table).count()
     stream_into_delta(src(), table, str(tmp_path / "ck2"))  # rebuilt ckpt
     assert delta_scan(spark, table).count() == before  # no re-ingest
+
+
+# ---------------------------------------------------------------------------
+# Round 11: row tracking (read side)
+# ---------------------------------------------------------------------------
+
+
+def test_row_tracking_stable_ids_across_update(spark, tmp_path):
+    from hive_person_service_spark.sources.delta_log import (
+        delta_changes,
+        delta_scan,
+        delta_update,
+        delta_write,
+    )
+
+    t = str(tmp_path / "rt")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    delta_write(df.repartition(1).sortWithinPartitions("id"), t,
+                configuration={"delta.enableRowTracking": "true"})
+    before = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in delta_scan(spark, t, with_row_tracking=True).collect()
+    }
+    assert sorted(before) == list(range(20))
+    assert [before[i][0] for i in range(20)] == list(range(20))  # rank ids
+    assert all(v == 0 for _i, v in before.values())
+    n = delta_update(spark, t, "id % 5 = 0", {"v": "v + 100.0"})
+    assert n == 4
+    after = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in delta_scan(spark, t, with_row_tracking=True).collect()
+    }
+    # stability: every row keeps its id through the DV-delete+re-insert
+    assert {i: rid for i, (rid, _v) in after.items()} == {
+        i: rid for i, (rid, _v) in before.items()
+    }
+    # commit version reflects the last write of the row
+    assert {v for i, (_r, v) in after.items() if i % 5 == 0} == {2}
+    assert {v for i, (_r, v) in after.items() if i % 5 != 0} == {0}
+    # certify via the CDF: the update's delete pre-images are exactly
+    # the rows whose commit version moved
+    moved = sorted(i for i in after if after[i][1] != before[i][1])
+    dels = sorted(
+        r["id"] for r in delta_changes(spark, t, starting_version=1)
+        .where("_change_type = 'delete'").collect()
+    )
+    assert dels == moved == [0, 5, 10, 15]
+    # plain scans never leak the materialized bookkeeping column
+    assert delta_scan(spark, t).columns == ["id", "v"]
+    assert delta_scan(spark, t).count() == 20
+
+
+def test_row_tracking_requires_table_property(spark, tmp_path):
+    import pytest as _pytest
+
+    from hive_person_service_spark.sources.delta_log import (
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "rt_off")
+    delta_write(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), t
+    )
+    with _pytest.raises(ValueError, match="enableRowTracking"):
+        delta_scan(spark, t, with_row_tracking=True)
+
+
+def test_row_tracking_fresh_ids_monotone_across_appends(spark, tmp_path):
+    from hive_person_service_spark.sources.delta_log import (
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "rt_app")
+    for lo in (0, 10, 20):
+        delta_write(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 10)],
+                "id long, v double",
+            ).repartition(1).sortWithinPartitions("id"),
+            t,
+            configuration=(
+                {"delta.enableRowTracking": "true"} if lo == 0 else None
+            ),
+        )
+    rows = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in delta_scan(spark, t, with_row_tracking=True).collect()
+    }
+    ids = [rows[i][0] for i in sorted(rows)]
+    assert sorted(ids) == ids and len(set(ids)) == 30  # unique, monotone
+    assert {rows[i][1] for i in range(0, 10)} == {0}
+    assert {rows[i][1] for i in range(10, 20)} == {1}
+    assert {rows[i][1] for i in range(20, 30)} == {2}
