@@ -599,3 +599,72 @@ def table_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_row_commit_version"),
         F.round("s_acctbal", 2).alias("bal"),
     )
+
+
+def _iceberg_row_lineage_layout(spark: SparkSession, sf_dir: str) -> str:
+    """v3 row-lineage Iceberg table: even-key suppliers as ONE sorted
+    file (fresh row ids = suppkey rank), a position DELETE of the %10
+    keys (files untouched -- survivors keep ids naturally), then
+    rewrite-data-files compaction, which MATERIALIZES each survivor's
+    _row_id / _last_updated_sequence_number into the rewritten file per
+    the spec's lineage-preservation rule."""
+    from ..sources.iceberg import (
+        iceberg_compact,
+        iceberg_delete,
+        iceberg_write,
+    )
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    st = os.stat(src)
+    digest = hashlib.sha1(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:iceberglineage11".encode()
+    ).hexdigest()[:12]
+    path = os.path.join(_LAYOUT_ROOT, f"supplier_iceberg_rl_{digest}")
+    if not os.path.isdir(os.path.join(path, "metadata")):
+        with _atomic_layout(path) as tmp:
+            sup = load_table(spark, sf_dir, "supplier").where(
+                F.col("s_suppkey") % 2 == 0
+            )
+            iceberg_write(
+                sup.repartition(1).sortWithinPartitions("s_suppkey"),
+                tmp, row_lineage=True,
+            )
+            iceberg_delete(spark, tmp, "s_suppkey % 10 = 0")
+            iceberg_compact(spark, tmp)
+    return path
+
+
+@declare(
+    "table_iceberg_row_lineage",
+    oracle="""
+    WITH base AS (
+      SELECT s_suppkey, s_acctbal,
+             ROW_NUMBER() OVER (ORDER BY s_suppkey) - 1 AS rid
+      FROM supplier WHERE s_suppkey % 2 = 0)
+    SELECT s_suppkey, CAST(rid AS BIGINT) AS _row_id,
+           CAST(1 AS BIGINT) AS _last_updated_sequence_number,
+           ROUND(s_acctbal, 2) AS bal
+    FROM base WHERE s_suppkey % 10 <> 0
+    """,
+)
+def table_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 ROW LINEAGE (the format-v3 twin of
+    table_delta_row_tracking): _row_id = the manifest entry's
+    first_row_id + in-file position, or the materialized _row_id column
+    after a rewrite; _last_updated_sequence_number likewise.  The layout
+    wrote one sorted file (ids = suppkey rank), position-deleted the %10
+    keys, then COMPACTED -- so the oracle's rank-derived ids certify
+    that (a) survivors kept their original ids through both the delete
+    and the rewrite, and (b) the materialized sequence number still says
+    1 (the commit that last wrote the rows), not the compaction's own
+    sequence."""
+    from ..sources.iceberg import iceberg_scan
+
+    path = _iceberg_row_lineage_layout(spark, sf_dir)
+    s = iceberg_scan(spark, path, with_row_lineage=True)
+    return s.select(
+        "s_suppkey",
+        F.col("_row_id"),
+        F.col("_last_updated_sequence_number"),
+        F.round("s_acctbal", 2).alias("bal"),
+    )

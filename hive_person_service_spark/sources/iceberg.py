@@ -324,6 +324,7 @@ def _plan_snapshot(
                         b["field_id"]: b["value"]
                         for b in (df_rec.get("upper_bounds") or [])
                     },
+                    "first_row_id": df_rec.get("first_row_id"),
                 }
                 plan["data"].append((path, ent_seq, info))
             elif content == 1:
@@ -437,6 +438,7 @@ def _live_tagged(
     meta: dict,
     snapshot_id: int | None = None,
     skip_filters: list[tuple] | None = None,
+    merge_schema: bool = False,
 ):
     """The snapshot's LIVE rows with ``__p`` (normalized file path) and
     ``__i`` (row index) tags still attached, position AND equality
@@ -452,6 +454,10 @@ def _live_tagged(
     if not plan["data"]:
         return None, plan
     reader = spark.read
+    if merge_schema:
+        # row-lineage reads: compacted files carry materialized _row_id
+        # columns the fresh files lack -- merge so they are visible
+        reader = reader.option("mergeSchema", "true")
     if len(meta.get("schemas") or []) > 1:
         # schema-evolved table: resolve columns by parquet FIELD ID so
         # renamed columns re-map old files and added columns backfill
@@ -570,6 +576,7 @@ def iceberg_scan(
     skip_filters: list[tuple] | None = None,
     as_of_timestamp_ms: int | None = None,
     ref: str | None = None,
+    with_row_lineage: bool = False,
 ) -> DataFrame:
     """Read an Iceberg table at the current snapshot (or ``snapshot_id``
     / ``as_of_timestamp_ms`` for time travel): metadata/manifest planning
@@ -585,7 +592,16 @@ def iceberg_scan(
     (partition values incl. transform projection + column bounds) before
     Spark lists them. It is an optimization hint, not a row filter:
     callers still apply their real predicate to the returned frame;
-    date/timestamp literals are given in canonical days/micros."""
+    date/timestamp literals are given in canonical days/micros.
+
+    ``with_row_lineage`` (v3 tables created with row_lineage=True)
+    appends the spec's lineage columns: ``_row_id`` (a materialized
+    ``_row_id`` parquet column when the file carries one -- compaction
+    rewrites preserve ids -- else the manifest entry's first_row_id +
+    in-file position) and ``_last_updated_sequence_number`` (the
+    file's data sequence number, materialized-aware likewise).
+    Position/DV deletes compose naturally: deleted rows drop out, the
+    survivors keep their ids."""
     meta = _load_metadata(table)
     if ref is not None:
         if snapshot_id is not None or as_of_timestamp_ms is not None:
@@ -605,10 +621,51 @@ def iceberg_scan(
                 f"no snapshot at or before timestamp {as_of_timestamp_ms}"
             )
         snapshot_id = max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
-    df, _plan = _live_tagged(spark, table, meta, snapshot_id, skip_filters)
+    from pyspark.sql import functions as F
+
+    if with_row_lineage and "next-row-id" not in meta:
+        raise ValueError(
+            "iceberg_scan: with_row_lineage requires a v3 table created "
+            "with row_lineage=True"
+        )
+    df, plan = _live_tagged(spark, table, meta, snapshot_id, skip_filters,
+                            merge_schema=with_row_lineage)
     if df is None:
         return spark.createDataFrame([], _schema_from_iceberg(meta))
-    return df.drop("__p", "__i")
+    if with_row_lineage:
+        rl_rows = [
+            (os.path.abspath(p),
+             None if info.get("first_row_id") is None
+             else int(info["first_row_id"]),
+             int(seq))
+            for p, seq, info in plan["data"]
+        ]
+        rl_map = spark.createDataFrame(
+            rl_rows, "__rl_path string, __rl_first long, __rl_seq long"
+        )
+        df = df.join(F.broadcast(rl_map), F.col("__p") == F.col("__rl_path"))
+        mat_id = (F.col("_row_id") if "_row_id" in df.columns
+                  else F.lit(None).cast("long"))
+        mat_seq = (F.col("_last_updated_sequence_number")
+                   if "_last_updated_sequence_number" in df.columns
+                   else F.lit(None).cast("long"))
+        df = (
+            df.withColumn(
+                "__rl_id_out",
+                F.coalesce(mat_id, F.col("__rl_first") + F.col("__i")),
+            )
+            .withColumn("__rl_seq_out", F.coalesce(mat_seq, F.col("__rl_seq")))
+            .drop("_row_id", "_last_updated_sequence_number",
+                  "__rl_path", "__rl_first", "__rl_seq")
+            .withColumnRenamed("__rl_id_out", "_row_id")
+            .withColumnRenamed("__rl_seq_out", "_last_updated_sequence_number")
+        )
+    out = df.drop("__p", "__i")
+    if not with_row_lineage:
+        # materialized lineage columns (compaction rewrites) are
+        # physical bookkeeping, never part of the logical schema
+        out = out.drop("_row_id", "_last_updated_sequence_number")
+    return out
 
 
 def iceberg_alter(
@@ -1058,6 +1115,10 @@ _MANIFEST_SCHEMA = {
                         {"name": "file_format", "type": ["null", "string"]},
                         {"name": "record_count", "type": ["null", "long"]},
                         {"name": "file_size_in_bytes", "type": ["null", "long"]},
+                        # v3 row lineage (spec field 142): the first row
+                        # id assigned to this file; a row's _row_id =
+                        # first_row_id + position unless materialized
+                        {"name": "first_row_id", "type": ["null", "long"]},
                         # v3 deletion-vector pointer fields (spec fields
                         # 143/144/145): the referenced data file and the
                         # framed DV blob's position inside the Puffin file
@@ -1150,6 +1211,7 @@ _DATA_FILE_DEFAULTS = {
     "referenced_data_file": None,
     "content_offset": None,
     "content_size_in_bytes": None,
+    "first_row_id": None,
 }
 
 _MANIFEST_LIST_SCHEMA = {
@@ -1241,7 +1303,15 @@ def _with_field_ids(df: DataFrame, name_to_id: dict[int, str]) -> DataFrame:
 
     return df.select(
         *[
-            F.col(f"`{c}`").alias(c, metadata={"parquet.field.id": name_to_id[c]})
+            (
+                F.col(f"`{c}`").alias(
+                    c, metadata={"parquet.field.id": name_to_id[c]}
+                )
+                if c in name_to_id
+                # physical bookkeeping columns (materialized row
+                # lineage) have no schema field id -- pass through
+                else F.col(f"`{c}`")
+            )
             for c in df.columns
         ]
     )
@@ -1577,6 +1647,7 @@ def iceberg_write(
     partition_spec: list[dict] | None = None,
     txn: tuple[str, int] | None = None,
     branch: str | None = None,
+    row_lineage: bool = False,
 ) -> int:
     """Commit df to an Iceberg table (append/overwrite); creates the
     table on first commit. ``partition_spec`` (first commit only) is a
@@ -1584,7 +1655,12 @@ def iceberg_write(
     (identity / bucket[N] / truncate[W] / day / month / year); later
     commits reuse the table's spec. Data files carry parquet field ids
     and manifest entries carry partition values + column bounds, so the
-    scan can prune files from metadata alone. Returns the snapshot id."""
+    scan can prune files from metadata alone. ``row_lineage=True``
+    (first commit only) creates a format-version 3 table with the
+    spec's row lineage: every commit assigns each data file a
+    ``first_row_id`` from the table's ``next-row-id`` counter and the
+    snapshot records its ``first-row-id`` -- read back via
+    ``iceberg_scan(with_row_lineage=True)``. Returns the snapshot id."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     if branch is not None and mode != "append":
@@ -1611,6 +1687,10 @@ def iceberg_write(
                 "partition_spec may only be set at table creation "
                 f"(table has {existing})"
             )
+        if row_lineage and "next-row-id" not in meta:
+            raise ValueError(
+                "row_lineage may only be set at table creation"
+            )
         spec_fields = existing
     else:
         if branch is not None:
@@ -1628,7 +1708,7 @@ def iceberg_write(
             for i, f in enumerate(spec_fields)
         ]
         meta = {
-            "format-version": 1,
+            "format-version": 3 if row_lineage else 1,
             "table-uuid": uuid.uuid4().hex,
             "location": table,
             "last-updated-ms": 0,
@@ -1641,11 +1721,24 @@ def iceberg_write(
             "snapshots": [],
             "current-snapshot-id": -1,
         }
+        if row_lineage:
+            meta["next-row-id"] = 0
         version = 0
 
     snapshot_id = int(time.time() * 1000) * 1000 + version + 1
     seq = int(meta.get("last-sequence-number") or 0) + 1
     adds = _write_parquet_files(df, table, meta=meta, spec_fields=spec_fields)
+    snap_first_row_id = None
+    if "next-row-id" in meta:
+        # v3 row lineage: each file's rows are first_row_id + position;
+        # the snapshot records where its id range starts and the table
+        # counter advances past everything assigned
+        next_rid = int(meta["next-row-id"])
+        snap_first_row_id = next_rid
+        for a in adds:
+            a["first_row_id"] = next_rid
+            next_rid += int(a.get("record_count") or 0)
+        meta["next-row-id"] = next_rid
     entries = [
         {"status": 1, "snapshot_id": snapshot_id,
          "data_file": {"content": 0, "equality_ids": None,
@@ -1715,6 +1808,10 @@ def iceberg_write(
             "timestamp-ms": now_ms,
             "manifest-list": mlist_path,
             "summary": summary,
+            **(
+                {"first-row-id": snap_first_row_id}
+                if snap_first_row_id is not None else {}
+            ),
             **(
                 {"parent-snapshot-id": parent_id}
                 if parent_id != -1 else {}
@@ -2288,7 +2385,12 @@ def iceberg_compact(spark: SparkSession, table: str, target_files: int = 1) -> d
     expired. Returns {files_before, files_after, snapshot_id}."""
     meta = _load_metadata(table)
     files, delete_files = _snapshot_files(table, meta, None)
-    live = iceberg_scan(spark, table)
+    # on a v3 row-lineage table the rewrite MATERIALIZES each row's
+    # _row_id / _last_updated_sequence_number into the compacted files
+    # (the spec's rule: rewrites preserve lineage), which the scan then
+    # prefers over first_row_id + position
+    rl = "next-row-id" in meta
+    live = iceberg_scan(spark, table, with_row_lineage=rl)
     compacted = live.repartition(target_files)
     snapshot_id = iceberg_write(compacted, table, mode="overwrite")
     return {

@@ -278,3 +278,110 @@ def test_puffin_statistics_roundtrip_and_gates(spark, tmp_path):
         iceberg_write_stats(spark, t, ["nope"])
     with _pytest.raises(ValueError, match="no statistics registered"):
         iceberg_ndv(t, snapshot_id=12345)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: v3 row lineage
+# ---------------------------------------------------------------------------
+
+
+def test_row_lineage_ids_and_sequence(spark, tmp_path):
+    from hive_person_service_spark.sources.iceberg import (
+        _load_metadata,
+        iceberg_scan,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "rl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    iceberg_write(df.repartition(1).sortWithinPartitions("id"), t,
+                  row_lineage=True)
+    meta = _load_metadata(t)
+    assert meta["format-version"] == 3
+    assert meta["next-row-id"] == 20
+    assert meta["snapshots"][-1]["first-row-id"] == 0
+    rows = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in iceberg_scan(spark, t, with_row_lineage=True).collect()
+    }
+    assert [rows[i][0] for i in range(20)] == list(range(20))
+    assert {v for _r, v in rows.values()} == {1}
+    # second append: fresh ids continue from next-row-id, seq advances
+    iceberg_write(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(20, 30)], "id long, v double"
+        ).repartition(1).sortWithinPartitions("id"),
+        t,
+    )
+    meta = _load_metadata(t)
+    assert meta["next-row-id"] == 30
+    assert meta["snapshots"][-1]["first-row-id"] == 20
+    rows = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in iceberg_scan(spark, t, with_row_lineage=True).collect()
+    }
+    assert [rows[i][0] for i in sorted(rows)] == list(range(30))
+    assert {rows[i][1] for i in range(20)} == {1}
+    assert {rows[i][1] for i in range(20, 30)} == {2}
+    # plain scans never leak lineage columns
+    assert sorted(iceberg_scan(spark, t).columns) == ["id", "v"]
+
+
+def test_row_lineage_survives_delete_and_compaction(spark, tmp_path):
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_compact,
+        iceberg_delete,
+        iceberg_scan,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "rlc")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id long, v double"
+    )
+    iceberg_write(df.repartition(1).sortWithinPartitions("id"), t,
+                  row_lineage=True)
+    iceberg_delete(spark, t, "id % 5 = 0")
+    rows = {
+        r["id"]: r["_row_id"]
+        for r in iceberg_scan(spark, t, with_row_lineage=True).collect()
+    }
+    # position delete leaves the file alone: survivors keep their ids
+    assert rows == {i: i for i in range(20) if i % 5 != 0}
+    res = iceberg_compact(spark, t)
+    assert res["files_after"] == 1
+    after = {
+        r["id"]: (r["_row_id"], r["_last_updated_sequence_number"])
+        for r in iceberg_scan(spark, t, with_row_lineage=True).collect()
+    }
+    # the rewrite materialized lineage: ids preserved, and the sequence
+    # number still names the commit that last WROTE the rows (1), not
+    # the compaction
+    assert {i: rid for i, (rid, _s) in after.items()} == rows
+    assert {s for _r, s in after.values()} == {1}
+    # plain scan of the compacted table stays clean
+    assert sorted(iceberg_scan(spark, t).columns) == ["id", "v"]
+    assert iceberg_scan(spark, t).count() == 16
+
+
+def test_row_lineage_requires_creation_flag(spark, tmp_path):
+    import pytest as _pytest
+
+    from hive_person_service_spark.sources.iceberg import (
+        iceberg_scan,
+        iceberg_write,
+    )
+
+    t = str(tmp_path / "rl_off")
+    iceberg_write(
+        spark.createDataFrame([(1, 1.0)], "id long, v double"), t
+    )
+    with _pytest.raises(ValueError, match="row_lineage"):
+        iceberg_scan(spark, t, with_row_lineage=True)
+    with _pytest.raises(ValueError, match="creation"):
+        iceberg_write(
+            spark.createDataFrame([(2, 2.0)], "id long, v double"), t,
+            row_lineage=True,
+        )

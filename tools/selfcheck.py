@@ -132,6 +132,11 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
+            # queries may persist() intermediates for their own reuse;
+            # across a 446-query sweep those leak into one shared JVM
+            # heap (an sf1 sweep OOM'd on the accumulation) -- clear
+            # between queries so each runs from a clean slate
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
             n_fail += 1
