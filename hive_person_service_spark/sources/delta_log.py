@@ -551,14 +551,19 @@ def delta_scan(
         df = df.join(F.broadcast(rt_map), F.col("__p") == F.col("__rt_path"))
         mat = (F.col("_row_id") if "_row_id" in df.columns
                else F.lit(None).cast("long"))
+        mat_ver = (F.col("_row_commit_version")
+                   if "_row_commit_version" in df.columns
+                   else F.lit(None).cast("long"))
         df = (
             df.withColumn(
                 "__rt_id_out",
                 F.coalesce(mat, F.col("__rt_base") + F.col("__i")),
             )
-            .drop("_row_id", "__rt_path", "__rt_base")
+            .withColumn("__rt_ver_out", F.coalesce(mat_ver, F.col("__rt_ver")))
+            .drop("_row_id", "_row_commit_version",
+                  "__rt_path", "__rt_base", "__rt_ver")
             .withColumnRenamed("__rt_id_out", "_row_id")
-            .withColumnRenamed("__rt_ver", "_row_commit_version")
+            .withColumnRenamed("__rt_ver_out", "_row_commit_version")
         )
     dv_adds = {p: a["deletionVector"] for p, a in files.items()
                if a.get("deletionVector")}
@@ -593,10 +598,10 @@ def delta_scan(
         ).select(*cols)
     elif "__p" in df.columns:
         df = df.drop("__p", "__i")
-    if not with_row_tracking and "_row_id" in df.columns:
-        # the materialized row-id column is physical bookkeeping of the
-        # row-tracking feature, never part of the logical schema
-        df = df.drop("_row_id")
+    if not with_row_tracking:
+        # materialized row-tracking columns are physical bookkeeping,
+        # never part of the logical schema
+        df = df.drop("_row_id", "_row_commit_version")
     mode = (meta.get("configuration") or {}).get("delta.columnMapping.mode")
     if mode in ("name", "id"):
         # Column mapping: data files carry physical names; the logical
@@ -2089,7 +2094,15 @@ def delta_optimize(spark: SparkSession, table: str, target_files: int = 1) -> di
     if not files:
         return {"files_before": 0, "files_after": 0, "version": version}
     partition_by = meta.get("partitionColumns", []) or []
-    live = delta_scan(spark, table)  # DVs applied -> survivors only
+    rt_on = (meta.get("configuration") or {}).get(
+        "delta.enableRowTracking"
+    ) == "true"
+    # row-tracking tables: a dataChange=false rewrite must PRESERVE row
+    # ids and commit versions (the spec's stability contract), so the
+    # survivors' lineage is read out and MATERIALIZED into the compacted
+    # files as the _row_id / _row_commit_version physical columns the
+    # scan prefers over baseRowId + position
+    live = delta_scan(spark, table, with_row_tracking=rt_on)
     n_before = len(files)
     pm = _cm_phys_map(meta)
     if pm:
@@ -2118,6 +2131,32 @@ def delta_optimize(spark: SparkSession, table: str, target_files: int = 1) -> di
         actions.append(
             {"remove": {"path": path, "deletionTimestamp": now,
                         "dataChange": False}}
+        )
+    if rt_on:
+        # fresh default ids for the compacted files per the protocol
+        # (the materialized columns override them on read), and the
+        # high-water mark advances past them
+        hwm = _row_id_high_water_mark(table)
+        for a in adds:
+            n = 0
+            try:
+                n = int(json.loads(a.get("stats") or "{}")
+                        .get("numRecords") or 0)
+            except (ValueError, TypeError):
+                pass
+            a["baseRowId"] = hwm + 1
+            a["defaultRowCommitVersion"] = version + 1
+            hwm += max(n, 1)
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
         )
     for a in adds:
         actions.append({"add": {**a, "dataChange": False}})

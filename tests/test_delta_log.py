@@ -759,3 +759,44 @@ def test_row_tracking_fresh_ids_monotone_across_appends(spark, tmp_path):
     assert {rows[i][1] for i in range(0, 10)} == {0}
     assert {rows[i][1] for i in range(10, 20)} == {1}
     assert {rows[i][1] for i in range(20, 30)} == {2}
+
+
+def test_row_tracking_survives_optimize(spark, tmp_path):
+    """A dataChange=false rewrite (OPTIMIZE) must preserve row ids AND
+    commit versions -- the spec's stability contract for reorganizing
+    commits."""
+    from hive_person_service_spark.sources.delta_log import (
+        delta_optimize,
+        delta_scan,
+        delta_write,
+    )
+
+    t = str(tmp_path / "rt_opt")
+    for lo in (0, 10):
+        delta_write(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 10)],
+                "id long, v double",
+            ).repartition(1).sortWithinPartitions("id"),
+            t,
+            configuration=(
+                {"delta.enableRowTracking": "true"} if lo == 0 else None
+            ),
+        )
+    before = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in delta_scan(spark, t, with_row_tracking=True).collect()
+    }
+    res = delta_optimize(spark, t)
+    assert res["files_after"] == 1
+    after = {
+        r["id"]: (r["_row_id"], r["_row_commit_version"])
+        for r in delta_scan(spark, t, with_row_tracking=True).collect()
+    }
+    assert after == before, "OPTIMIZE changed row ids or commit versions"
+    # and the feed over the OPTIMIZE stays empty (dataChange=false)
+    from hive_person_service_spark.sources.delta_log import delta_changes
+
+    assert delta_changes(spark, t, starting_version=2).collect() == []
+    # plain scan stays clean
+    assert delta_scan(spark, t).columns == ["id", "v"]
