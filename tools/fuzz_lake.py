@@ -114,7 +114,22 @@ def run_delta_history(spark, rng: random.Random, root: str) -> int:
 
     vacuumed: set[str] = set()  # relative paths VACUUM reclaimed
     for _step in range(rng.randrange(3, 7)):
-        op = rng.choice(["append", "delete", "update", "overwrite", "vacuum"])
+        op = rng.choice(["append", "delete", "update", "overwrite", "vacuum",
+                         "optimize"])
+        if op == "optimize":
+            from hive_person_service_spark.sources.delta_log import (
+                delta_optimize,
+            )
+
+            delta_optimize(spark, t, target_files=rng.randrange(1, 3))
+            # reorganization only: shadow unchanged AND the shadow event
+            # log gets nothing -- the feed differential below then pins
+            # that dataChange=false removes emit no spurious deletes
+            _check("delta optimize", _scan_rows(delta_scan(spark, t)),
+                   sorted(shadow))
+            history.append((max(_log_versions(t)), sorted(shadow)))
+            n_checks += 1
+            continue
         if op == "vacuum":
             from hive_person_service_spark.sources.delta_log import (
                 delta_vacuum,
