@@ -668,3 +668,42 @@ def table_iceberg_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_last_updated_sequence_number"),
         F.round("s_acctbal", 2).alias("bal"),
     )
+
+
+@declare(
+    "table_hudi_savepoints",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS n_savepoints,
+           CAST(COUNT(*) AS BIGINT) AS n_supp,
+           ROUND(SUM(CASE WHEN s_suppkey % 10 = 0
+                          THEN s_acctbal + 1000.0
+                          ELSE s_acctbal END), 2) AS bal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    """,
+)
+def table_hudi_savepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The savepoints metadata face (show_savepoints): the restore
+    layout carries exactly ONE savepoint -- the known-good pin the
+    restore landed on -- and the query joins the savepoint listing with
+    the snapshot read AS OF the savepointed instant, so one oracle
+    certifies both the listing and that the pinned snapshot still
+    serves (the cleaner honored the pin)."""
+    from ..sources.hudi import _savepoints, hudi_scan
+
+    path = _hudi_restore_layout(spark, sf_dir)
+    sps = _savepoints(path)
+    assert all(
+        p.get("savepointDataFile")
+        for m in sps.values()
+        for p in (m.get("partitionMetadata") or {}).values()
+    ), "savepoint metadata must name pinned files"
+    [instant] = sps
+    agg = hudi_scan(spark, path, as_of=instant).agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 2).alias("bal"),
+    )
+    return agg.select(
+        F.lit(len(sps)).cast("long").alias("n_savepoints"),
+        F.col("n_supp").cast("long"),
+        F.col("bal"),
+    )
