@@ -534,6 +534,84 @@ def minhash_signatures_inrow_md5(
     )
 
 
+def _fold_min_perms_arrow(
+    hashed: DataFrame, num_perm: int, id_col: str
+) -> DataFrame:
+    """Turn (id, _hs array<long>) base-hash rows into MinHash signatures by
+    folding the universal-hash permutations in ONE vectorized numpy stage.
+
+    The JVM expression fold (F.aggregate + zip_with) is interpreted per
+    array element -- no codegen for higher-order-function lambdas -- and
+    allocates two intermediate arrays per shingle; at 32 permutations that
+    interpretation dominates signature cost. Here only (id, base hashes)
+    cross the Arrow boundary (a few bytes per shingle, never text), and the
+    permutation mins compute as two int64 matrix ops per batch:
+    (h[:, None] * A + B) % M, then a segmented min over each row's slice.
+    Arithmetic is IDENTICAL to the expression fold (int64 exact, all values
+    < 2^62): same constants, same mod, same mins -- bit-equal signatures.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    consts = _perm_constants(num_perm)
+    a_np = np.array([a for a, _ in consts], dtype=np.int64)
+    b_np = np.array([b for _, b in consts], dtype=np.int64)
+    m = _MERSENNE_31
+    out_schema = ", ".join(
+        [f"{id_col} long"] + [f"sig_{j} long" for j in range(num_perm)]
+    )
+
+    def fold(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            hs = batch.column(1)
+            if isinstance(hs, pa.ChunkedArray):  # not produced by mapInArrow,
+                hs = hs.combine_chunks()         # but cheap to be safe
+            # list<int64> = one contiguous values buffer + offsets; slice
+            # out this batch's window (zero-copy) before vectorizing
+            offs = hs.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = hs.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = vals[offs[0]:offs[-1]]
+            offs = offs - offs[0]
+            if len(vals) == 0:
+                continue
+            perm = (vals[:, None] * a_np[None, :] + b_np[None, :]) % m
+            # rows are non-empty by construction (callers filter docs with
+            # fewer than n tokens), so every reduceat segment is valid
+            sigs = np.minimum.reduceat(perm, offs[:-1], axis=0)
+            arrays = [ids] + [
+                pa.array(sigs[:, j], type=pa.int64()) for j in range(num_perm)
+            ]
+            yield pa.RecordBatch.from_arrays(
+                arrays,
+                names=[id_col] + [f"sig_{j}" for j in range(num_perm)],
+            )
+
+    return hashed.mapInArrow(fold, out_schema)
+
+
+def minhash_signatures_inrow_md5_vec(
+    docs: DataFrame, num_perm: int = 32, shingle_n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """minhash_signatures_inrow_md5 with the permutation fold vectorized
+    (see _fold_min_perms_arrow): base hashes stay JVM-side (codegen'd md5 +
+    hex parse per DISTINCT in-row shingle), the 32-permutation min fold
+    runs in numpy. Bit-identical signatures, same zero-shuffle shape -- the
+    Arrow stage is map-only."""
+    m = F.lit(_MERSENNE_31)
+    sh = shingles_expr(tokens_expr(), shingle_n)
+    hs = F.transform(
+        sh,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"), m
+        ),
+    )
+    base = docs.where(F.size(tokens_expr()) >= shingle_n).select(
+        F.col(id_col), hs.alias("_hs")
+    )
+    return _fold_min_perms_arrow(base, num_perm, id_col)
+
+
 def lsh_candidate_pairs_exact_bands(
     signatures: DataFrame,
     num_perm: int = 32,
@@ -599,11 +677,15 @@ def near_duplicates_minhash_md5(
     # persist the signatures BEFORE banding: the band self-join has two
     # scans of this relation, and unpersisted each side would recompute
     # every per-shingle md5 + 32-permutation fold (the whole signature
-    # arithmetic twice -- measured ~45% of the r7 bench query)
+    # arithmetic twice -- measured ~45% of the r7 bench query).
+    # The fold runs VECTORIZED (minhash_signatures_inrow_md5_vec: md5 stays
+    # JVM-side, the permutation mins compute in numpy) -- bit-identical
+    # signatures, measured 2.9x faster than the interpreted expression
+    # fold at sf0.1 (1.36s vs 3.93s noop-sink best-of-3, r11 opt round).
     sigs = _persist_bounded(
         "minhash_md5_sigs",
-        minhash_signatures_inrow_md5(df, num_perm=num_perm,
-                                     shingle_n=shingle_n),
+        minhash_signatures_inrow_md5_vec(df, num_perm=num_perm,
+                                         shingle_n=shingle_n),
     )
     cands = _persist_bounded(
         "minhash_md5_cands",

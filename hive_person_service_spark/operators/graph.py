@@ -78,20 +78,26 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("in_mass"))
         )
-        # mass sitting on dangling nodes (rank not forwarded by any edge)
-        dangling = (
+        # mass sitting on dangling nodes (rank not forwarded by any edge):
+        # collected as a SCALAR (one tiny job over the materialized rank
+        # table) and folded in as a literal -- the broadcast+crossJoin form
+        # this replaces paid a BroadcastExchange build job per round and
+        # carried a BroadcastNestedLoopJoin in the update plan for the same
+        # single double (identical arithmetic: the collected double is the
+        # exact value the broadcast row carried)
+        m = (
             ranks.join(danglers, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()["m"]
         )
         ranks = (
             nodes.join(incoming, "node", "left")
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     (1.0 - damping) / n
                     + damping
-                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("m") / n)
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.lit(m) / n)
                 ).alias("rank"),
             )
         )

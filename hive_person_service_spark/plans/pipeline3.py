@@ -249,12 +249,14 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself (P(w2|w1) = count(w1 w2)/count(w1 _)) and score each
     document by exp(-mean log P) over its bigrams -- the KenLM-style
     fluency filter of corpus pipelines, self-contained (no external model).
-    High proxy => improbable word sequences. Three aggregates over one
-    exploded bigram relation (model counts are corpus-wide, scores per
-    doc); the model tables join back as plain equi-joins -- bigram types
-    grow near-linearly with corpus size, so the join strategy is left to
-    AQE/statistics (broadcast at small scale, shuffle at web scale) rather
-    than forced. ln/exp are transcendental, so the score is half-up-rounded
+    High proxy => improbable word sequences. One corpus-wide bigram
+    aggregate builds the model (head counts c1 derive from the model
+    itself -- sum of its head's bigram counts -- not a second corpus
+    pass); the persisted gram relation is exploded once and joins the
+    enriched model as ONE plain equi-join -- bigram types grow
+    near-linearly with corpus size, so the join strategy is left to
+    AQE/statistics (broadcast at small scale, shuffle at web scale)
+    rather than forced. ln/exp are transcendental, so the score is half-up-rounded
     to 4 via the engine-proof FLOOR(x*1e4+0.5) idiom; the AVG over exact
     count ratios is the one accumulation risk and stays within rounding
     tolerance at every fixture SF (verified)."""
@@ -269,17 +271,26 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = docs.select("doc_id", F.explode(pairs).alias("g")).select(
         "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
-    )
+    ).persist()  # feeds the model aggregate AND the scoring join: one
+    # tokenize+explode pass instead of two (at 100 TB: a parquet staging
+    # table, the dedup_ngram_jaccard discipline)
     big = grams.groupBy(
         F.col("w1").alias("bw1"), F.col("w2").alias("bw2")
     ).agg(F.count("*").alias("c2"))
-    uni = grams.groupBy(F.col("w1").alias("uw1")).agg(F.count("*").alias("c1"))
+    # head counts derive from the MODEL relation (c1 = sum of its head's
+    # bigram counts -- exact integers), not from a second corpus-wide
+    # aggregate over the exploded gram relation; attaching c1 to the model
+    # first also turns the two corpus-side joins into one (the model join
+    # stays un-hinted: bigram types grow with corpus size, AQE decides)
+    uni = big.groupBy(F.col("bw1").alias("uw1")).agg(F.sum("c2").alias("c1"))
+    model = big.join(uni, F.col("bw1") == F.col("uw1")).select(
+        "bw1", "bw2", "c2", "c1"
+    )
     scored = (
         grams.join(
-            big,
+            model,
             (F.col("w1") == F.col("bw1")) & (F.col("w2") == F.col("bw2")),
         )
-        .join(uni, F.col("w1") == F.col("uw1"))
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),

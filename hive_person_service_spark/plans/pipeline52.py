@@ -85,8 +85,17 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_cached = s
     prev_edges = -1
     for i in range(1, KCORE_ROUNDS + 1):
-        d = s.groupBy("a").agg(F.count("*").alias("d")).where(F.col("d") >= KCORE_K)
-        keep_a = F.broadcast(d.select("a"))
+        # cache the degree relation: it feeds BOTH broadcast keep-sets,
+        # whose exchanges are not identical (different projection), so
+        # uncached each broadcast build re-ran the degree groupBy over the
+        # full edge relation -- one grouped pass per round, not two
+        d = (
+            s.groupBy("a").agg(F.count("*").alias("d"))
+            .where(F.col("d") >= KCORE_K)
+            .select("a")
+            .cache()
+        )
+        keep_a = F.broadcast(d)
         keep_b = F.broadcast(d.select(F.col("a").alias("b")))
         s = s.join(keep_a, "a").join(keep_b, "b").select("a", "b").cache()
         # collect this round's TWO numbers eagerly (a bounded
@@ -96,6 +105,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("a").alias("n"), F.count("*").alias("e")
         ).collect()[0]
         stats.append((i, int(row["n"]), int(row["e"])))
+        d.unpersist()
         prev_cached.unpersist()
         prev_cached = s
         if int(row["e"]) == prev_edges:
@@ -207,6 +217,12 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.col("b.neg_c")).cast("long").alias("cluster"),
             F.col("b.cos").alias("cos"),
         )
+        if r < KM_ROUNDS:
+            # two consumers (cluster stats + the centroid update): cache so
+            # the K x N cosine scoring + argmax runs once per round, not
+            # twice -- the update job below then reads the materialized
+            # assignment instead of recomputing `scored`
+            assign = assign.cache()
         for row in assign.groupBy("cluster").agg(
             F.count("*").alias("n"), F.round(F.avg("cos"), 4).alias("mc")
         ).collect():
@@ -226,6 +242,7 @@ def ml_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (c, [dims[i] for i in range(KM_DIM)])
                 for c, dims in sorted(by_c.items())
             ]
+            assign.unpersist()
     emb.unpersist()
     return spark.createDataFrame(
         sorted(stats), "round bigint, cluster bigint, n_vecs bigint, mean_cos double"

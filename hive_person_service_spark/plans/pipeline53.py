@@ -118,23 +118,29 @@ def ml_train_als(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cache()
         )
-        # bounded driver reads: 4 curve scalars + 2 counts per round
+        # bounded driver read: the round's 6 curve scalars in ONE action.
+        # The three 1-row aggregates (user stats, item stats, rmse) used to
+        # be three sequential collect()s -- three driver round-trips and
+        # three separate job submissions per round; crossJoining the 1-row
+        # relations executes all three subtrees in a single action (each
+        # aggregate's plan, and therefore its arithmetic, is unchanged --
+        # p/new_q stay cached and are materialized exactly once).
         pu = p.agg(
-            F.count("*").alias("n"), F.round(F.avg("p"), 4).alias("m")
-        ).collect()[0]
+            F.count("*").alias("n_p"), F.round(F.avg("p"), 4).alias("m_p")
+        )
         qi = new_q.agg(
-            F.count("*").alias("n"), F.round(F.avg("q"), 4).alias("m")
-        ).collect()[0]
+            F.count("*").alias("n_q"), F.round(F.avg("q"), 4).alias("m_q")
+        )
         err = F.col("r") - F.col("p") * F.col("q")
-        rmse = (
+        rm = (
             ratings.join(p, "u")
             .join(new_q, "i")
             .agg(F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"))
-            .collect()[0]["rmse"]
         )
+        row = pu.crossJoin(qi).crossJoin(rm).collect()[0]
         out.append(
-            (n, int(pu["n"]), int(qi["n"]), float(pu["m"]), float(qi["m"]),
-             float(rmse))
+            (n, int(row["n_p"]), int(row["n_q"]), float(row["m_p"]),
+             float(row["m_q"]), float(row["rmse"]))
         )
         q.unpersist()
         q = new_q

@@ -140,15 +140,35 @@ def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = base.select("q", "d", (F.col("y") - F.lit(mu0)).alias("res")).cache()
 
     out: list[tuple] = []
+    rdec = F.col("res").cast("decimal(19,0)")
+    rmse_agg_expr = F.round(
+        F.sqrt(F.sum(rdec * rdec).cast("double") / F.count("*")) / 1e6, 4
+    ).alias("rmse")
+    # round r's rmse is an aggregate over t_{r+1} -- the SAME relation round
+    # r+1's histograms read. Deferring it into round r+1's split-search
+    # action (a 1-row crossJoin) halves the per-round driver actions; the
+    # final round's rmse is the only one that still needs its own action.
+    pending: tuple | None = None  # (round, f, thr, mul, mur, gain)
+    prev_t = None  # t_{r-1}: stays cached until the action materializing t_r
     for r in range(1, GBT_ROUNDS + 1):
+        # Both feature histograms in ONE pass over t (GROUPING SETS ->
+        # a single Expand + aggregate, one exchange of <= 61 cells) instead
+        # of a union of two separate groupBys (two scans of the cached
+        # residual relation, two exchanges). Counts/sums are exact BIGINTs,
+        # so the regrouping cannot move a value.
+        gid = F.grouping_id()
         h = (
-            t.groupBy(F.col("d").alias("x"))
-            .agg(F.count("*").alias("n"), F.sum("res").alias("s"))
-            .select(F.lit("d").alias("f"), "x", "n", "s")
-            .unionByName(
-                t.groupBy(F.col("q").alias("x"))
-                .agg(F.count("*").alias("n"), F.sum("res").alias("s"))
-                .select(F.lit("q").alias("f"), "x", "n", "s")
+            t.groupingSets([[F.col("d")], [F.col("q")]], F.col("d"), F.col("q"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("res").alias("s"),
+                gid.alias("gid"),
+            )
+            .select(
+                F.when(F.col("gid") == 1, F.lit("d")).otherwise(F.lit("q")).alias("f"),
+                F.when(F.col("gid") == 1, F.col("d")).otherwise(F.col("q")).alias("x"),
+                "n",
+                "s",
             )
         )
         w_cum = Window.partitionBy("f").orderBy("x")
@@ -175,10 +195,16 @@ def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("gain"),
         )
-        # bounded driver read: the single best split row (<= 61 cells)
-        best = scored.orderBy(
-            F.col("gain").desc(), "f", "thr"
-        ).limit(1).collect()[0]
+        # bounded driver read: the single best split row (+ the previous
+        # round's 1-row rmse aggregate when one is pending)
+        best_q = scored.orderBy(F.col("gain").desc(), "f", "thr").limit(1)
+        if pending is None:
+            best = best_q.collect()[0]
+        else:
+            best = best_q.crossJoin(t.agg(rmse_agg_expr)).collect()[0]
+            out.append((*pending, float(best["rmse"])))
+        if prev_t is not None:
+            prev_t.unpersist()
         f_, thr = best["f"], int(best["thr"])
         mul, mur = int(best["mul"]), int(best["mur"])
         hit = F.col(f_) <= F.lit(thr)
@@ -189,16 +215,13 @@ def ml_train_gbt(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "res"
             ),
         ).cache()
-        rdec = F.col("res").cast("decimal(19,0)")
-        rmse = t_new.agg(
-            F.round(
-                F.sqrt(F.sum(rdec * rdec).cast("double") / F.count("*")) / 1e6,
-                4,
-            ).alias("rmse")
-        ).collect()[0]["rmse"]
-        out.append((r, f_, thr, mul, mur, float(best["gain"]), float(rmse)))
-        t.unpersist()
+        pending = (r, f_, thr, mul, mur, float(best["gain"]))
+        prev_t = t
         t = t_new
+    rmse = t.agg(rmse_agg_expr).collect()[0]["rmse"]
+    out.append((*pending, float(rmse)))
+    if prev_t is not None:
+        prev_t.unpersist()
     t.unpersist()
     return spark.createDataFrame(
         out,
@@ -332,12 +355,17 @@ def ml_train_als2(spark: SparkSession, sf_dir: str) -> DataFrame:
     for n in range(1, ALS2_ROUNDS + 1):
         p = half("u", "i", q).cache()
         new_q = half("i", "u", p).cache()
+        # ONE driver action per round (was three: p-stats collect, a
+        # new_q.count() job, and the rmse collect): crossJoin the 1-row
+        # aggregates so all subtrees run in a single job submission.
+        # Every aggregate is over EXACT integer sums, so merging the
+        # actions cannot move a value.
         ps = p.agg(
-            F.count("*").alias("n"),
+            F.count("*").alias("n_users"),
             F.round(F.sum("f1").cast("double") / F.count("*") / F.lit(1e6), 4).alias("a1"),
             F.round(F.sum("f2").cast("double") / F.count("*") / F.lit(1e6), 4).alias("a2"),
-        ).collect()[0]
-        n_items = new_q.count()
+        )
+        qs = new_q.agg(F.count("*").alias("n_items"))
         pred = F.floor(
             (F.col("pf1").cast("double") * F.col("f1")
              + F.col("pf2").cast("double") * F.col("f2")) / F.lit(1e6)
@@ -345,7 +373,7 @@ def ml_train_als2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         e = (F.col("rc") * 10000 - pred).alias("e")
         edec = F.col("e").cast("decimal(19,0)")
-        rmse = (
+        rm = (
             r.join(p.select("u", F.col("f1").alias("pf1"), F.col("f2").alias("pf2")), "u")
             .join(new_q, "i")
             .select(e)
@@ -355,10 +383,11 @@ def ml_train_als2(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6,
                 ).alias("rmse")
             )
-            .collect()[0]["rmse"]
         )
+        row = ps.crossJoin(qs).crossJoin(rm).collect()[0]
         out.append(
-            (n, int(ps["n"]), int(n_items), float(ps["a1"]), float(ps["a2"]), float(rmse))
+            (n, int(row["n_users"]), int(row["n_items"]), float(row["a1"]),
+             float(row["a2"]), float(row["rmse"]))
         )
         q.unpersist()
         q = new_q

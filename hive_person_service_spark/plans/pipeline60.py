@@ -132,7 +132,9 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.where(did % 10 != 7).select("doc_id", "text").unionByName(twins)
     hold = d.where(did % 10 == 7).select("doc_id", "text")
 
-    tr = doc_shingles(train, n=13)
+    # two consumers (per-doc gram counts + the holdout semi-join): persist
+    # so the train side shingles once, not twice
+    tr = doc_shingles(train, n=13).persist()
     ho = doc_shingles(hold, n=13).select("shingle").distinct()
     n = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (
@@ -334,26 +336,66 @@ def ml_train_gbt2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def _hists(frame, part_cols):
+        # Both feature histograms in ONE pass (GROUPING SETS: a single
+        # Expand + aggregate, one exchange of <= 122 cells) instead of a
+        # union of two groupBys scanning the cached residual relation
+        # twice. gid bit layout over (parts..., d, q): the (d) set leaves
+        # q un-grouped -> gid == 1; exact BIGINT sums, so the regrouping
+        # cannot move a value.
         parts = [F.col(c) for c in part_cols]
         return (
-            frame.groupBy(*parts, F.col("d").alias("x"))
-            .agg(F.count("*").alias("n"), F.sum("res").alias("s"))
-            .select(*parts, F.lit("d").alias("f"), "x", "n", "s")
-            .unionByName(
-                frame.groupBy(*parts, F.col("q").alias("x"))
-                .agg(F.count("*").alias("n"), F.sum("res").alias("s"))
-                .select(*parts, F.lit("q").alias("f"), "x", "n", "s")
+            frame.groupingSets(
+                [[*parts, F.col("d")], [*parts, F.col("q")]],
+                *parts,
+                F.col("d"),
+                F.col("q"),
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("res").alias("s"),
+                F.grouping_id().alias("gid"),
+            )
+            .select(
+                *parts,
+                F.when(F.col("gid") == 1, F.lit("d"))
+                .otherwise(F.lit("q"))
+                .alias("f"),
+                F.when(F.col("gid") == 1, F.col("d"))
+                .otherwise(F.col("q"))
+                .alias("x"),
+                "n",
+                "s",
             )
         )
 
     out: list[tuple] = []
+    rdec = F.col("res").cast("decimal(19,0)")
+    rmse_expr = F.round(
+        F.sqrt(F.sum(rdec * rdec).cast("double") / F.count("*")) / 1e6, 4
+    ).alias("rmse")
+    # Round r's rmse aggregates t_{r+1} -- the same relation round r+1's
+    # root split search reads. Deferring it into that action (a 1-row
+    # crossJoin) drops one driver action per round; only the last round
+    # pays a dedicated rmse job. Because t_{r+1} now first materializes
+    # during round r+1's root action, s_r must stay cached until then.
+    pending_rows: list[tuple] = []  # round r-1 output rows awaiting rmse
+    prev_s = None
     for r in range(1, GBT2_ROUNDS + 1):
-        root = (
+        root_q = (
             _scored(_hists(t, []), [])
             .orderBy(F.col("gain").desc(), "f", "thr")
             .limit(1)
-            .collect()[0]
         )
+        if pending_rows:
+            root = root_q.crossJoin(t.agg(rmse_expr)).collect()[0]
+            rmse = float(root["rmse"])
+            out.extend((*row, rmse) for row in pending_rows)
+            pending_rows = []
+        else:
+            root = root_q.collect()[0]
+        if prev_s is not None:
+            prev_s.unpersist()
+            prev_s = None
         rf, rthr = root["f"], int(root["thr"])
         side = F.when(F.col(rf) <= F.lit(rthr), F.lit("L")).otherwise(
             F.lit("R")
@@ -385,30 +427,24 @@ def ml_train_gbt2(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(miss, F.col("res") - F.lit(int(row["mur"]))).otherwise(upd)
             )
         t_new = s.select("q", "d", upd.alias("res")).cache()
-        rdec = F.col("res").cast("decimal(19,0)")
-        rmse = float(
-            t_new.agg(
-                F.round(
-                    F.sqrt(F.sum(rdec * rdec).cast("double") / F.count("*"))
-                    / 1e6,
-                    4,
-                ).alias("rmse")
-            ).collect()[0]["rmse"]
-        )
-        out.append(
+        pending_rows.append(
             (r, "root", rf, rthr, int(root["mul"]), int(root["mur"]),
-             float(root["gain"]), rmse)
+             float(root["gain"]))
         )
         for sd in ("L", "R"):
             row = by_side[sd]
-            out.append(
+            pending_rows.append(
                 (r, "left" if sd == "L" else "right", row["f"],
                  int(row["thr"]), int(row["mul"]), int(row["mur"]),
-                 float(row["gain"]), rmse)
+                 float(row["gain"]))
             )
-        t.unpersist()
-        s.unpersist()
+        t.unpersist()  # t_new derives from s (materialized by the best2
+        prev_s = s     # collect), so t_r is no longer needed
         t = t_new
+    rmse = float(t.agg(rmse_expr).collect()[0]["rmse"])
+    out.extend((*row, rmse) for row in pending_rows)
+    if prev_s is not None:
+        prev_s.unpersist()
     t.unpersist()
     return spark.createDataFrame(
         out,

@@ -158,15 +158,26 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares one of the 4 bands, so recall at threshold 3 is exact."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_expr()).alias("w"))
+    # Digest work per DISTINCT word, not per occurrence: the md5 bit votes
+    # depend only on the word, so term frequencies aggregate first
+    # (map-side partial agg), the +-1 bit vector is computed once per
+    # vocabulary word, and the per-doc vote becomes sum(tf * bit) -- exact
+    # integer arithmetic, identical vote sums. The vocabulary relation
+    # joins back un-hinted (corpus-derived: AQE broadcasts only while it
+    # fits). sf0.1: 1.1M occurrence digests -> |vocab| digests.
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
     h1, h2 = F.md5("w"), F.md5(F.concat(F.lit("#"), F.col("w")))
-    votes = [
-        F.sum(
-            F.when(F.substring(h1 if i < 32 else h2, (i % 32) + 1, 1) >= "8", 1)
-            .otherwise(-1)
-        ).alias(f"v_{i}")
+    bits = [
+        F.when(F.substring(h1 if i < 32 else h2, (i % 32) + 1, 1) >= "8", 1)
+        .otherwise(-1)
+        .alias(f"b_{i}")
         for i in range(64)
     ]
-    agg = tok.groupBy("doc_id").agg(*votes)
+    wb = tf.select("w").distinct().select("w", *bits)
+    votes = [
+        F.sum(F.col("c") * F.col(f"b_{i}")).alias(f"v_{i}") for i in range(64)
+    ]
+    agg = tf.join(wb, "w").groupBy("doc_id").agg(*votes)
     lo = sum(
         (
             F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(0)

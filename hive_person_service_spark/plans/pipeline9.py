@@ -78,7 +78,10 @@ def text_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = (
         d.select("doc_id", F.explode(kg).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
-    )
+    ).persist()  # feeds the dup aggregate AND the hits join: shingle the
+    # corpus once, not twice (kept as groupBy+join, NOT a min/max window
+    # over g -- a window cannot partial-aggregate, so one hot boilerplate
+    # shingle would funnel into a single task at scale)
     dup = pos.groupBy("g").agg(
         F.countDistinct("doc_id").alias("nd")
     ).where(F.col("nd") >= 2).select("g")

@@ -119,7 +119,9 @@ def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array("embedding").alias("ev")
     )
-    assign = _assignment(spark, sf_dir).select("vec_id", "cluster")
+    # three consumers (both self-join sides + the final keep join): persist
+    # so the K x N centroid scoring pass runs once, not three times
+    assign = _assignment(spark, sf_dir).select("vec_id", "cluster").persist()
     va = assign.join(emb, "vec_id")
     a = va.select(
         F.col("vec_id").alias("a_id"), F.col("cluster").alias("ca"), F.col("ev").alias("eva")

@@ -109,6 +109,23 @@ def test_minhash_inrow_equals_grouped(spark):
     assert grouped == inrow
 
 
+def test_minhash_md5_vec_equals_expression_fold(spark):
+    # The vectorized (numpy mapInArrow) permutation fold must be
+    # bit-identical to the JVM expression fold: same md5 base hashes,
+    # same (a, b) constants, same mod arithmetic -- only the execution
+    # strategy differs (r11 optimization round).
+    from hive_person_service_spark.operators.dedup import (
+        minhash_signatures_inrow_md5,
+        minhash_signatures_inrow_md5_vec,
+    )
+    from hive_person_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    expr = minhash_signatures_inrow_md5(docs).orderBy("doc_id").collect()
+    vec = minhash_signatures_inrow_md5_vec(docs).orderBy("doc_id").collect()
+    assert expr == vec
+
+
 def test_prefix_join_equals_full_join_and_prunes(spark):
     # Prefix filtering is exact (the prefix lemma guarantees recall) and
     # must generate strictly fewer candidates than the full inverted index.
