@@ -52,24 +52,21 @@ def _cms_buckets(col: Column, d: int, w: int) -> Column:
 
 
 def cms_build(items: DataFrame, col: str, d: int = 4, w: int = 1024) -> DataFrame:
-    """Count-min sketch: d independent hash rows of w buckets. Output is at
-    most d*w cells regardless of input size. Merging two sketches = union +
-    sum by (seed, bucket).
+    """Count-min sketch: d independent hash rows of w buckets. One grouped
+    pass; output is at most d*w cells regardless of input size. Merging two
+    sketches = union + sum by (seed, bucket).
 
-    Digest work scales with DISTINCT items, not occurrences: occurrences
-    pre-aggregate to (item, cnt) -- partial aggregation collapses the bulk
-    map-side -- then md5 runs once per distinct item and the cells sum the
-    weighted counts. Cell values are identical (exact integer counts,
-    order-free); on the sf0.1 bigram stream this cuts digest evaluations
-    ~7x (2.24M occurrences -> 315k distinct)."""
-    per_item = items.groupBy(F.col(col).alias("__item")).agg(
-        F.count("*").alias("__cnt")
+    Deliberately hashes per OCCURRENCE, not per distinct item: the direct
+    groupBy(seed, bucket) partial-aggregates to <= d*w cells per task, so
+    shuffle volume is CONSTANT in corpus size, while a
+    count-distinct-items-first variant shuffles the distinct-item relation
+    (corpus-sized at web scale) to save digest CPU. Measured at sf0.1 the
+    two are within noise (3.41s vs 3.27s); at 100 TB constant shuffle wins
+    (r11 optimization round, guide §2.3)."""
+    cells = items.select(
+        F.posexplode(_cms_buckets(F.col(col), d, w)).alias("seed", "bucket")
     )
-    cells = per_item.select(
-        F.col("__cnt"),
-        F.posexplode(_cms_buckets(F.col("__item"), d, w)).alias("seed", "bucket"),
-    )
-    return cells.groupBy("seed", "bucket").agg(F.sum("__cnt").alias("cnt"))
+    return cells.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
 
 
 def cms_probe(cms: DataFrame, probes: DataFrame, col: str, d: int = 4,

@@ -148,21 +148,22 @@ def prune_files(
     stats: DataFrame, column: str, lo: float, hi: float
 ) -> list[str]:
     """Files whose [min, max] range for `column` overlaps [lo, hi]. Files
-    with no stats row for the column are kept (unknown => cannot skip)."""
-    all_files = {r["file"] for r in stats.select("file").distinct().collect()}
-    with_stats = {
-        r["file"]
-        for r in stats.where(F.col("column") == column).select("file").collect()
-    }
+    with no stats row for the column are kept (unknown => cannot skip).
+
+    ONE collect of the (tiny, files x columns) index instead of three
+    separate jobs -- an unpersisted stats relation used to re-run its
+    footer-reading stage once per collect (r11 optimization round). The
+    set logic is identical, driver-side over the same rows."""
+    rows = stats.select("file", "column", "min_val", "max_val").collect()
+    all_files = {r["file"] for r in rows}
+    with_stats = {r["file"] for r in rows if r["column"] == column}
     overlapping = {
         r["file"]
-        for r in stats.where(
-            (F.col("column") == column)
-            & (F.col("max_val") >= lo)
-            & (F.col("min_val") <= hi)
-        )
-        .select("file")
-        .collect()
+        for r in rows
+        if r["column"] == column
+        and r["max_val"] is not None
+        and r["max_val"] >= lo
+        and r["min_val"] <= hi
     }
     return sorted((all_files - with_stats) | overlapping)
 

@@ -268,13 +268,14 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import doc_shingles
 
     d = load_table(spark, sf_dir, "documents")
-    # three consumers (|A| counts + both self-join sides): persist so the
-    # corpus is tokenized/shingled once, not three times (the
-    # dedup_ngram_jaccard discipline; a 100 TB run stages this to parquet).
-    # No .distinct(): doc_shingles dedupes in-row (shingles_expr wraps
-    # array_distinct), so (doc_id, shingle) is already unique -- the
-    # global distinct this replaces was a redundant corpus-wide shuffle.
-    sh = doc_shingles(d, n=3).persist()
+    # The .distinct() is value-wise redundant (doc_shingles dedupes in-row
+    # via array_distinct) but kept DELIBERATELY: its Exchange+Aggregate is
+    # an identical subtree under all three consumers (|A| counts + both
+    # self-join sides), so ReuseExchange computes the shingling once and
+    # shares the shuffle output -- measured at sf0.1 (interleaved
+    # best-of-4, r11 opt round): 3.4s as-is vs 4.8s with .persist()
+    # instead vs 6.8s with neither. A free materialization point.
+    sh = doc_shingles(d, n=3).distinct()
     n = sh.groupBy("doc_id").agg(F.count("*").alias("ns"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

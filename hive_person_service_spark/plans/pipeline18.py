@@ -56,13 +56,15 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys on the shingle. The curve's decay is what crawl scheduling /
     dataset-ordering reads; near-dup documents show novelty ~ 0."""
     d = load_table(spark, sf_dir, "documents")
-    # No .distinct(): shingles_expr dedupes in-row (array_distinct), so
-    # (doc_id, g) is already unique -- the global distinct this replaces
-    # was a redundant corpus-wide shuffle. Persisted: two consumers (the
-    # first-occurrence aggregate + the join back).
+    # The .distinct() is value-wise redundant (shingles_expr dedupes
+    # in-row) but kept deliberately: its Exchange+Aggregate subtree is
+    # identical under both consumers (first-occurrence aggregate + the
+    # join back), so ReuseExchange shingles the corpus once and shares the
+    # shuffle -- the text_containment measurement (r11 opt round): the
+    # shared distinct beat both .persist() and bare recompute.
     sh = d.select(
         "doc_id", F.explode(shingles_expr(tokens_expr(), 3)).alias("g")
-    ).persist()
+    ).distinct()
     firsts = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         sh.join(firsts, "g")

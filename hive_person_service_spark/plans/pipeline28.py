@@ -56,11 +56,16 @@ def zorder_2d_pruned_scan(
     from ..operators.skipping import build_stats_index, prune_files
 
     path = zorder_orders_layout(spark, sf_dir)
-    stats = build_stats_index(spark, path, ["o_custkey", "o_totalprice"])
+    # persist the (files x columns) index: unpersisted, every downstream
+    # job (file count + each prune) re-ran the footer-reading Python stage
+    stats = build_stats_index(
+        spark, path, ["o_custkey", "o_totalprice"]
+    ).persist()
     n_total = stats.select("file").distinct().count()
     keep_cust = set(prune_files(stats, "o_custkey", 100.0, 400.0))
     keep_price = set(prune_files(stats, "o_totalprice", 50_000.0, 150_000.0))
     keep = sorted(keep_cust & keep_price)
+    stats.unpersist()
     if not keep:
         base = spark.read.parquet(path).where(F.lit(False))
         return base, 0, n_total

@@ -78,24 +78,32 @@ def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", gs.alias("gs")).where(
         F.size("gs") >= WINNOW_W
     )
-    # For window j (1-based): min hash of gs[j .. j+w-1], position of the
-    # first occurrence of that min inside the window (absolute, 0-based).
-    sel = F.transform(
+    # Per-window min hash computed ONCE in a prior projection: HOF lambdas
+    # get no common-subexpression elimination, so the single-expression
+    # form sliced each window three times and min'd it twice (r11 opt
+    # round). `ms[i]` (0-based) = min of gs[i+1 .. i+w] (1-based slice).
+    ms = F.transform(
         F.sequence(F.lit(1), F.size("gs") - (WINNOW_W - 1)),
-        lambda j: F.struct(
-            F.array_min(F.slice(F.col("gs"), j, WINNOW_W)).alias("fp"),
+        lambda j: F.array_min(F.slice(F.col("gs"), j, WINNOW_W)),
+    )
+    staged = base.select("doc_id", "gs", ms.alias("ms"))
+    # For window i (0-based): fp = ms[i], pos = absolute 0-based position
+    # of the window's first occurrence of that min -- identical values to
+    # the original j-1 + array_position(slice, array_min(slice)) form.
+    sel = F.transform(
+        F.col("ms"),
+        lambda m, i: F.struct(
+            m.alias("fp"),
             (
-                j
-                - 1
+                i
                 + F.array_position(
-                    F.slice(F.col("gs"), j, WINNOW_W),
-                    F.array_min(F.slice(F.col("gs"), j, WINNOW_W)),
+                    F.slice(F.col("gs"), i + F.lit(1), WINNOW_W), m
                 )
             ).cast("long").alias("pos"),
         ),
     )
     return (
-        base.select("doc_id", F.explode(F.array_distinct(sel)).alias("s"))
+        staged.select("doc_id", F.explode(F.array_distinct(sel)).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.fp").alias("fp"))
     )
 
@@ -158,26 +166,22 @@ def dedup_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares one of the 4 bands, so recall at threshold 3 is exact."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_expr()).alias("w"))
-    # Digest work per DISTINCT word, not per occurrence: the md5 bit votes
-    # depend only on the word, so term frequencies aggregate first
-    # (map-side partial agg), the +-1 bit vector is computed once per
-    # vocabulary word, and the per-doc vote becomes sum(tf * bit) -- exact
-    # integer arithmetic, identical vote sums. The vocabulary relation
-    # joins back un-hinted (corpus-derived: AQE broadcasts only while it
-    # fits). sf0.1: 1.1M occurrence digests -> |vocab| digests.
-    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    # Deliberately hashes per occurrence: a digest-per-distinct-word
+    # rewrite (tf groupBy + vocabulary join + weighted vote sums) measured
+    # CONSISTENTLY SLOWER at sf0.1 (5.7s vs 4.1s interleaved best-of-3,
+    # r11 optimization round) -- the extra (doc, word) shuffle and the
+    # 64-column weighted re-aggregation cost more than the md5 calls they
+    # save, and the direct groupBy(doc_id) partial-aggregates to one row
+    # per doc per task, so its shuffle is already minimal.
     h1, h2 = F.md5("w"), F.md5(F.concat(F.lit("#"), F.col("w")))
-    bits = [
-        F.when(F.substring(h1 if i < 32 else h2, (i % 32) + 1, 1) >= "8", 1)
-        .otherwise(-1)
-        .alias(f"b_{i}")
+    votes = [
+        F.sum(
+            F.when(F.substring(h1 if i < 32 else h2, (i % 32) + 1, 1) >= "8", 1)
+            .otherwise(-1)
+        ).alias(f"v_{i}")
         for i in range(64)
     ]
-    wb = tf.select("w").distinct().select("w", *bits)
-    votes = [
-        F.sum(F.col("c") * F.col(f"b_{i}")).alias(f"v_{i}") for i in range(64)
-    ]
-    agg = tf.join(wb, "w").groupBy("doc_id").agg(*votes)
+    agg = tok.groupBy("doc_id").agg(*votes)
     lo = sum(
         (
             F.when(F.col(f"v_{i}") > 0, F.lit(1 << i)).otherwise(0)
