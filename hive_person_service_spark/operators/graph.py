@@ -138,6 +138,12 @@ def bfs_distances(
     ).persist()
     edges.count()
 
+    # NOTE (r11 opt round): an accumulate-settled-pieces variant (keep
+    # per-hop checkpointed frames in a list, union lazily, skip the
+    # per-hop dist re-checkpoint) measured consistently SLOWER at sf0.1
+    # (11.7s vs 7.5s interleaved best-of-4): each hop's anti-join then
+    # broadcasts a union of k many-partition pieces, and those broadcast
+    # builds cost more than re-materializing the compact dist table.
     dist = spark.createDataFrame([(int(source), 0)], "node LONG, hops INT")
     frontier = dist
     try:
