@@ -278,7 +278,15 @@ def near_duplicates_minhash_inrow(
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         df = df.repartition(sc.defaultParallelism)
-    sigs = minhash_signatures_inrow(df, num_perm=num_perm, shingle_n=shingle_n)
+    # vectorized fold (bit-identical signatures; see
+    # minhash_signatures_inrow_vec / _fold_min_perms_arrow); persisted
+    # because the band self-join scans the signature relation twice (the
+    # md5 variant's discipline)
+    sigs = _persist_bounded(
+        "minhash_inrow_sigs",
+        minhash_signatures_inrow_vec(df, num_perm=num_perm,
+                                     shingle_n=shingle_n),
+    )
     cands = _persist_bounded(
         "minhash_inrow_cands",
         lsh_candidate_pairs(sigs, num_perm=num_perm, bands=bands),
@@ -588,6 +596,22 @@ def _fold_min_perms_arrow(
             )
 
     return hashed.mapInArrow(fold, out_schema)
+
+
+def minhash_signatures_inrow_vec(
+    docs: DataFrame, num_perm: int = 32, shingle_n: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """minhash_signatures_inrow (xxhash64 base hash) with the permutation
+    fold vectorized (_fold_min_perms_arrow): bit-identical signatures to
+    both the grouped and the in-row expression-fold variants -- same base
+    hash, same constants, same mod arithmetic."""
+    m = F.lit(_MERSENNE_31)
+    sh = shingles_expr(tokens_expr(), shingle_n)
+    hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), m))
+    base = docs.where(F.size(tokens_expr()) >= shingle_n).select(
+        F.col(id_col), hs.alias("_hs")
+    )
+    return _fold_min_perms_arrow(base, num_perm, id_col)
 
 
 def minhash_signatures_inrow_md5_vec(

@@ -14,7 +14,6 @@ from ..functions.text import tokens_expr
 from ..operators.dedup import (
     doc_shingles,
     exact_dedup,
-    near_duplicates_minhash,
     simhash_signatures,
 )
 from ..sources import load_table
@@ -177,11 +176,20 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: MinHash-LSH pairs -> connected components ->
     (doc_id, canon, keep). The full pipeline a training-data run executes;
-    group purity is pytest-verified on the real sf0.1 duplicates."""
+    group purity is pytest-verified on the real sf0.1 duplicates.
+
+    Pairs come from the candidate-verify formulation
+    (near_duplicates_minhash_inrow, vectorized in-row signatures): output
+    is bit-identical to the grouped form (same constants/banding, pinned
+    by tests/test_operators.py), but only candidate documents are ever
+    shingled for verification -- the right cost shape for a single
+    cold-path pipeline run (r11 opt round: 3.6s -> see
+    OPTIMIZATION_r11.md)."""
     from ..operators.clustering import dedup_groups
+    from ..operators.dedup import near_duplicates_minhash_inrow
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = near_duplicates_minhash(d, threshold=0.9)
+    pairs = near_duplicates_minhash_inrow(d, threshold=0.9)
     return dedup_groups(d.select("doc_id"), pairs)
 
 

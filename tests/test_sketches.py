@@ -109,6 +109,21 @@ def test_minhash_inrow_equals_grouped(spark):
     assert grouped == inrow
 
 
+def test_minhash_inrow_vec_equals_expression_fold(spark):
+    # xxhash64 variant of the vectorized fold (used by dedup_cluster via
+    # near_duplicates_minhash_inrow): bit-identical to the expression fold.
+    from hive_person_service_spark.operators.dedup import (
+        minhash_signatures_inrow,
+        minhash_signatures_inrow_vec,
+    )
+    from hive_person_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    expr = minhash_signatures_inrow(docs).orderBy("doc_id").collect()
+    vec = minhash_signatures_inrow_vec(docs).orderBy("doc_id").collect()
+    assert expr == vec
+
+
 def test_minhash_md5_vec_equals_expression_fold(spark):
     # The vectorized (numpy mapInArrow) permutation fold must be
     # bit-identical to the JVM expression fold: same md5 base hashes,
