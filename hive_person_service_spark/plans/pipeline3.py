@@ -142,10 +142,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate/template detector every corpus quality stack runs (high
     ratio => machine-generated or scraped-nav text). Bigrams are built with
     higher-order array functions (transform over a sequence of offsets --
-    JVM-side, no UDF) and never leave the row until the per-doc explode;
-    the groupBy key is doc_id, which is the natural partitioning of the
-    corpus, so at scale the aggregation is shuffle-light and the wide
-    exploded form exists only inside a task."""
+    JVM-side, no UDF) and never leave the row AT ALL: both counts are
+    per-document functions of the gram array (size / array_distinct), so
+    the whole query is one map pass at scan speed -- no explode, no
+    shuffle, at any corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     grams = F.transform(
@@ -154,18 +154,22 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
         ),
     )
-    return (
-        docs.select("doc_id", F.explode(grams).alias("g"))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_grams"), F.countDistinct("g").alias("n_distinct"))
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_distinct",
-            F.round(
-                1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6
-            ).alias("rep_ratio"),
-        )
+    # Fully IN-ROW (r11 opt round): the counts are per-document functions
+    # of the gram array, so size / array_distinct replace the former
+    # explode + groupBy(doc_id) + countDistinct -- zero shuffles, zero
+    # explodes, one map pass at scan speed (the corpus_signals_fused
+    # shape). Same gram expression, exact integer counts -> identical
+    # rows.
+    staged = docs.select("doc_id", grams.alias("gs"))
+    n_grams = F.size("gs").cast("long")
+    n_distinct = F.size(F.array_distinct("gs")).cast("long")
+    return staged.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_distinct.alias("n_distinct"),
+        F.round(1.0 - n_distinct.cast("double") / n_grams, 6).alias(
+            "rep_ratio"
+        ),
     )
 
 
