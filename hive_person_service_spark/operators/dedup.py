@@ -201,27 +201,11 @@ def verify_jaccard(
     )
 
 
-#: Last persisted intermediate per pipeline entry point. The returned
-#: DataFrames are lazy, so the cache must outlive the call -- but a long
-#: session calling these repeatedly would otherwise accumulate cached
-#: blocks forever. Each new call unpersists the previous call's cache IF
-#: the plan changed, bounding the leak to one relation per entry point;
-#: an identical plan keeps the cache so repeated identical queries still
-#: hit it (CacheManager matches canonicalized plans).
-_LAST_PERSISTED: dict[str, tuple[int, DataFrame]] = {}
-
-
-def _persist_bounded(slot: str, df: DataFrame) -> DataFrame:
-    try:
-        key = df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:
-        key = id(df)
-    prev = _LAST_PERSISTED.get(slot)
-    if prev is not None and prev[0] != key:
-        prev[1].unpersist(blocking=False)
-    out = df.persist()
-    _LAST_PERSISTED[slot] = (key, out)
-    return out
+# Bounded plan-outliving caches: one live relation per slot, previous
+# cache dropped when the plan changes, kept when identical (so repeated
+# identical queries still hit it). Shared implementation in
+# operators/caching.py (r12: plan-level persists use it too).
+from .caching import persist_bounded as _persist_bounded  # noqa: E402
 
 
 def near_duplicates_minhash(
@@ -493,7 +477,9 @@ def jaccard_join_prefix(
     sc = docs.sparkSession.sparkContext
     if docs.rdd.getNumPartitions() < sc.defaultParallelism:
         docs = docs.repartition(sc.defaultParallelism)
-    shingled = doc_shingles(docs, n=shingle_n).persist()
+    shingled = _persist_bounded(
+        "jaccard_prefix_shingled", doc_shingles(docs, n=shingle_n)
+    )
     cands = jaccard_prefix_candidates(shingled, threshold=threshold, id_col=id_col)
     return verify_jaccard(cands, shingled, id_col=id_col).where(
         F.col("jaccard") >= threshold
@@ -542,6 +528,11 @@ def minhash_signatures_inrow_md5(
     )
 
 
+#: Max base hashes vectorized per numpy slab inside _fold_min_perms_arrow
+#: (module-level so tests can shrink it to exercise the chunked paths).
+_FOLD_SLAB = 1 << 18
+
+
 def _fold_min_perms_arrow(
     hashed: DataFrame, num_perm: int, id_col: str
 ) -> DataFrame:
@@ -569,6 +560,15 @@ def _fold_min_perms_arrow(
         [f"{id_col} long"] + [f"sig_{j} long" for j in range(num_perm)]
     )
 
+    # Bound the vectorization temporaries: the (hashes x num_perm) int64
+    # product matrix is the big allocation (a 10k-row Arrow batch of
+    # long documents can hold tens of millions of hashes -> multi-GB
+    # temporaries). Fold at most _FOLD_SLAB hashes per slab (2 temporaries
+    # of <= slab * num_perm int64s, ~64 MB each at num_perm=32), carrying
+    # the row-segment boundaries; min-of-slab-mins == min-of-all, so the
+    # signatures are bit-identical to the unchunked fold.
+    _SLAB = _FOLD_SLAB
+
     def fold(batches):
         for batch in batches:
             ids = batch.column(0)
@@ -583,10 +583,36 @@ def _fold_min_perms_arrow(
             offs = offs - offs[0]
             if len(vals) == 0:
                 continue
-            perm = (vals[:, None] * a_np[None, :] + b_np[None, :]) % m
-            # rows are non-empty by construction (callers filter docs with
-            # fewer than n tokens), so every reduceat segment is valid
-            sigs = np.minimum.reduceat(perm, offs[:-1], axis=0)
+            n_rows = len(offs) - 1
+            sigs = np.empty((n_rows, num_perm), dtype=np.int64)
+            i = 0
+            while i < n_rows:
+                # grow [i, j) while the slab stays under budget (always
+                # taking at least one row)
+                j = i + 1
+                while j < n_rows and offs[j + 1] - offs[i] <= _SLAB:
+                    j += 1
+                lo, hi = offs[i], offs[j]
+                if hi - lo <= _SLAB:
+                    perm = (vals[lo:hi, None] * a_np[None, :] + b_np[None, :]) % m
+                    # rows are non-empty by construction (callers filter
+                    # docs with fewer than n tokens), so every reduceat
+                    # segment is valid
+                    sigs[i:j] = np.minimum.reduceat(
+                        perm, offs[i:j] - lo, axis=0
+                    )
+                else:
+                    # one row alone exceeds the slab: running min over
+                    # value-chunks of that row (same arithmetic, same min)
+                    acc = np.full(num_perm, np.iinfo(np.int64).max)
+                    for s in range(lo, hi, _SLAB):
+                        chunk = (
+                            vals[s:min(s + _SLAB, hi), None] * a_np[None, :]
+                            + b_np[None, :]
+                        ) % m
+                        np.minimum(acc, chunk.min(axis=0), out=acc)
+                    sigs[i] = acc
+                i = j
             arrays = [ids] + [
                 pa.array(sigs[:, j], type=pa.int64()) for j in range(num_perm)
             ]

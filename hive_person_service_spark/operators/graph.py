@@ -103,6 +103,14 @@ def pagerank(
         )
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    if n_iter % checkpoint_every == 0:
+        # the returned plan is a checkpoint scan -- the loop's persisted
+        # inputs are no longer referenced; release them so a long session
+        # doesn't accumulate graph caches (guide §5). When the final round
+        # was NOT checkpointed the caches must outlive the call (the
+        # returned plan still reads them) and stay.
+        for df_ in (contrib_edges, danglers, nodes):
+            df_.unpersist(blocking=False)
     return ranks
 
 

@@ -151,12 +151,13 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 10)
         .select("s1", "s2")
     )
-    edges = (
+    from ..operators.caching import persist_bounded
+
+    edges = persist_bounded(
+        "triangles_knn_edges",
         topk.select(
             F.least("s1", "s2").alias("s1"), F.greatest("s1", "s2").alias("s2")
-        )
-        .distinct()
-        .persist()
+        ).distinct(),
     )
     e1 = edges.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
     e2 = edges.select(F.col("s1").alias("b"), F.col("s2").alias("c"))

@@ -160,7 +160,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explodes, one map pass at scan speed (the corpus_signals_fused
     # shape). Same gram expression, exact integer counts -> identical
     # rows.
-    staged = docs.select("doc_id", grams.alias("gs"))
+    # Degenerate-doc guard (r12, advisor item): the oracle's unnest drops
+    # documents with NO grams (null text -> null gram array; the fixture
+    # has none, but the in-row form would emit a null-count row for
+    # them). size(gs) > 0 is null for a null array, so both degenerate
+    # shapes drop -- exactly the explode+groupBy semantics.
+    staged = docs.select("doc_id", grams.alias("gs")).where(F.size("gs") > 0)
     n_grams = F.size("gs").cast("long")
     n_distinct = F.size(F.array_distinct("gs")).cast("long")
     return staged.select(
@@ -273,11 +278,17 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 1).alias("w2"),
         ),
     )
-    grams = docs.select("doc_id", F.explode(pairs).alias("g")).select(
-        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
-    ).persist()  # feeds the model aggregate AND the scoring join: one
+    from ..operators.caching import persist_bounded
+
+    grams = persist_bounded(
+        "lm_score_grams",
+        docs.select("doc_id", F.explode(pairs).alias("g")).select(
+            "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+        ),
+    )  # feeds the model aggregate AND the scoring join: one
     # tokenize+explode pass instead of two (at 100 TB: a parquet staging
-    # table, the dedup_ngram_jaccard discipline)
+    # table, the dedup_ngram_jaccard discipline); bounded slot so a long
+    # session never accumulates stale gram caches (guide §5)
     big = grams.groupBy(
         F.col("w1").alias("bw1"), F.col("w2").alias("bw2")
     ).agg(F.count("*").alias("c2"))

@@ -249,7 +249,9 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("doc_id", "text")
     )
-    sh = doc_shingles(exact_kept, n=3).persist()
+    from ..operators.caching import persist_bounded
+
+    sh = persist_bounded("dedup_twostage_sh", doc_shingles(exact_kept, n=3))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

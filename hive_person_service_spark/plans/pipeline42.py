@@ -216,9 +216,12 @@ def source_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the internal corrupt-record column is disallowed against a raw CSV
     # scan (the parser would have to re-run per branch); the cached
     # landing batch is micro-batch-sized by construction.
-    raw = read_csv_tolerant(
-        spark, path, SCHEMAS["documents"], mode="PERMISSIVE"
-    ).cache()
+    from ..operators.caching import persist_bounded
+
+    raw = persist_bounded(
+        "quarantine_raw",
+        read_csv_tolerant(spark, path, SCHEMAS["documents"], mode="PERMISSIVE"),
+    )
     good = raw.where(F.col("_corrupt_record").isNull())
     bad = raw.where(F.col("_corrupt_record").isNotNull())
     per_lang = good.groupBy("lang").agg(

@@ -77,9 +77,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # four consumers (dl, corpus stats, tf, df) — persist the token
     # stream so the corpus tokenizes once, the text_pipeline convention
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    ).where(F.col("tok") != "").persist()
+    from ..operators.caching import persist_bounded
+
+    toks = persist_bounded(
+        "bm25_toks",
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+        ).where(F.col("tok") != ""),
+    )
     dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("len"))
     stats = dl.agg(
         F.avg("len").alias("avgdl"), F.count("*").cast("double").alias("n_docs")

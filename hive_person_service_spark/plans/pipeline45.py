@@ -135,7 +135,12 @@ def reco_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     item supports and the order total are broadcast back. Counts are
     exact integers so lift is reproducible IEEE arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct().persist()
+    from ..operators.caching import persist_bounded
+
+    baskets = persist_bounded(
+        "basket_pairs_baskets",
+        li.select("l_orderkey", "l_partkey").distinct(),
+    )
     item_n = baskets.groupBy("l_partkey").agg(
         F.count("*").cast("double").alias("s")
     )

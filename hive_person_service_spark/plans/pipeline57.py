@@ -207,9 +207,14 @@ def events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment passes run on that ~#days relation, so the plan's heavy side
     is a single groupBy(day) scan regardless of stream volume."""
     ev = load_table(spark, sf_dir, "events")
-    d = ev.groupBy(
-        F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day")
-    ).agg(F.count("*").alias("x")).cache()
+    from ..operators.caching import persist_bounded
+
+    d = persist_bounded(
+        "acf_daily",
+        ev.groupBy(
+            F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long").alias("day")
+        ).agg(F.count("*").alias("x")),
+    )
     m = d.agg(
         (F.sum("x") / F.count("*")).alias("mean")
     )

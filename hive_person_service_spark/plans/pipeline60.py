@@ -133,8 +133,10 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold = d.where(did % 10 == 7).select("doc_id", "text")
 
     # two consumers (per-doc gram counts + the holdout semi-join): persist
-    # so the train side shingles once, not twice
-    tr = doc_shingles(train, n=13).persist()
+    # so the train side shingles once, not twice (bounded slot, guide §5)
+    from ..operators.caching import persist_bounded
+
+    tr = persist_bounded("decontaminate_tr", doc_shingles(train, n=13))
     ho = doc_shingles(hold, n=13).select("shingle").distinct()
     n = tr.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     hits = (

@@ -75,10 +75,13 @@ def text_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(t, i, SPAN_K)).alias("g"),
         ),
     )
-    pos = (
+    from ..operators.caching import persist_bounded
+
+    pos = persist_bounded(
+        "substring_spans_pos",
         d.select("doc_id", F.explode(kg).alias("s"))
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g"))
-    ).persist()  # feeds the dup aggregate AND the hits join: shingle the
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.g").alias("g")),
+    )  # feeds the dup aggregate AND the hits join: shingle the
     # corpus once, not twice (kept as groupBy+join, NOT a min/max window
     # over g -- a window cannot partial-aggregate, so one hot boilerplate
     # shingle would funnel into a single task at scale)

@@ -66,8 +66,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     it computes the tokenize/explode/distinct once instead of three times
     (measured ~2x at sf0.1; at scale it also keeps the three consumers on
     one shuffle lineage)."""
+    from ..operators.caching import persist_bounded
+
     d = load_table(spark, sf_dir, "documents")
-    shingled = doc_shingles(d, n=3).persist()
+    shingled = persist_bounded("ngram_jaccard_shingled", doc_shingles(d, n=3))
     pairs = (
         shingled.select(F.col("doc_id").alias("id_a"), "shingle")
         .join(

@@ -121,7 +121,13 @@ def sem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three consumers (both self-join sides + the final keep join): persist
     # so the K x N centroid scoring pass runs once, not three times
-    assign = _assignment(spark, sf_dir).select("vec_id", "cluster").persist()
+    # (bounded slot, guide §5)
+    from ..operators.caching import persist_bounded
+
+    assign = persist_bounded(
+        "sem_dedup_assign",
+        _assignment(spark, sf_dir).select("vec_id", "cluster"),
+    )
     va = assign.join(emb, "vec_id")
     a = va.select(
         F.col("vec_id").alias("a_id"), F.col("cluster").alias("ca"), F.col("ev").alias("eva")

@@ -179,3 +179,19 @@ def test_prefix_join_equals_full_join_and_prunes(spark):
         .count()
     )
     assert n_prefix < n_full / 2, (n_prefix, n_full)
+
+
+def test_minhash_fold_slab_chunking_bit_identical(spark, monkeypatch):
+    # r12 (advisor item): the vectorized fold bounds its numpy
+    # temporaries by slabbing the (hashes x num_perm) product matrix.
+    # Shrink the slab far below one fixture batch so BOTH chunked paths
+    # run (multi-row slabs AND the single-giant-row running-min), and pin
+    # bit-equality against the unchunked fold's output.
+    from hive_person_service_spark.operators import dedup as D
+    from hive_person_service_spark.sources import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    baseline = D.minhash_signatures_inrow_md5_vec(docs).orderBy("doc_id").collect()
+    monkeypatch.setattr(D, "_FOLD_SLAB", 64)  # < one doc's shingle count
+    chunked = D.minhash_signatures_inrow_md5_vec(docs).orderBy("doc_id").collect()
+    assert chunked == baseline

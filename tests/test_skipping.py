@@ -146,3 +146,26 @@ def test_refresh_stats_index_incremental(spark, tmp_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_prune_files_partial_stats_row_no_crash(spark):
+    # r12 (advisor item): a stats row with exactly one known bound must
+    # behave like the old NULL-propagating SQL predicate (not provably
+    # overlapping -> prunable), never raise.
+    from hive_person_service_spark.operators.skipping import prune_files
+
+    stats = spark.createDataFrame(
+        [
+            ("f_both", "c", 0.0, 10.0),
+            ("f_max_only", "c", None, 10.0),
+            ("f_min_only", "c", 0.0, None),
+            ("f_unknown", "c", None, None),
+            ("f_other_col", "x", 0.0, 10.0),
+        ],
+        "file string, column string, min_val double, max_val double",
+    )
+    keep = prune_files(stats, "c", 5.0, 6.0)
+    # f_both overlaps; partial/unknown ranges are not provably
+    # overlapping (old SQL semantics); the no-stats-for-column file is
+    # kept (unknown => cannot skip)
+    assert keep == ["f_both", "f_other_col"]
