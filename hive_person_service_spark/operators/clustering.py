@@ -39,26 +39,34 @@ def connected_components(
         edges.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("comp"))
         .select(F.col("a").alias("node"), "comp")
     )
+    comp_t = labels.schema["comp"].dataType
     for _ in range(max_iterations):
-        # every node adopts min(own label, neighbors' labels)
+        # every node adopts min(own label, neighbors' labels); the node's
+        # PREVIOUS label rides along (the own-row carries it, neighbor
+        # rows carry null, max() recovers the single non-null value), so
+        # the convergence probe is a filter over the checkpointed result
+        # instead of a join against the old labels -- the graph_wcc
+        # discipline (r12: was a per-round join + broadcast build, ~8
+        # jobs/round; now checkpoint + probe, identical labels)
         neighbor_labels = (
             edges.join(labels, edges["b"] == labels["node"])
-            .select(edges["a"].alias("node"), F.col("comp"))
+            .select(
+                edges["a"].alias("node"),
+                F.col("comp"),
+                F.lit(None).cast(comp_t).alias("prev"),
+            )
         )
+        own = labels.select("node", "comp", F.col("comp").alias("prev"))
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            own.unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.max("prev").alias("prev"))
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("comp") != F.col("prev")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "comp")
         if changed == 0:
             edges.unpersist()
             return labels

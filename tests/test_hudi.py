@@ -755,3 +755,53 @@ def test_hudi_ingest_crash_between_commit_and_checkpoint(spark, tmp_path):
     assert len(hudi_timeline(t)) == mid + 1
     ids = sorted(r["id"] for r in hudi_scan(spark, t).collect())
     assert ids == list(range(30))
+
+
+# ---------------------------------------------------------------------------
+# r12: schema-cache invalidation + log-bearing-groups-only merge
+# ---------------------------------------------------------------------------
+
+
+def test_read_base_schema_cache_sees_new_commits(spark, people, tmp_path):
+    # The inferred-schema cache is keyed on the exact (immutable) file
+    # set: a new commit writes NEW file names, so a repeated scan after
+    # an append must see the fresh rows (cache refresh, not staleness).
+    t = _fresh(tmp_path, "cache_inval")
+    hudi_write(spark, t, people.where("id <= 50"), record_key="id")
+    assert hudi_scan(spark, t).count() == 50
+    assert hudi_scan(spark, t).count() == 50  # warm: schema from cache
+    hudi_write(spark, t, people.where("id > 50"), record_key="id")
+    got = hudi_scan(spark, t)
+    assert got.count() == 100
+    assert got.agg(F.sum("id")).first()[0] == sum(range(1, 101))
+
+
+def test_mor_merge_windows_only_log_bearing_groups(spark, people, tmp_path):
+    # An update that touches ONE bucket leaves the other file groups
+    # log-less; their bases union in verbatim while the log-bearing
+    # group merges -- and the snapshot equals the relational expectation
+    # row for row.
+    t = _fresh(tmp_path, "mor_mixed")
+    hudi_write(spark, t, people, record_key="id", table_type="mor")
+    # update only the keys routed to ONE file group (the writer's bucket
+    # index: crc32 of the stringified key mod n_buckets)
+    import zlib
+
+    sl0 = _file_slices(t)
+    assert len(sl0) > 1
+    hot = {i for i in range(1, 101) if zlib.crc32(str(i).encode()) % 4 == 0}
+    upd = people.where(F.col("id").isin(list(hot))).withColumn(
+        "bal", F.col("bal") + 1000.0
+    )
+    hudi_write(spark, t, upd, record_key="id", table_type="mor")
+    sl1 = _file_slices(t)
+    n_log_groups = sum(1 for s in sl1.values() if s["logs"])
+    assert 0 < n_log_groups < len(sl1)  # genuinely mixed
+    got = {
+        (r["id"], r["name"], r["bal"]) for r in hudi_scan(spark, t).collect()
+    }
+    want = {
+        (i, f"name{i}", i * 1.5 + (1000.0 if i in hot else 0.0))
+        for i in range(1, 101)
+    }
+    assert got == want
